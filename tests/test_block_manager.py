@@ -1,0 +1,134 @@
+"""Block manager + prefix cache unit tests.
+
+Mirrors the reference's host-side block tests
+(reference tests/core/framework/block/*, tests/core/framework/prefix_cache/*).
+"""
+
+import pytest
+
+from xllm_tpu.framework.block_manager import BlockManager
+from xllm_tpu.framework.request import Sequence, StoppingChecker
+from xllm_tpu.framework.sampling_params import SamplingParams
+
+
+def make_seq(tokens):
+    sp = SamplingParams(max_tokens=4)
+    stop = StoppingChecker(max_new_tokens=4, max_model_len=1024)
+    return Sequence(list(tokens), sp, stop)
+
+
+def test_allocate_and_free():
+    bm = BlockManager(num_blocks=8, block_size=4, enable_prefix_cache=False)
+    assert bm.num_free_blocks == 7  # block 0 reserved
+    seq = make_seq(range(10))
+    assert bm.allocate(seq, 10)  # 10 tokens -> 3 blocks
+    assert len(seq.block_ids) == 3
+    assert bm.num_free_blocks == 4
+    assert 0 not in seq.block_ids
+    bm.free(seq)
+    assert bm.num_free_blocks == 7
+    assert seq.block_ids == []
+
+
+def test_allocate_insufficient():
+    bm = BlockManager(num_blocks=4, block_size=4)
+    seq = make_seq(range(20))
+    assert not bm.allocate(seq, 20)  # needs 5 blocks, only 3 free
+    assert seq.block_ids == []
+
+
+def test_incremental_allocate():
+    bm = BlockManager(num_blocks=8, block_size=4)
+    seq = make_seq(range(4))
+    assert bm.allocate(seq, 4)
+    assert len(seq.block_ids) == 1
+    seq.num_computed_tokens = 4
+    # decode: one more token needs a new block
+    assert bm.allocate(seq, 1)
+    assert len(seq.block_ids) == 2
+
+
+def test_prefix_cache_hit_and_refcount():
+    bm = BlockManager(num_blocks=16, block_size=4)
+    seq1 = make_seq(range(100, 109))  # 9 tokens -> 2 full blocks + tail
+    assert bm.allocate(seq1, 9)
+    seq1.num_computed_tokens = 9
+    bm.cache_computed_blocks(seq1)
+
+    seq2 = make_seq(range(100, 109))
+    matched = bm.match_prefix(seq2)
+    assert matched == 8  # 2 full blocks
+    assert seq2.block_ids == seq1.block_ids[:2]
+    assert bm.ref_counts[seq1.block_ids[0]] == 2
+
+    bm.free(seq1)
+    # shared blocks still referenced by seq2
+    assert bm.ref_counts[seq2.block_ids[0]] == 1
+    bm.free(seq2)
+    assert bm.num_free_blocks == 15
+
+
+def test_prefix_cache_never_matches_full_prompt():
+    bm = BlockManager(num_blocks=16, block_size=4)
+    seq1 = make_seq(range(8))  # exactly 2 blocks
+    assert bm.allocate(seq1, 8)
+    seq1.num_computed_tokens = 8
+    bm.cache_computed_blocks(seq1)
+    bm.free(seq1)
+
+    seq2 = make_seq(range(8))
+    matched = bm.match_prefix(seq2)
+    assert matched == 4  # only 1 block: one token must remain to compute
+
+
+def test_lru_eviction_of_cached_blocks():
+    bm = BlockManager(num_blocks=4, block_size=4)  # 3 usable
+    seq1 = make_seq(range(50, 59))
+    assert bm.allocate(seq1, 9)
+    seq1.num_computed_tokens = 9
+    bm.cache_computed_blocks(seq1)
+    bm.free(seq1)
+    assert len(bm.cached_blocks) == 2
+
+    # new allocation evicts the oldest freed blocks
+    seq2 = make_seq(range(200, 212))
+    assert bm.allocate(seq2, 12)
+    assert len(seq2.block_ids) == 3
+    # all cached content evicted (3 blocks reused)
+    seq3 = make_seq(range(50, 59))
+    bm.free(seq2)
+    assert bm.match_prefix(seq3) == 0
+
+
+def test_freed_cached_block_rematch_removes_from_free_lru():
+    bm = BlockManager(num_blocks=8, block_size=4)
+    seq1 = make_seq(range(10, 19))
+    assert bm.allocate(seq1, 9)
+    seq1.num_computed_tokens = 9
+    bm.cache_computed_blocks(seq1)
+    bm.free(seq1)
+    free_before = bm.num_free_blocks
+    seq2 = make_seq(range(10, 19))
+    assert bm.match_prefix(seq2) == 8
+    assert bm.num_free_blocks == free_before - 2
+    bm.free(seq2)
+
+
+def test_slot_for_token():
+    bm = BlockManager(num_blocks=8, block_size=4)
+    seq = make_seq(range(6))
+    assert bm.allocate(seq, 6)
+    b0, b1 = seq.block_ids
+    assert bm.slot_for_token(seq, 0) == b0 * 4
+    assert bm.slot_for_token(seq, 5) == b1 * 4 + 1
+
+
+def test_double_free_assertion():
+    bm = BlockManager(num_blocks=8, block_size=4)
+    seq = make_seq(range(4))
+    assert bm.allocate(seq, 4)
+    bids = list(seq.block_ids)
+    bm.free(seq)
+    seq.block_ids = bids
+    with pytest.raises(AssertionError):
+        bm.free(seq)

@@ -1,0 +1,111 @@
+"""Engine end-to-end tests on a tiny random model (CPU)."""
+
+import numpy as np
+import pytest
+
+from xllm_tpu.config import CacheConfig, EngineConfig, ModelConfig, SchedulerConfig
+from xllm_tpu.engine import LLMEngine
+from xllm_tpu.framework.sampling_params import SamplingParams
+
+
+def tiny_config(**cache_kw):
+    return EngineConfig(
+        model=ModelConfig(
+            model_type="qwen3",
+            dtype="float32",
+            vocab_size=97,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=16,
+            qk_norm=True,
+            max_position_embeddings=128,
+            eos_token_ids=[0],
+        ),
+        cache=CacheConfig(block_size=4, num_blocks=64, **cache_kw),
+        scheduler=SchedulerConfig(
+            max_seqs_per_batch=8,
+            max_tokens_per_chunk_for_prefill=16,
+            max_model_len=128,
+            decode_batch_buckets=[2, 4, 8],
+            prefill_token_buckets=[4, 8, 16],
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return LLMEngine(tiny_config())
+
+
+def _prompts(n, lens=(5, 13, 3, 29)):
+    rng = np.random.default_rng(0)
+    return [[int(x) for x in rng.integers(1, 97, size=lens[i % len(lens)])] for i in range(n)]
+
+
+def test_greedy_batch_and_block_release(engine):
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    for p in _prompts(4):
+        engine.add_request(prompt_token_ids=p, sampling_params=sp)
+    outs = engine.generate_all(timeout_s=300)
+    assert len(outs) == 4
+    for ro in outs:
+        assert len(ro.outputs[0].token_ids) == 8
+        assert ro.outputs[0].finish_reason == "length"
+    assert engine.block_manager.num_used_blocks == 0
+
+
+def test_chunked_prefill_equals_single_shot(engine):
+    """A prompt longer than the chunk budget must decode identically."""
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+    rng = np.random.default_rng(7)
+    prompt = [int(x) for x in rng.integers(1, 97, size=40)]  # > chunk 16
+
+    engine.add_request(prompt_token_ids=prompt, sampling_params=sp)
+    chunked = engine.generate_all(timeout_s=300)[0].outputs[0].token_ids
+
+    # same prompt through an engine with a huge chunk budget
+    cfg = tiny_config()
+    cfg.scheduler.max_tokens_per_chunk_for_prefill = 64
+    cfg.scheduler.prefill_token_buckets = [64]
+    eng2 = LLMEngine(cfg, runner=None)
+    eng2.add_request(prompt_token_ids=prompt, sampling_params=sp)
+    single = eng2.generate_all(timeout_s=300)[0].outputs[0].token_ids
+    assert chunked == single
+
+
+def test_stop_token_id(engine):
+    sp = SamplingParams(temperature=0.0, max_tokens=20, ignore_eos=True)
+    # discover the greedy continuation, then stop on its 3rd token
+    p = _prompts(1)[0]
+    engine.add_request(prompt_token_ids=p, sampling_params=sp)
+    full = engine.generate_all(timeout_s=300)[0].outputs[0].token_ids
+    stop_tok = full[2]
+    sp2 = SamplingParams(
+        temperature=0.0, max_tokens=20, ignore_eos=True, stop_token_ids=[stop_tok]
+    )
+    engine.add_request(prompt_token_ids=p, sampling_params=sp2)
+    out = engine.generate_all(timeout_s=300)[0].outputs[0]
+    assert out.token_ids[-1] == stop_tok
+    assert len(out.token_ids) == 3
+    assert out.finish_reason == "stop"
+
+
+def test_sampling_with_seed_is_plausible(engine):
+    sp = SamplingParams(temperature=1.0, top_k=10, max_tokens=12, ignore_eos=True)
+    p = _prompts(1)[0]
+    engine.add_request(prompt_token_ids=p, sampling_params=sp)
+    out = engine.generate_all(timeout_s=300)[0].outputs[0]
+    assert len(out.token_ids) == 12
+    assert all(0 <= t < 97 for t in out.token_ids)
+
+
+def test_many_requests_exceeding_batch(engine):
+    sp = SamplingParams(temperature=0.0, max_tokens=4, ignore_eos=True)
+    for p in _prompts(12):
+        engine.add_request(prompt_token_ids=p, sampling_params=sp)
+    outs = engine.generate_all(timeout_s=600)
+    assert len(outs) == 12
+    assert engine.block_manager.num_used_blocks == 0

@@ -1,0 +1,158 @@
+"""Continuous scheduler unit tests (host-only, fake-engine pattern).
+
+Mirrors the reference's scheduler suite
+(reference tests/core/scheduler/continuous_scheduler_test.cpp:22-72, which
+drives scheduling with a FakeEngine + real BlockManagerPool — here the
+scheduler needs no engine at all; we just advance sequence state by hand).
+"""
+
+from xllm_tpu.config import SchedulerConfig
+from xllm_tpu.framework.block_manager import BlockManager
+from xllm_tpu.framework.request import FinishReason, Request
+from xllm_tpu.framework.sampling_params import SamplingParams
+from xllm_tpu.scheduler.continuous import ContinuousScheduler
+
+
+def make_request(rid, prompt_len, max_tokens=8):
+    return Request(
+        request_id=rid,
+        prompt_token_ids=list(range(1, prompt_len + 1)),
+        sampling_params=SamplingParams(max_tokens=max_tokens, ignore_eos=True),
+        max_model_len=256,
+    )
+
+
+def make_scheduler(num_blocks=64, block_size=4, chunk=16, max_seqs=8):
+    bm = BlockManager(num_blocks, block_size)
+    cfg = SchedulerConfig(
+        max_seqs_per_batch=max_seqs,
+        max_tokens_per_chunk_for_prefill=chunk,
+        max_model_len=256,
+    )
+    cfg.resolve_buckets()
+    return ContinuousScheduler(cfg, bm), bm
+
+
+def complete_prefill(out):
+    """Simulate the engine running scheduled prefill chunks."""
+    for seq, n in out.prefill_items:
+        seq.num_computed_tokens += n
+        if seq.num_computed_tokens == seq.num_tokens:
+            seq.append_token(7)  # sampled token
+
+
+def complete_decode(out):
+    for seq in out.decode_seqs:
+        seq.num_computed_tokens += 1
+        seq.append_token(7)
+
+
+def test_prefill_then_decode():
+    sched, bm = make_scheduler()
+    req = make_request("r1", prompt_len=6)
+    sched.add_request(req)
+
+    out = sched.schedule()
+    assert len(out.prefill_items) == 1
+    seq, n = out.prefill_items[0]
+    assert n == 6
+    assert not out.decode_seqs
+    complete_prefill(out)
+
+    out = sched.schedule()
+    assert not out.prefill_items
+    assert out.decode_seqs == [seq]
+
+
+def test_chunked_prefill_respects_budget():
+    sched, bm = make_scheduler(chunk=8)
+    req = make_request("r1", prompt_len=20)
+    sched.add_request(req)
+
+    out = sched.schedule()
+    assert out.prefill_items[0][1] == 8
+    complete_prefill(out)
+    out = sched.schedule()
+    assert out.prefill_items[0][1] == 8
+    complete_prefill(out)
+    out = sched.schedule()
+    assert out.prefill_items[0][1] == 4  # final chunk
+    complete_prefill(out)
+    assert req.sequences[0].num_generated_tokens == 1
+
+
+def test_prefill_budget_shared_across_requests():
+    sched, bm = make_scheduler(chunk=10)
+    sched.add_request(make_request("r1", prompt_len=6))
+    sched.add_request(make_request("r2", prompt_len=6))
+    out = sched.schedule()
+    # r1 fits fully (6), r2 gets the remaining 4 as its first chunk
+    assert [(s.request_id, n) for s, n in out.prefill_items] == [
+        ("r1", 6),
+        ("r2", 4),
+    ]
+
+
+def test_decode_and_prefill_same_step():
+    sched, bm = make_scheduler(chunk=8)
+    sched.add_request(make_request("r1", prompt_len=4))
+    out = sched.schedule()
+    complete_prefill(out)
+    sched.add_request(make_request("r2", prompt_len=4))
+    out = sched.schedule()
+    assert len(out.prefill_items) == 1
+    assert out.prefill_items[0][0].request_id == "r2"
+    assert len(out.decode_seqs) == 1
+    assert out.decode_seqs[0].request_id == "r1"
+
+
+def test_max_seqs_budget():
+    sched, bm = make_scheduler(max_seqs=2, chunk=100)
+    for i in range(4):
+        sched.add_request(make_request(f"r{i}", prompt_len=4))
+    out = sched.schedule()
+    assert len(out.prefill_items) == 2
+    assert len(sched.waiting) == 2
+
+
+def test_preemption_on_decode_oom():
+    # pool: 7 usable blocks; two seqs of 12 tokens prompt = 3 blocks each
+    sched, bm = make_scheduler(num_blocks=8, block_size=4, chunk=32)
+    r1 = make_request("r1", prompt_len=12, max_tokens=16)
+    r2 = make_request("r2", prompt_len=12, max_tokens=16)
+    sched.add_request(r1)
+    sched.add_request(r2)
+    out = sched.schedule()
+    assert len(out.prefill_items) == 2
+    complete_prefill(out)
+    # decode: each needs a 4th block (13th token); only 1 free -> preempt r2
+    out = sched.schedule()
+    assert [r.request_id for r in out.preempted_requests] == ["r2"]
+    assert [s.request_id for s in out.decode_seqs] == ["r1"]
+    assert r2.sequences[0].num_computed_tokens == 0  # KV dropped
+    assert sched.waiting[0] is r2
+    complete_decode(out)
+
+    # r1 finishes -> its blocks free -> r2 reprefills (now 13 tokens incl.
+    # its first generated token)
+    r1.sequences[0].finish(FinishReason.LENGTH)
+    sched.free_finished()
+    out = sched.schedule()
+    assert len(out.prefill_items) == 1
+    assert out.prefill_items[0][0].request_id == "r2"
+    assert out.prefill_items[0][1] == 13
+
+
+def test_finished_requests_release_blocks():
+    sched, bm = make_scheduler()
+    req = make_request("r1", prompt_len=6, max_tokens=2)
+    sched.add_request(req)
+    out = sched.schedule()
+    complete_prefill(out)
+    used = bm.num_used_blocks
+    assert used > 0
+    req.sequences[0].finish(FinishReason.LENGTH)
+    done = sched.free_finished()
+    assert done == [req]
+    assert bm.num_used_blocks == 0
+    assert not sched.has_unfinished()

@@ -1,0 +1,210 @@
+"""Typed configuration for the engine.
+
+The reference partitions 181 gflags into 17 config singletons
+(reference xllm/core/framework/config/*.h, initialized at xllm/xllm.cpp:74-92).
+Here the same knobs are typed dataclasses composed into one ``EngineConfig``;
+groups that are NPU-/brpc-specific (rank tables, shm channels, ACL graphs)
+have TPU-native replacements (mesh shape, jit bucket policy) instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+
+
+def _bucket_list(max_value: int, start: int = 8) -> list[int]:
+    """Power-of-two buckets up to max_value (inclusive).
+
+    Mirrors the reference's graph-capture token buckets
+    (reference xllm/core/runtime/acl_graph_executor_impl.h:172-175: sizes
+    1/2/4/8 then multiples of 8 up to the max) — on TPU the bucket set is the
+    set of compiled jit shapes, so we keep it logarithmic to bound compiles.
+    """
+    buckets = []
+    b = start
+    while b < max_value:
+        buckets.append(b)
+        b *= 2
+    buckets.append(max_value)
+    return buckets
+
+
+@dataclass
+class ModelConfig:
+    """Model identity + architecture args parsed from HF config.json.
+
+    Counterpart of the reference's ModelArgs / hf_model_loader
+    (reference xllm/core/framework/hf_model_loader.h:32-59).
+    """
+
+    model_path: str = ""
+    model_type: str = "qwen3"
+    dtype: str = "bfloat16"
+
+    # Architecture (filled from config.json by models.model_args.load_model_args)
+    vocab_size: int = 32000
+    hidden_size: int = 2048
+    intermediate_size: int = 5504
+    num_hidden_layers: int = 24
+    num_attention_heads: int = 16
+    num_key_value_heads: int = 16
+    head_dim: int = 0  # 0 -> hidden_size // num_attention_heads
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    rope_scaling: dict | None = None
+    max_position_embeddings: int = 32768
+    tie_word_embeddings: bool = False
+    attention_bias: bool = False  # qwen2 uses qkv bias; qwen3/llama do not
+    qk_norm: bool = False  # qwen3 per-head q/k RMSNorm
+    sliding_window: int | None = None
+    # MoE (qwen3-moe / deepseek style); 0 experts = dense
+    num_experts: int = 0
+    num_experts_per_tok: int = 0
+    moe_intermediate_size: int = 0
+    norm_topk_prob: bool = False
+    decoder_sparse_step: int = 1
+    mlp_only_layers: list[int] = field(default_factory=list)
+    # MLA (deepseek)
+    q_lora_rank: int = 0
+    kv_lora_rank: int = 0
+    qk_nope_head_dim: int = 0
+    qk_rope_head_dim: int = 0
+    v_head_dim: int = 0
+    eos_token_ids: list[int] = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        if self.head_dim == 0:
+            self.head_dim = self.hidden_size // self.num_attention_heads
+
+    @property
+    def num_kv_heads(self) -> int:
+        return self.num_key_value_heads
+
+
+@dataclass
+class CacheConfig:
+    """Paged KV cache sizing.
+
+    Counterpart of the reference's KVCacheConfig + BlockManagerPool options
+    (reference xllm/core/framework/block/block_manager_pool.h:27,
+    kv_cache_estimation.*). TPU: the paged pool is a pre-allocated HBM array
+    per layer; there is no VMM/xtensor trick (block tables already give
+    non-contiguity, SURVEY.md §7.1).
+    """
+
+    block_size: int = 64  # tokens per block; multiple of dtype sublane tile
+    num_blocks: int = 0  # 0 -> derived from memory_utilization at init
+    memory_utilization: float = 0.9
+    kv_cache_dtype: str = "auto"  # auto|bfloat16|fp8_e4m3|int8
+    enable_prefix_cache: bool = True
+    # host (CPU DRAM) tier, reference HierarchyBlockManagerPool
+    # (xllm/core/framework/block/hierarchy_block_manager_pool.h:40)
+    num_host_blocks: int = 0
+
+
+@dataclass
+class SchedulerConfig:
+    """Continuous batching budget knobs.
+
+    Counterpart of reference --max_tokens_per_batch/--max_seqs_per_batch and
+    chunked prefill (reference xllm/core/scheduler/continuous_scheduler.*,
+    chunked_prefill_scheduler.h:34).
+    """
+
+    max_seqs_per_batch: int = 256
+    max_tokens_per_batch: int = 8192
+    max_tokens_per_chunk_for_prefill: int = 2048
+    enable_chunked_prefill: bool = True
+    enable_schedule_overlap: bool = False
+    max_model_len: int = 0  # 0 -> model max_position_embeddings
+    # decode-batch and prefill-length jit buckets (graph-mode equivalent)
+    decode_batch_buckets: list[int] = field(default_factory=list)
+    prefill_token_buckets: list[int] = field(default_factory=list)
+
+    def resolve_buckets(self) -> None:
+        if not self.decode_batch_buckets:
+            self.decode_batch_buckets = _bucket_list(self.max_seqs_per_batch)
+        if not self.prefill_token_buckets:
+            self.prefill_token_buckets = _bucket_list(
+                max(self.max_tokens_per_chunk_for_prefill, 128), start=128
+            )
+
+
+@dataclass
+class ParallelConfig:
+    """Mesh shape for TP/DP/EP/CP.
+
+    The reference factorizes world = dp x cp x tp with separate moe_ep/moe_tp
+    groups (reference xllm/core/framework/parallel_state/parallel_args.h:31-226,
+    collective_communicator.h:22-50). TPU-native: one jax.sharding.Mesh with
+    named axes; collectives are inserted by GSPMD.
+    """
+
+    dp_size: int = 1
+    tp_size: int = 1
+    ep_size: int = 1
+    cp_size: int = 1
+
+    @property
+    def world_size(self) -> int:
+        return self.dp_size * self.cp_size * self.tp_size
+
+    def mesh_shape(self) -> tuple[int, ...]:
+        return (self.dp_size, self.cp_size, self.tp_size)
+
+
+@dataclass
+class QuantConfig:
+    """Weight/KV quantization.
+
+    Counterpart of reference quant_args from config.json + w8a8 kernels
+    (reference xllm/core/framework/hf_model_loader.h:44, kernels cutlass w8a8).
+    """
+
+    method: str = ""  # ""|int8|fp8_e4m3  (weight-only for now)
+    # per-channel scales are always used; group-wise later
+    quantize_kv: bool = False
+
+
+@dataclass
+class SpeculativeConfig:
+    """Speculative decoding (MTP/Eagle3/Suffix).
+
+    Counterpart of reference SpeculativeEngine selection
+    (reference xllm/core/distributed_runtime/speculative_engine.h:30,
+    llm_master.cpp:47-51).
+    """
+
+    method: str = ""  # ""|mtp|eagle3|suffix|ngram
+    draft_model_path: str = ""
+    num_speculative_tokens: int = 0
+
+
+@dataclass
+class EngineConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    cache: CacheConfig = field(default_factory=CacheConfig)
+    scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    quant: QuantConfig = field(default_factory=QuantConfig)
+    speculative: SpeculativeConfig = field(default_factory=SpeculativeConfig)
+    seed: int = 0
+    enforce_eager: bool = False  # skip bucketing/jit caching (debug)
+
+    def __post_init__(self) -> None:
+        if self.scheduler.max_model_len == 0:
+            self.scheduler.max_model_len = self.model.max_position_embeddings
+        self.scheduler.resolve_buckets()
+
+    def to_json(self) -> str:
+        """Startup config dump, reference xllm/xllm.cpp:412."""
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+
+def load_hf_config(model_path: str) -> dict:
+    cfg_path = os.path.join(model_path, "config.json")
+    with open(cfg_path) as f:
+        return json.load(f)

@@ -1,0 +1,211 @@
+"""LLMEngine: scheduler + block manager + model runner glue.
+
+Counterpart of the reference's LLMEngine + master step loop
+(reference xllm/core/distributed_runtime/llm_engine.cpp:913-977 `step`,
+llm_master.cpp:254-269 loop). The TPU collapse (SURVEY.md §7.1): no worker
+RPC fan-out — one process drives jit calls on the mesh; "engine step" =
+schedule -> prefill calls + decode call -> postprocess.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from xllm_tpu.config import EngineConfig
+from xllm_tpu.framework.block_manager import BlockManager
+from xllm_tpu.framework.request import (
+    FinishReason,
+    Request,
+    RequestOutput,
+    Sequence,
+    SequenceOutput,
+)
+from xllm_tpu.framework.sampling_params import SamplingParams
+from xllm_tpu.framework.tokenizer import IncrementalDecoder, Tokenizer
+from xllm_tpu.runtime.model_runner import ModelRunner
+from xllm_tpu.scheduler.continuous import ContinuousScheduler
+from xllm_tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+
+class LLMEngine:
+    def __init__(
+        self,
+        config: EngineConfig,
+        tokenizer: Tokenizer | None = None,
+        runner: ModelRunner | None = None,
+    ) -> None:
+        self.config = config
+        self.tokenizer = tokenizer
+        if tokenizer is None and config.model.model_path:
+            try:
+                self.tokenizer = Tokenizer.from_path(config.model.model_path)
+            except Exception as e:  # tokenizer-less (token id I/O only) is fine
+                logger.warning("no tokenizer loaded: %s", e)
+
+        self.runner = runner or ModelRunner(config)
+        if self.runner.params is None:
+            self.runner.load_model()
+        if self.runner.k_cache is None:
+            self.runner.initialize_kv_cache()
+        self.block_manager = BlockManager(
+            num_blocks=self.runner.num_blocks,
+            block_size=config.cache.block_size,
+            enable_prefix_cache=config.cache.enable_prefix_cache,
+        )
+        self.scheduler = ContinuousScheduler(config.scheduler, self.block_manager)
+        self._decoders: dict[int, IncrementalDecoder] = {}
+        self._active_requests: dict[str, Request] = {}
+
+    # ------------------------------------------------------------------
+    # request intake (reference llm_master.cpp:177 handle_request)
+    # ------------------------------------------------------------------
+    def add_request(
+        self,
+        prompt: str | None = None,
+        prompt_token_ids: list[int] | None = None,
+        sampling_params: SamplingParams | None = None,
+        request_id: str | None = None,
+    ) -> Request:
+        if prompt_token_ids is None:
+            if prompt is None or self.tokenizer is None:
+                raise ValueError("need prompt_token_ids or (prompt + tokenizer)")
+            prompt_token_ids = self.tokenizer.encode(prompt)
+        if not prompt_token_ids:
+            raise ValueError("prompt must contain at least one token")
+        max_len = self.config.scheduler.max_model_len
+        if len(prompt_token_ids) + 1 > max_len:
+            # reference rejects over-context prompts at intake
+            # (xllm/core/scheduler/continuous_scheduler.cpp:390 length check)
+            raise ValueError(
+                f"prompt length {len(prompt_token_ids)} exceeds max_model_len "
+                f"{max_len} (need room for at least one generated token)"
+            )
+        sampling_params = sampling_params or SamplingParams()
+        request_id = request_id or f"req-{uuid.uuid4().hex[:16]}"
+        req = Request(
+            request_id=request_id,
+            prompt_token_ids=prompt_token_ids,
+            sampling_params=sampling_params,
+            eos_token_ids=tuple(self.config.model.eos_token_ids),
+            max_model_len=self.config.scheduler.max_model_len,
+            prompt=prompt or "",
+        )
+        self.scheduler.add_request(req)
+        self._active_requests[request_id] = req
+        if self.tokenizer is not None:
+            for seq in req.sequences:
+                self._decoders[seq.seq_id] = IncrementalDecoder(
+                    self.tokenizer, seq.num_prompt_tokens
+                )
+        return req
+
+    def abort_request(self, request_id: str) -> None:
+        req = self._active_requests.pop(request_id, None)
+        if req is not None:
+            self.scheduler.abort_request(req)
+
+    def has_unfinished(self) -> bool:
+        return self.scheduler.has_unfinished()
+
+    # ------------------------------------------------------------------
+    # the engine step (reference continuous_scheduler.cpp:1242 + llm_engine.cpp:913)
+    # ------------------------------------------------------------------
+    def step(self) -> list[RequestOutput]:
+        out = self.scheduler.schedule()
+        if out.is_empty:
+            return []
+        touched: list[Sequence] = []
+
+        for seq, n in out.prefill_items:
+            token, logprob, samples_token = self.runner.run_prefill(seq, n)
+            seq.num_computed_tokens += n
+            if samples_token:
+                self._on_new_token(seq, token, logprob)
+            self.block_manager.cache_computed_blocks(seq)
+            touched.append(seq)
+
+        if out.decode_seqs:
+            tokens, logprobs = self.runner.run_decode(out.decode_seqs)
+            for seq, tok, lp in zip(out.decode_seqs, tokens, logprobs):
+                seq.num_computed_tokens += 1
+                self._on_new_token(seq, int(tok), float(lp))
+                self.block_manager.cache_computed_blocks(seq)
+                touched.append(seq)
+
+        self.scheduler.free_finished()
+        return self._build_outputs(touched)
+
+    def _on_new_token(self, seq: Sequence, token: int, logprob: float) -> None:
+        seq.append_token(token, logprob)
+        seq.maybe_finish(token, self.config.scheduler.max_model_len)
+        # detokenize + stop-string scan (reference async_response_processor)
+        dec = self._decoders.get(seq.seq_id)
+        if dec is not None:
+            delta = dec.decode_new(seq.token_ids)
+            if delta:
+                seq.output_text += delta
+                if seq.stopping.stop_strings:
+                    cut = seq.stopping.check_stop_strings(seq.output_text)
+                    if cut >= 0:
+                        seq.output_text = seq.output_text[:cut]
+                        seq.finish(FinishReason.STOP)
+
+    def _build_outputs(self, touched: list[Sequence]) -> list[RequestOutput]:
+        by_req: dict[str, list[Sequence]] = {}
+        for seq in touched:
+            by_req.setdefault(seq.request_id, []).append(seq)
+        outputs = []
+        for rid in by_req:
+            req = self._active_requests.get(rid)
+            if req is None:
+                continue
+            ro = RequestOutput(
+                request_id=rid,
+                prompt=req.prompt,
+                finished=req.is_finished,
+                outputs=[
+                    SequenceOutput(
+                        index=i,
+                        text=seq.output_text,
+                        token_ids=seq.token_ids[seq.num_prompt_tokens :],
+                        finish_reason=(
+                            seq.finish_reason.value if seq.finish_reason else None
+                        ),
+                        logprobs=(
+                            seq.output_logprobs
+                            if seq.sampling_params.logprobs is not None
+                            else None
+                        ),
+                    )
+                    for i, seq in enumerate(req.sequences)
+                ],
+            )
+            if req.is_finished:
+                ro.usage = {
+                    "prompt_tokens": req.sequences[0].num_prompt_tokens,
+                    "completion_tokens": sum(
+                        s.num_generated_tokens for s in req.sequences
+                    ),
+                }
+                self._active_requests.pop(rid, None)
+                for seq in req.sequences:
+                    self._decoders.pop(seq.seq_id, None)
+            outputs.append(ro)
+        return outputs
+
+    # ------------------------------------------------------------------
+    # offline blocking generation (reference llm_master.cpp:271 generate)
+    # ------------------------------------------------------------------
+    def generate_all(self, timeout_s: float = 3600.0) -> list[RequestOutput]:
+        deadline = time.time() + timeout_s
+        finals: dict[str, RequestOutput] = {}
+        while self.has_unfinished():
+            if time.time() > deadline:
+                raise TimeoutError("generate_all timed out")
+            for ro in self.step():
+                if ro.finished:
+                    finals[ro.request_id] = ro
+        return list(finals.values())

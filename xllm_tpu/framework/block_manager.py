@@ -1,0 +1,188 @@
+"""Paged KV-cache block manager with prefix caching.
+
+Counterpart of the reference's BlockManagerPool/BlockManagerImpl + PrefixCache
+(reference xllm/core/framework/block/block_manager_pool.h:27,
+xllm/core/framework/block/block_manager_impl.*,
+xllm/core/framework/prefix_cache/prefix_cache.h:44,68-91,
+block hashing in prefix_cache/block_hasher.cpp). Design differences for TPU:
+
+- Physical blocks are rows of one pre-allocated HBM array per layer; block 0
+  is reserved as the *null block* that padded slot-mapping entries write into
+  (the reference instead relies on VMM trash pages / masked scatter).
+- Prefix cache and allocator are fused: a freed block keeps its content hash
+  and sits in an LRU "free but cached" queue; allocation evicts from the LRU
+  tail exactly like the reference's PrefixCache LRU eviction.
+- Hashing is a chained xxhash64 over (parent_hash, block token ids), the same
+  chain structure as the reference's murmur3 block chains.
+
+Pure host logic — unit-tested without any device (SURVEY.md §4 fake-engine
+pattern).
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+
+import xxhash
+
+from xllm_tpu.framework.request import Sequence
+from xllm_tpu.utils import cdiv
+
+
+def hash_block(parent_hash: int, token_ids: list[int], extra: bytes = b"") -> int:
+    h = xxhash.xxh64(seed=17)
+    h.update(parent_hash.to_bytes(8, "little", signed=False))
+    h.update(b"".join(t.to_bytes(4, "little", signed=True) for t in token_ids))
+    if extra:
+        h.update(extra)
+    return h.intdigest()
+
+
+class BlockManager:
+    """Allocator + prefix cache for one paged-KV pool (one DP rank)."""
+
+    NULL_BLOCK = 0
+
+    def __init__(
+        self,
+        num_blocks: int,
+        block_size: int,
+        enable_prefix_cache: bool = True,
+    ) -> None:
+        if num_blocks < 2:
+            raise ValueError("need at least 2 blocks (block 0 is reserved)")
+        self.num_blocks = num_blocks
+        self.block_size = block_size
+        self.enable_prefix_cache = enable_prefix_cache
+
+        self.ref_counts = [0] * num_blocks
+        self.ref_counts[self.NULL_BLOCK] = 1  # never allocated
+        # block_id -> content hash for blocks holding cached full content
+        self.block_hash: dict[int, int] = {}
+        # content hash -> block_id
+        self.cached_blocks: dict[int, int] = {}
+        # LRU of ref==0 blocks (front = oldest = next eviction victim)
+        self.free_lru: OrderedDict[int, None] = OrderedDict(
+            (i, None) for i in range(1, num_blocks)
+        )
+        # per-sequence block hashes already inserted (seq_id -> count)
+        self._seq_num_hashed: dict[int, int] = {}
+
+    # ---- capacity ----
+    @property
+    def num_free_blocks(self) -> int:
+        return len(self.free_lru)
+
+    @property
+    def num_used_blocks(self) -> int:
+        return self.num_blocks - 1 - len(self.free_lru)
+
+    def has_capacity(self, n: int) -> bool:
+        return len(self.free_lru) >= n
+
+    # ---- low-level alloc/free ----
+    def _pop_free_block(self) -> int:
+        block_id, _ = self.free_lru.popitem(last=False)
+        # evict any cached content living in this block
+        h = self.block_hash.pop(block_id, None)
+        if h is not None and self.cached_blocks.get(h) == block_id:
+            del self.cached_blocks[h]
+        self.ref_counts[block_id] = 1
+        return block_id
+
+    def _ref_block(self, block_id: int) -> None:
+        if self.ref_counts[block_id] == 0:
+            self.free_lru.pop(block_id, None)
+        self.ref_counts[block_id] += 1
+
+    def _unref_block(self, block_id: int) -> None:
+        assert self.ref_counts[block_id] > 0, f"double free of block {block_id}"
+        self.ref_counts[block_id] -= 1
+        if self.ref_counts[block_id] == 0:
+            # most-recently-used end; keeps hash for future prefix hits
+            self.free_lru[block_id] = None
+
+    # ---- sequence-level API ----
+    def match_prefix(self, seq: Sequence) -> int:
+        """Prefix-cache lookup for a new/resumed sequence.
+
+        Returns the number of prompt tokens whose KV can be reused. Only
+        whole blocks match, and at least one token is always left to compute
+        so the forward pass produces logits (same cap as the reference's
+        prefill path, continuous_scheduler.cpp:390 prefix-match step).
+        """
+        if not self.enable_prefix_cache or seq.block_ids:
+            return 0
+        bs = self.block_size
+        max_match = (seq.num_tokens - 1) // bs  # full blocks, leave >=1 token
+        parent = 0
+        matched: list[int] = []
+        for i in range(max_match):
+            h = hash_block(parent, seq.token_ids[i * bs : (i + 1) * bs])
+            block_id = self.cached_blocks.get(h)
+            if block_id is None:
+                break
+            matched.append(block_id)
+            parent = h
+        for b in matched:
+            self._ref_block(b)
+        seq.block_ids = matched
+        seq.num_cached_tokens = len(matched) * bs
+        seq.num_computed_tokens = seq.num_cached_tokens
+        return seq.num_cached_tokens
+
+    def blocks_needed(self, seq: Sequence, num_new_tokens: int) -> int:
+        """Blocks to allocate so the seq can hold current + new tokens."""
+        total = seq.num_computed_tokens + num_new_tokens
+        return max(0, cdiv(total, self.block_size) - len(seq.block_ids))
+
+    def allocate(self, seq: Sequence, num_new_tokens: int) -> bool:
+        """Ensure capacity for ``num_new_tokens`` beyond computed tokens."""
+        need = self.blocks_needed(seq, num_new_tokens)
+        if need > len(self.free_lru):
+            return False
+        for _ in range(need):
+            seq.block_ids.append(self._pop_free_block())
+        return True
+
+    def free(self, seq: Sequence) -> None:
+        """Release all blocks of a finished/preempted sequence."""
+        for b in reversed(seq.block_ids):
+            self._unref_block(b)
+        seq.reset_kv()
+        self._seq_num_hashed.pop(seq.seq_id, None)
+
+    def cache_computed_blocks(self, seq: Sequence) -> None:
+        """Insert full computed blocks into the prefix cache.
+
+        Called after a forward step advances ``num_computed_tokens``
+        (reference PrefixCache::insert, prefix_cache.h:75).
+        """
+        if not self.enable_prefix_cache:
+            return
+        bs = self.block_size
+        num_full = seq.num_computed_tokens // bs
+        start = self._seq_num_hashed.get(seq.seq_id, 0)
+        if start >= num_full:
+            return
+        # recompute parent hash chain from stored per-block hashes
+        parent = 0
+        if start > 0:
+            parent = self.block_hash.get(seq.block_ids[start - 1], 0)
+            if parent == 0:
+                start = 0
+                parent = 0
+        for i in range(start, num_full):
+            h = hash_block(parent, seq.token_ids[i * bs : (i + 1) * bs])
+            block_id = seq.block_ids[i]
+            existing = self.cached_blocks.get(h)
+            if existing is None:
+                self.cached_blocks[h] = block_id
+                self.block_hash[block_id] = h
+            self._seq_num_hashed[seq.seq_id] = i + 1
+            parent = h
+
+    def slot_for_token(self, seq: Sequence, token_idx: int) -> int:
+        """Flat slot index (block_id * block_size + offset) for a position."""
+        bs = self.block_size
+        return seq.block_ids[token_idx // bs] * bs + token_idx % bs

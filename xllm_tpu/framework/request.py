@@ -1,0 +1,244 @@
+"""Request / Sequence state machine.
+
+Counterpart of the reference request model (reference
+xllm/core/framework/request/request.h:38, sequence.h:107,
+sequences_group.h:35, stopping_checker.h:27): a Request owns n Sequences
+(a SequencesGroup); each Sequence tracks prompt+generated tokens, per-token
+KV-compute progress (for chunked prefill), its paged-KV block ids, and
+finish state. Host-only logic, fully unit-testable without a device.
+"""
+
+from __future__ import annotations
+
+import enum
+import time
+from dataclasses import dataclass, field
+
+from xllm_tpu.framework.sampling_params import SamplingParams
+
+
+class FinishReason(str, enum.Enum):
+    STOP = "stop"  # eos or stop string / stop token id
+    LENGTH = "length"  # max_tokens or max_model_len reached
+    ABORT = "abort"
+
+
+class SequenceStatus(enum.Enum):
+    WAITING = 0
+    RUNNING = 1
+    PREEMPTED = 2
+    FINISHED = 3
+
+
+@dataclass
+class StoppingChecker:
+    """Decides when a sequence is done.
+
+    Counterpart of reference StoppingChecker
+    (xllm/core/framework/request/stopping_checker.h:27).
+    """
+
+    max_new_tokens: int
+    max_model_len: int
+    eos_token_ids: tuple[int, ...] = ()
+    stop_token_ids: tuple[int, ...] = ()
+    stop_strings: tuple[str, ...] = ()
+    ignore_eos: bool = False
+    min_new_tokens: int = 0
+
+    def check(
+        self, last_token_id: int, num_prompt: int, num_total: int
+    ) -> FinishReason | None:
+        num_new = num_total - num_prompt
+        if num_new < self.min_new_tokens:
+            if num_total >= self.max_model_len:
+                return FinishReason.LENGTH
+            return None
+        if not self.ignore_eos and last_token_id in self.eos_token_ids:
+            return FinishReason.STOP
+        if last_token_id in self.stop_token_ids:
+            return FinishReason.STOP
+        if num_new >= self.max_new_tokens or num_total >= self.max_model_len:
+            return FinishReason.LENGTH
+        return None
+
+    def check_stop_strings(self, text: str) -> int:
+        """Return truncation offset if a stop string occurs in text, else -1."""
+        best = -1
+        for s in self.stop_strings:
+            idx = text.find(s)
+            if idx != -1 and (best == -1 or idx < best):
+                best = idx
+        return best
+
+
+class Sequence:
+    """One decoding stream: prompt tokens + generated tokens + paged-KV state.
+
+    KV bookkeeping mirrors reference Sequence/SequenceKVState
+    (xllm/core/framework/request/sequence.h:107, sequence_kv_state.h):
+    ``num_computed_tokens`` counts tokens whose KV is in cache (advanced per
+    chunk for chunked prefill), ``block_ids`` is the block table.
+    """
+
+    _next_id = 0
+
+    def __init__(
+        self,
+        prompt_token_ids: list[int],
+        sampling_params: SamplingParams,
+        stopping: StoppingChecker,
+        request_id: str = "",
+    ) -> None:
+        self.seq_id = Sequence._next_id
+        Sequence._next_id += 1
+        self.request_id = request_id
+        self.prompt_token_ids = list(prompt_token_ids)
+        self.token_ids: list[int] = list(prompt_token_ids)
+        self.sampling_params = sampling_params
+        self.stopping = stopping
+        self.status = SequenceStatus.WAITING
+        self.finish_reason: FinishReason | None = None
+
+        # paged KV state
+        self.block_ids: list[int] = []
+        self.num_computed_tokens = 0  # tokens with KV in device cache
+        self.num_cached_tokens = 0  # prefix-cache hit length (<= computed)
+
+        # incremental detokenization state (reference incremental_decoder.h:28)
+        self.output_text = ""
+        self.num_detokenized_tokens = len(prompt_token_ids)
+
+        # logprobs accumulation
+        self.output_logprobs: list[float] = []
+        self.output_top_logprobs: list[dict[int, float]] = []
+
+    # ---- token state ----
+    @property
+    def num_prompt_tokens(self) -> int:
+        return len(self.prompt_token_ids)
+
+    @property
+    def num_tokens(self) -> int:
+        return len(self.token_ids)
+
+    @property
+    def num_generated_tokens(self) -> int:
+        return len(self.token_ids) - len(self.prompt_token_ids)
+
+    @property
+    def is_finished(self) -> bool:
+        return self.status == SequenceStatus.FINISHED
+
+    @property
+    def in_prefill(self) -> bool:
+        """True while some known tokens still need their KV computed."""
+        return self.num_computed_tokens < self.num_tokens - 1 or (
+            self.num_generated_tokens == 0
+        )
+
+    def append_token(self, token_id: int, logprob: float | None = None) -> None:
+        self.token_ids.append(token_id)
+        if logprob is not None:
+            self.output_logprobs.append(logprob)
+
+    def maybe_finish(self, last_token_id: int, max_model_len: int) -> bool:
+        reason = self.stopping.check(
+            last_token_id, self.num_prompt_tokens, self.num_tokens
+        )
+        if reason is not None:
+            self.finish(reason)
+            return True
+        return False
+
+    def finish(self, reason: FinishReason) -> None:
+        self.status = SequenceStatus.FINISHED
+        self.finish_reason = reason
+
+    # ---- preemption (reference continuous_scheduler.cpp:612 evict path) ----
+    def reset_kv(self) -> None:
+        """Drop all device KV state; the sequence recomputes from scratch."""
+        self.block_ids = []
+        self.num_computed_tokens = 0
+        self.num_cached_tokens = 0
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return (
+            f"Sequence(id={self.seq_id}, tokens={self.num_tokens}, "
+            f"computed={self.num_computed_tokens}, status={self.status.name})"
+        )
+
+
+class Request:
+    """One API request, owning ``n`` sequences (the SequencesGroup).
+
+    Counterpart of reference Request (xllm/core/framework/request/request.h:38)
+    + SequencesGroup (sequences_group.h:35).
+    """
+
+    def __init__(
+        self,
+        request_id: str,
+        prompt_token_ids: list[int],
+        sampling_params: SamplingParams,
+        eos_token_ids: tuple[int, ...] = (),
+        max_model_len: int = 1 << 30,
+        arrival_time: float | None = None,
+        prompt: str = "",
+        priority: int = 0,
+        offline: bool = False,
+    ) -> None:
+        self.request_id = request_id
+        self.prompt = prompt
+        self.prompt_token_ids = list(prompt_token_ids)
+        self.sampling_params = sampling_params
+        self.arrival_time = arrival_time if arrival_time is not None else time.time()
+        self.priority = priority
+        self.offline = offline
+        self.aborted = False
+        stopping = StoppingChecker(
+            max_new_tokens=sampling_params.max_tokens,
+            max_model_len=max_model_len,
+            eos_token_ids=tuple(eos_token_ids),
+            stop_token_ids=tuple(sampling_params.stop_token_ids),
+            stop_strings=tuple(sampling_params.stop),
+            ignore_eos=sampling_params.ignore_eos,
+            min_new_tokens=sampling_params.min_tokens,
+        )
+        self.sequences = [
+            Sequence(prompt_token_ids, sampling_params, stopping, request_id)
+            for _ in range(sampling_params.best_of)
+        ]
+        # first-token / per-token latency metrics
+        self.first_scheduled_time: float | None = None
+        self.first_token_time: float | None = None
+
+    @property
+    def is_finished(self) -> bool:
+        return self.aborted or all(s.is_finished for s in self.sequences)
+
+    def abort(self) -> None:
+        self.aborted = True
+        for seq in self.sequences:
+            if not seq.is_finished:
+                seq.finish(FinishReason.ABORT)
+
+
+@dataclass
+class RequestOutput:
+    """Streamed/final output for one request (reference request_output.h)."""
+
+    request_id: str
+    prompt: str
+    outputs: list[SequenceOutput] = field(default_factory=list)
+    finished: bool = False
+    usage: dict | None = None
+
+
+@dataclass
+class SequenceOutput:
+    index: int
+    text: str
+    token_ids: list[int]
+    finish_reason: str | None = None
+    logprobs: list[float] | None = None

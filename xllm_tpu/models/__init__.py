@@ -1,0 +1,3 @@
+from xllm_tpu.models.registry import ModelRegistry, get_model_class
+
+__all__ = ["ModelRegistry", "get_model_class"]

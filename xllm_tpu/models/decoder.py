@@ -1,0 +1,274 @@
+"""Dense decoder-only transformer (llama / qwen2 / qwen3 families).
+
+Counterpart of the reference's LlmModelImplBase CRTP family
+(reference xllm/models/llm/llm_model_base.h:37,60,169,191 and the per-family
+decoder layers under xllm/core/layers/common/). TPU-native design decisions:
+
+- Parameters are a plain pytree of arrays with the per-layer tensors stacked
+  along a leading layer axis; the layer loop is one ``lax.scan``, so compile
+  time and HLO size are O(1) in depth (the reference instead builds per-layer
+  ATB graphs, xllm/core/layers/npu/npu_base_layer.h).
+- The paged KV cache is threaded through the scan carry and updated with
+  token-sparse scatters — donated at the jit boundary, so updates are
+  in-place in HBM.
+- Tensor parallelism is expressed as GSPMD shardings on the weight pytree
+  (megatron-style column/row splits, reference
+  xllm/core/layers/npu/npu_column_parallel_linear_impl.*) — collectives are
+  inserted by XLA, not hand-written.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from xllm_tpu.config import ModelConfig
+from xllm_tpu.ops.attention import paged_attention_decode, paged_attention_prefill
+from xllm_tpu.ops.kv_cache_ops import write_kv
+from xllm_tpu.ops.norms import rms_norm
+from xllm_tpu.ops.rope import apply_rope, rope_inv_freq
+from xllm_tpu.runtime.forward_params import DecodeInput, PrefillInput
+
+# mesh axis names (SURVEY.md §2.6 TP/DP/EP/CP -> one named mesh)
+DATA_AXIS = "data"
+TP_AXIS = "tp"
+
+
+def _dtype_of(name: str):
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32, "float16": jnp.bfloat16}[
+        name
+    ]
+
+
+class DenseDecoderModel:
+    """Functional model: all state lives in explicit pytrees."""
+
+    def __init__(self, cfg: ModelConfig):
+        self.cfg = cfg
+        self.dtype = _dtype_of(cfg.dtype)
+        self.scale = cfg.head_dim**-0.5
+
+    # ------------------------------------------------------------------
+    # parameter tree
+    # ------------------------------------------------------------------
+    def init_params(self, rng: jax.Array) -> dict:
+        """Random init (tests / synthetic benchmarks)."""
+        c = self.cfg
+        hq, hkv, dh = c.num_attention_heads, c.num_kv_heads, c.head_dim
+        L, D, I, V = c.num_hidden_layers, c.hidden_size, c.intermediate_size, c.vocab_size
+
+        def w(key, *shape, scale=0.02):
+            return (jax.random.normal(key, shape, jnp.float32) * scale).astype(
+                self.dtype
+            )
+
+        keys = iter(jax.random.split(rng, 16))
+        layers = {
+            "input_layernorm": jnp.ones((L, D), self.dtype),
+            "post_attention_layernorm": jnp.ones((L, D), self.dtype),
+            "q_proj_w": w(next(keys), L, D, hq * dh),
+            "k_proj_w": w(next(keys), L, D, hkv * dh),
+            "v_proj_w": w(next(keys), L, D, hkv * dh),
+            "o_proj_w": w(next(keys), L, hq * dh, D),
+            "gate_proj_w": w(next(keys), L, D, I),
+            "up_proj_w": w(next(keys), L, D, I),
+            "down_proj_w": w(next(keys), L, I, D),
+        }
+        if c.attention_bias:
+            layers["q_proj_b"] = jnp.zeros((L, hq * dh), self.dtype)
+            layers["k_proj_b"] = jnp.zeros((L, hkv * dh), self.dtype)
+            layers["v_proj_b"] = jnp.zeros((L, hkv * dh), self.dtype)
+        if c.qk_norm:
+            layers["q_norm"] = jnp.ones((L, dh), self.dtype)
+            layers["k_norm"] = jnp.ones((L, dh), self.dtype)
+        params = {
+            "embed_tokens": w(next(keys), V, D),
+            "layers": layers,
+            "norm": jnp.ones((D,), self.dtype),
+        }
+        if not c.tie_word_embeddings:
+            params["lm_head"] = w(next(keys), D, V)
+        return params
+
+    def param_shardings(self) -> dict:
+        """PartitionSpec tree matching init_params (megatron TP layout)."""
+        c = self.cfg
+        layers = {
+            "input_layernorm": P(),
+            "post_attention_layernorm": P(),
+            "q_proj_w": P(None, None, TP_AXIS),
+            "k_proj_w": P(None, None, TP_AXIS),
+            "v_proj_w": P(None, None, TP_AXIS),
+            "o_proj_w": P(None, TP_AXIS, None),
+            "gate_proj_w": P(None, None, TP_AXIS),
+            "up_proj_w": P(None, None, TP_AXIS),
+            "down_proj_w": P(None, TP_AXIS, None),
+        }
+        if c.attention_bias:
+            layers["q_proj_b"] = P(None, TP_AXIS)
+            layers["k_proj_b"] = P(None, TP_AXIS)
+            layers["v_proj_b"] = P(None, TP_AXIS)
+        if c.qk_norm:
+            layers["q_norm"] = P()
+            layers["k_norm"] = P()
+        out = {
+            "embed_tokens": P(TP_AXIS, None),
+            "layers": layers,
+            "norm": P(),
+        }
+        if not c.tie_word_embeddings:
+            out["lm_head"] = P(None, TP_AXIS)
+        return out
+
+    # ------------------------------------------------------------------
+    # KV cache
+    # ------------------------------------------------------------------
+    def kv_cache_shape(self, num_blocks: int, block_size: int) -> tuple[int, ...]:
+        c = self.cfg
+        return (c.num_hidden_layers, num_blocks, c.num_kv_heads, block_size, c.head_dim)
+
+    def kv_cache_sharding(self) -> P:
+        return P(None, None, TP_AXIS, None, None)
+
+    def new_kv_cache(
+        self, num_blocks: int, block_size: int, dtype=None
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        shape = self.kv_cache_shape(num_blocks, block_size)
+        dt = dtype or self.dtype
+        return jnp.zeros(shape, dt), jnp.zeros(shape, dt)
+
+    # ------------------------------------------------------------------
+    # forward
+    # ------------------------------------------------------------------
+    def _mlp(self, lp: dict, x: jnp.ndarray) -> jnp.ndarray:
+        gate = jnp.dot(x, lp["gate_proj_w"], preferred_element_type=jnp.float32)
+        up = jnp.dot(x, lp["up_proj_w"], preferred_element_type=jnp.float32)
+        act = jax.nn.silu(gate) * up
+        return jnp.dot(
+            act.astype(x.dtype), lp["down_proj_w"], preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+
+    def _attn_qkv(
+        self,
+        lp: dict,
+        x: jnp.ndarray,  # [T, D] normed
+        positions: jnp.ndarray,  # [T]
+        inv_freq: jnp.ndarray,
+    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        c = self.cfg
+        t = x.shape[0]
+        q = jnp.dot(x, lp["q_proj_w"], preferred_element_type=jnp.float32)
+        k = jnp.dot(x, lp["k_proj_w"], preferred_element_type=jnp.float32)
+        v = jnp.dot(x, lp["v_proj_w"], preferred_element_type=jnp.float32)
+        if c.attention_bias:
+            q = q + lp["q_proj_b"]
+            k = k + lp["k_proj_b"]
+            v = v + lp["v_proj_b"]
+        q = q.astype(x.dtype).reshape(t, c.num_attention_heads, c.head_dim)
+        k = k.astype(x.dtype).reshape(t, c.num_kv_heads, c.head_dim)
+        v = v.astype(x.dtype).reshape(t, c.num_kv_heads, c.head_dim)
+        if c.qk_norm:
+            q = rms_norm(q, lp["q_norm"], c.rms_norm_eps)
+            k = rms_norm(k, lp["k_norm"], c.rms_norm_eps)
+        q, k = apply_rope(q, k, positions, inv_freq)
+        return q, k, v
+
+    def _run_layers(
+        self,
+        params: dict,
+        k_all: jnp.ndarray,
+        v_all: jnp.ndarray,
+        x: jnp.ndarray,  # [T, D]
+        positions: jnp.ndarray,
+        slot_mapping: jnp.ndarray,
+        attn_fn,  # (q, k_all, v_all, layer_idx) -> [T, Hq, Dh]
+    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        c = self.cfg
+        t = x.shape[0]
+        inv_freq = rope_inv_freq(c.head_dim, c.rope_theta, c.rope_scaling)
+
+        def body(carry, xs):
+            x, k_all, v_all = carry
+            lp, layer_idx = xs
+            h = rms_norm(x, lp["input_layernorm"], c.rms_norm_eps)
+            q, k, v = self._attn_qkv(lp, h, positions, inv_freq)
+            k_all, v_all = write_kv(k_all, v_all, layer_idx, k, v, slot_mapping)
+            attn = attn_fn(q, k_all, v_all, layer_idx)  # [T, Hq, Dh]
+            attn = attn.reshape(t, c.num_attention_heads * c.head_dim)
+            x = x + jnp.dot(
+                attn, lp["o_proj_w"], preferred_element_type=jnp.float32
+            ).astype(x.dtype)
+            h = rms_norm(x, lp["post_attention_layernorm"], c.rms_norm_eps)
+            x = x + self._mlp(lp, h)
+            return (x, k_all, v_all), None
+
+        layer_ids = jnp.arange(c.num_hidden_layers, dtype=jnp.int32)
+        (x, k_all, v_all), _ = jax.lax.scan(
+            body, (x, k_all, v_all), (params["layers"], layer_ids)
+        )
+        x = rms_norm(x, params["norm"], c.rms_norm_eps)
+        return x, k_all, v_all
+
+    def prefill(
+        self,
+        params: dict,
+        k_all: jnp.ndarray,
+        v_all: jnp.ndarray,
+        inp: PrefillInput,
+    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """-> (hidden_last [1, D], k_all, v_all)."""
+
+        def attn_fn(q, k_all, v_all, layer_idx):
+            return paged_attention_prefill(
+                q,
+                k_all,
+                v_all,
+                layer_idx,
+                inp.block_table,
+                inp.q_offset,
+                inp.kv_len,
+                self.scale,
+            )
+
+        x = params["embed_tokens"][inp.token_ids]
+        x, k_all, v_all = self._run_layers(
+            params, k_all, v_all, x, inp.positions, inp.slot_mapping, attn_fn
+        )
+        hidden = jax.lax.dynamic_slice_in_dim(x, inp.logits_idx, 1, axis=0)
+        return hidden, k_all, v_all
+
+    def decode(
+        self,
+        params: dict,
+        k_all: jnp.ndarray,
+        v_all: jnp.ndarray,
+        inp: DecodeInput,
+    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """-> (hidden [B, D], k_all, v_all)."""
+
+        def attn_fn(q, k_all, v_all, layer_idx):
+            return paged_attention_decode(
+                q,
+                k_all,
+                v_all,
+                layer_idx,
+                inp.block_tables,
+                inp.seq_lens,
+                self.scale,
+            )
+
+        x = params["embed_tokens"][inp.token_ids]
+        x, k_all, v_all = self._run_layers(
+            params, k_all, v_all, x, inp.positions, inp.slot_mapping, attn_fn
+        )
+        return x, k_all, v_all
+
+    def compute_logits(self, params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
+        """[N, D] -> [N, V] fp32."""
+        head = (
+            params["embed_tokens"].T
+            if self.cfg.tie_word_embeddings
+            else params["lm_head"]
+        )
+        return jnp.dot(hidden, head, preferred_element_type=jnp.float32)

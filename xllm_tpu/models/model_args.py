@@ -1,0 +1,73 @@
+"""HF config.json -> ModelConfig.
+
+Counterpart of the reference's per-family model-args loaders
+(reference xllm/core/framework/hf_model_loader.h:32-59 and the
+REGISTER_MODEL_ARGS blocks in xllm/models/*, model_registry.h:150-247).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from xllm_tpu.config import ModelConfig
+
+# HF architectures string -> our model_type key
+_ARCH_MAP = {
+    "Qwen2ForCausalLM": "qwen2",
+    "Qwen3ForCausalLM": "qwen3",
+    "Qwen3MoeForCausalLM": "qwen3_moe",
+    "LlamaForCausalLM": "llama",
+    "MistralForCausalLM": "llama",
+}
+
+
+def model_config_from_hf_dict(cfg: dict, model_path: str = "") -> ModelConfig:
+    archs = cfg.get("architectures", [])
+    model_type = cfg.get("model_type", "")
+    for a in archs:
+        if a in _ARCH_MAP:
+            model_type = _ARCH_MAP[a]
+            break
+    eos = cfg.get("eos_token_id", [])
+    if isinstance(eos, int):
+        eos = [eos]
+
+    mc = ModelConfig(
+        model_path=model_path,
+        model_type=model_type,
+        dtype=str(cfg.get("torch_dtype", "bfloat16")),
+        vocab_size=cfg["vocab_size"],
+        hidden_size=cfg["hidden_size"],
+        intermediate_size=cfg.get("intermediate_size", 0),
+        num_hidden_layers=cfg["num_hidden_layers"],
+        num_attention_heads=cfg["num_attention_heads"],
+        num_key_value_heads=cfg.get(
+            "num_key_value_heads", cfg["num_attention_heads"]
+        ),
+        head_dim=cfg.get("head_dim", 0) or 0,
+        rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
+        rope_theta=cfg.get("rope_theta", 10000.0),
+        rope_scaling=cfg.get("rope_scaling"),
+        max_position_embeddings=cfg.get("max_position_embeddings", 32768),
+        tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+        attention_bias=model_type == "qwen2" or cfg.get("attention_bias", False),
+        qk_norm=model_type in ("qwen3", "qwen3_moe"),
+        sliding_window=cfg.get("sliding_window")
+        if cfg.get("use_sliding_window", False)
+        else None,
+        num_experts=cfg.get("num_experts", 0),
+        num_experts_per_tok=cfg.get("num_experts_per_tok", 0),
+        moe_intermediate_size=cfg.get("moe_intermediate_size", 0),
+        norm_topk_prob=cfg.get("norm_topk_prob", False),
+        decoder_sparse_step=cfg.get("decoder_sparse_step", 1),
+        mlp_only_layers=cfg.get("mlp_only_layers", []) or [],
+        eos_token_ids=eos,
+    )
+    return mc
+
+
+def load_model_config(model_path: str) -> ModelConfig:
+    with open(os.path.join(model_path, "config.json")) as f:
+        cfg = json.load(f)
+    return model_config_from_hf_dict(cfg, model_path)

@@ -1,0 +1,46 @@
+"""Model registry.
+
+Counterpart of the reference's ModelRegistry factory macros
+(reference xllm/models/model_registry.h:76,141,150-247). Model families map
+to a model class + the HF checkpoint name mapping used by the loader.
+"""
+
+from __future__ import annotations
+
+from xllm_tpu.config import ModelConfig
+
+
+class ModelRegistry:
+    _registry: dict[str, type] = {}
+
+    @classmethod
+    def register(cls, *names: str):
+        def deco(model_cls: type) -> type:
+            for n in names:
+                cls._registry[n] = model_cls
+            return model_cls
+
+        return deco
+
+    @classmethod
+    def get(cls, name: str) -> type:
+        if name not in cls._registry:
+            raise ValueError(
+                f"unknown model_type {name!r}; known: {sorted(cls._registry)}"
+            )
+        return cls._registry[name]
+
+
+def get_model_class(model_type: str) -> type:
+    # import triggers registration
+    import xllm_tpu.models.decoder  # noqa: F401
+    from xllm_tpu.models.decoder import DenseDecoderModel
+
+    ModelRegistry._registry.setdefault("llama", DenseDecoderModel)
+    ModelRegistry._registry.setdefault("qwen2", DenseDecoderModel)
+    ModelRegistry._registry.setdefault("qwen3", DenseDecoderModel)
+    return ModelRegistry.get(model_type)
+
+
+def create_model(cfg: ModelConfig):
+    return get_model_class(cfg.model_type)(cfg)

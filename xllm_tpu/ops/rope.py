@@ -1,0 +1,66 @@
+"""Rotary position embeddings.
+
+Counterpart of the reference rotary kernels
+(reference xllm/core/layers/common/rotary_embedding.* and
+xllm/core/kernels/ops_api.h rotary ops). Computed on the fly from positions;
+XLA fuses the sin/cos + mul into the surrounding projections so no
+precomputed cache or Pallas kernel is needed at these sizes.
+
+Implements the HF "rotate-half" convention used by llama/qwen families.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def rope_inv_freq(
+    head_dim: int, theta: float, rope_scaling: dict | None = None
+) -> jnp.ndarray:
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    if rope_scaling:
+        rtype = rope_scaling.get("rope_type", rope_scaling.get("type", ""))
+        if rtype == "linear":
+            inv_freq = inv_freq / rope_scaling["factor"]
+        elif rtype == "llama3":
+            # llama3.1-style NTK-by-parts (HF modeling_rope_utils)
+            factor = rope_scaling["factor"]
+            low_factor = rope_scaling["low_freq_factor"]
+            high_factor = rope_scaling["high_freq_factor"]
+            old_len = rope_scaling["original_max_position_embeddings"]
+            wavelen = 2 * jnp.pi / inv_freq
+            low_wavelen = old_len / low_factor
+            high_wavelen = old_len / high_factor
+            smooth = (old_len / wavelen - low_factor) / (high_factor - low_factor)
+            smooth = jnp.clip(smooth, 0.0, 1.0)
+            smoothed = (1 - smooth) * inv_freq / factor + smooth * inv_freq
+            out = jnp.where(wavelen > low_wavelen, inv_freq / factor, inv_freq)
+            is_medium = (wavelen <= low_wavelen) & (wavelen >= high_wavelen)
+            inv_freq = jnp.where(is_medium, smoothed, out)
+        # "default"/yarn etc. fall through (yarn added with deepseek support)
+    return inv_freq
+
+
+def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rope(
+    q: jnp.ndarray,  # [T, Hq, D]
+    k: jnp.ndarray,  # [T, Hkv, D]
+    positions: jnp.ndarray,  # [T] int32
+    inv_freq: jnp.ndarray,  # [D/2] f32
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    angles = positions[:, None].astype(jnp.float32) * inv_freq[None, :]  # [T, D/2]
+    cos = jnp.cos(angles)
+    sin = jnp.sin(angles)
+    cos2 = jnp.concatenate([cos, cos], axis=-1)[:, None, :]  # [T, 1, D]
+    sin2 = jnp.concatenate([sin, sin], axis=-1)[:, None, :]
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    q_out = qf * cos2 + _rotate_half(qf) * sin2
+    k_out = kf * cos2 + _rotate_half(kf) * sin2
+    return q_out.astype(q.dtype), k_out.astype(k.dtype)

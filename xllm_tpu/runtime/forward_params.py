@@ -1,0 +1,63 @@
+"""Device-side forward inputs.
+
+Counterpart of the reference's ForwardInput/RawForwardInput
+(reference xllm/core/framework/batch/batch_input_builder.h:53,
+xllm/core/framework/model/model_input_params.h). Two static shapes exist per
+engine step — one for the prefill call, one for the decode call — each padded
+to a jit bucket so the set of compiled programs stays bounded (the TPU
+equivalent of the reference's multi-graph capture cache,
+xllm/core/runtime/acl_graph_executor_impl.h:61-177).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class PrefillInput:
+    """One sequence's prompt chunk, padded to a token bucket.
+
+    All tokens belong to a single sequence (batched ragged prefill arrives
+    with the Pallas ragged kernel). ``kv_len`` counts all KV tokens of the
+    sequence *including* this chunk; ``positions[0] == kv_len - num_actual``.
+    """
+
+    token_ids: jnp.ndarray  # [S] int32
+    positions: jnp.ndarray  # [S] int32 (padding repeats last position)
+    slot_mapping: jnp.ndarray  # [S] int32 (padding -> 0 = null block)
+    block_table: jnp.ndarray  # [NB] int32
+    kv_len: jnp.ndarray  # [] int32
+    q_offset: jnp.ndarray  # [] int32: absolute position of token 0
+    logits_idx: jnp.ndarray  # [] int32: row of last real token
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class DecodeInput:
+    """One decode step for a padded batch of sequences (1 token each)."""
+
+    token_ids: jnp.ndarray  # [B] int32
+    positions: jnp.ndarray  # [B] int32
+    slot_mapping: jnp.ndarray  # [B] int32
+    block_tables: jnp.ndarray  # [B, NB] int32
+    seq_lens: jnp.ndarray  # [B] int32 (0 for padded rows)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class SamplingInput:
+    """Per-row sampling parameters for the fused on-device sampler.
+
+    Counterpart of the reference SamplingParameters
+    (xllm/core/framework/sampling/sampling_params.h).
+    """
+
+    temperature: jnp.ndarray  # [N] f32 (0 = greedy)
+    top_k: jnp.ndarray  # [N] int32 (0 = disabled)
+    top_p: jnp.ndarray  # [N] f32 (1.0 = disabled)
+    key: jnp.ndarray  # PRNG key

@@ -1,0 +1,267 @@
+"""Device execution: bucketed-jit forward steps + fused sampling.
+
+Counterpart of the reference's WorkerImpl/LLMWorkerImpl + Executor stack
+(reference xllm/core/runtime/worker_impl.h:54, llm_worker_impl.cpp:153,213,
+executor.h:30). TPU-native collapse: there is no engine->worker RPC inside a
+pod slice — the "worker step" is a jit call on (potentially) a multi-device
+mesh, with GSPMD doing what the reference's per-rank worker processes +
+HCCL/NCCL collectives do (SURVEY.md §7.1).
+
+Graph-capture equivalence: every distinct input shape is one compiled XLA
+program; the input builder pads to a bounded bucket set, so the jit cache
+plays the role of the reference's AclGraphExecutorImpl bucket cache
+(acl_graph_executor_impl.h:61-177). KV cache buffers are donated through
+every step, so cache updates are in-place in HBM.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xllm_tpu.config import EngineConfig
+from xllm_tpu.framework.request import Sequence
+from xllm_tpu.models.registry import create_model
+from xllm_tpu.parallel.mesh import build_mesh, make_named_shardings, replicated
+from xllm_tpu.runtime.forward_params import DecodeInput, PrefillInput, SamplingInput
+from xllm_tpu.runtime.input_builder import (
+    build_decode_input,
+    build_prefill_input,
+    build_sampling_arrays,
+)
+from xllm_tpu.runtime.sampler import sample
+from xllm_tpu.utils import cdiv, get_logger, next_bucket
+
+logger = get_logger(__name__)
+
+
+class ModelRunner:
+    def __init__(self, config: EngineConfig, mesh=None):
+        self.config = config
+        self.model = create_model(config.model)
+        self.mesh = mesh if mesh is not None else build_mesh(config.parallel)
+        self.params = None
+        self.k_cache = None
+        self.v_cache = None
+        self.num_blocks = 0
+        c = config.model
+        self.block_size = config.cache.block_size
+        self.max_blocks_per_seq = cdiv(
+            config.scheduler.max_model_len, self.block_size
+        )
+        self._key = None
+        self._prefill_fn = None
+        self._decode_fn = None
+
+    # ------------------------------------------------------------------
+    # init
+    # ------------------------------------------------------------------
+    def load_model(self, params=None, rng: jax.Array | None = None) -> None:
+        """Load weights (or random-init when no checkpoint path is given)."""
+        shardings = make_named_shardings(self.mesh, self.model.param_shardings())
+        if params is not None:
+            self.params = params
+        elif self.config.model.model_path:
+            from xllm_tpu.models.loader import load_dense_params
+
+            self.params = load_dense_params(
+                self.config.model, shardings, dtype=self.model.dtype
+            )
+        else:
+            logger.info("no model_path: initializing random weights")
+            params = self.model.init_params(rng or jax.random.key(self.config.seed))
+            if shardings is not None:
+                params = jax.tree.map(jax.device_put, params, shardings)
+            self.params = params
+        self._key = jax.random.key(self.config.seed)
+        self._build_step_fns()
+
+    def initialize_kv_cache(self, num_blocks: int | None = None) -> int:
+        """Allocate the paged pool; returns num_blocks.
+
+        Counterpart of estimate_kv_cache_capacity + allocate_kv_cache
+        (reference xllm/core/distributed_runtime/llm_engine.cpp:382,473).
+        """
+        self.num_blocks = num_blocks or self._derive_num_blocks()
+        kv_dtype = self.model.dtype
+        if self.config.cache.kv_cache_dtype not in ("auto", ""):
+            kv_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+                self.config.cache.kv_cache_dtype
+            ]
+        k, v = self.model.new_kv_cache(self.num_blocks, self.block_size, kv_dtype)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+
+            sh = NamedSharding(self.mesh, self.model.kv_cache_sharding())
+            k, v = jax.device_put(k, sh), jax.device_put(v, sh)
+        self.k_cache, self.v_cache = k, v
+        logger.info(
+            "KV cache: %d blocks x %d tokens (%s)",
+            self.num_blocks,
+            self.block_size,
+            kv_dtype.__name__ if hasattr(kv_dtype, "__name__") else kv_dtype,
+        )
+        return self.num_blocks
+
+    def _derive_num_blocks(self) -> int:
+        cfg = self.config
+        if cfg.cache.num_blocks > 0:
+            return cfg.cache.num_blocks
+        c = cfg.model
+        tp = cfg.parallel.tp_size
+        bytes_per_el = 2 if self.model.dtype == jnp.bfloat16 else 4
+        per_block_per_dev = (
+            c.num_hidden_layers
+            * 2
+            * max(c.num_kv_heads // tp, 1)
+            * self.block_size
+            * c.head_dim
+            * bytes_per_el
+        )
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            free = (
+                stats["bytes_limit"] * cfg.cache.memory_utilization
+                - stats["bytes_in_use"]
+            )
+            n = max(int(free // per_block_per_dev), 16)
+            return n
+        except Exception:
+            logger.warning("no memory stats; defaulting to 512 KV blocks")
+            return 512
+
+    # ------------------------------------------------------------------
+    # jit step functions
+    # ------------------------------------------------------------------
+    def _build_step_fns(self) -> None:
+        model = self.model
+
+        @partial(jax.jit, donate_argnums=(1, 2))
+        def prefill_step(params, k_cache, v_cache, inp: PrefillInput, si):
+            hidden, k_cache, v_cache = model.prefill(params, k_cache, v_cache, inp)
+            logits = model.compute_logits(params, hidden)
+            tokens, logprobs = sample(logits, si)
+            return k_cache, v_cache, tokens, logprobs
+
+        @partial(jax.jit, donate_argnums=(1, 2))
+        def decode_step(params, k_cache, v_cache, inp: DecodeInput, si):
+            hidden, k_cache, v_cache = model.decode(params, k_cache, v_cache, inp)
+            logits = model.compute_logits(params, hidden)
+            tokens, logprobs = sample(logits, si)
+            return k_cache, v_cache, tokens, logprobs
+
+        self._prefill_fn = prefill_step
+        self._decode_fn = decode_step
+
+    def _next_key(self) -> jax.Array:
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _put(self, tree):
+        if self.mesh is None:
+            return tree
+        rep = replicated(self.mesh)
+        return jax.tree.map(lambda x: jax.device_put(x, rep), tree)
+
+    # ------------------------------------------------------------------
+    # public step API (host numpy in/out)
+    # ------------------------------------------------------------------
+    def run_prefill(
+        self, seq: Sequence, num_new_tokens: int
+    ) -> tuple[int, float, bool]:
+        """Run one prompt chunk; returns (token, logprob, samples_token)."""
+        inp, samples_token = build_prefill_input(
+            seq,
+            num_new_tokens,
+            self.block_size,
+            self.config.scheduler.prefill_token_buckets,
+            self.max_blocks_per_seq,
+        )
+        temperature, top_k, top_p = build_sampling_arrays([seq], 1)
+        si = SamplingInput(
+            temperature=temperature, top_k=top_k, top_p=top_p, key=self._next_key()
+        )
+        self.k_cache, self.v_cache, tokens, logprobs = self._prefill_fn(
+            self.params, self.k_cache, self.v_cache, self._put(inp), self._put(si)
+        )
+        return int(tokens[0]), float(logprobs[0]), samples_token
+
+    def run_decode(
+        self, seqs: list[Sequence]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """One decode token for each running sequence."""
+        inp = build_decode_input(
+            seqs,
+            self.block_size,
+            self.config.scheduler.decode_batch_buckets,
+            self.max_blocks_per_seq,
+        )
+        b_pad = inp.token_ids.shape[0]
+        temperature, top_k, top_p = build_sampling_arrays(seqs, b_pad)
+        si = SamplingInput(
+            temperature=temperature, top_k=top_k, top_p=top_p, key=self._next_key()
+        )
+        self.k_cache, self.v_cache, tokens, logprobs = self._decode_fn(
+            self.params, self.k_cache, self.v_cache, self._put(inp), self._put(si)
+        )
+        tokens = np.asarray(tokens)[: len(seqs)]
+        logprobs = np.asarray(logprobs)[: len(seqs)]
+        return tokens, logprobs
+
+    # ------------------------------------------------------------------
+    # warmup: precompile all buckets (reference scheduler/profile/graph_warmup)
+    # ------------------------------------------------------------------
+    def warmup(self) -> float:
+        """Compile every (bucket) shape ahead of serving.
+
+        All dummy traffic writes into the reserved null block 0, so the
+        real cache content is untouched.
+        """
+        t0 = time.perf_counter()
+        sc = self.config.scheduler
+        nb = self.max_blocks_per_seq
+        key = jax.random.key(0)
+        for s_pad in sc.prefill_token_buckets:
+            inp = PrefillInput(
+                token_ids=np.zeros(s_pad, np.int32),
+                positions=np.zeros(s_pad, np.int32),
+                slot_mapping=np.zeros(s_pad, np.int32),
+                block_table=np.zeros(nb, np.int32),
+                kv_len=np.int32(1),
+                q_offset=np.int32(0),
+                logits_idx=np.int32(0),
+            )
+            si = SamplingInput(
+                temperature=np.zeros(1, np.float32),
+                top_k=np.zeros(1, np.int32),
+                top_p=np.ones(1, np.float32),
+                key=key,
+            )
+            self.k_cache, self.v_cache, tokens, _ = self._prefill_fn(
+                self.params, self.k_cache, self.v_cache, self._put(inp), self._put(si)
+            )
+        for b_pad in sc.decode_batch_buckets:
+            inp = DecodeInput(
+                token_ids=np.zeros(b_pad, np.int32),
+                positions=np.zeros(b_pad, np.int32),
+                slot_mapping=np.zeros(b_pad, np.int32),
+                block_tables=np.zeros((b_pad, nb), np.int32),
+                seq_lens=np.zeros(b_pad, np.int32),
+            )
+            si = SamplingInput(
+                temperature=np.zeros(b_pad, np.float32),
+                top_k=np.zeros(b_pad, np.int32),
+                top_p=np.ones(b_pad, np.float32),
+                key=key,
+            )
+            self.k_cache, self.v_cache, tokens, _ = self._decode_fn(
+                self.params, self.k_cache, self.v_cache, self._put(inp), self._put(si)
+            )
+        jax.block_until_ready(tokens)
+        dt = time.perf_counter() - t0
+        logger.info("warmup compiled all buckets in %.1fs", dt)
+        return dt

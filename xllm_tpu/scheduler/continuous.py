@@ -1,0 +1,204 @@
+"""Continuous-batching scheduler with chunked prefill and preemption.
+
+Counterpart of the reference's ContinuousScheduler
+(reference xllm/core/scheduler/continuous_scheduler.cpp:
+step :1242, prepare_batch :988, handle_prefill_requests :390,
+handle_decode_requests :612) merged with its ChunkedPrefillScheduler
+(chunked_prefill_scheduler.h:34) — on TPU one scheduler covers both because
+prefill is already chunk-shaped for the jit buckets.
+
+Per step it emits:
+  * prefill items: (sequence, num_new_tokens) prompt chunks, bounded by
+    ``max_tokens_per_chunk_for_prefill``
+  * the decode batch: every running sequence whose prompt KV is complete
+Preemption: when decode cannot get a block, the most-recently-arrived
+running request is evicted back to waiting with its KV dropped (recomputed
+on resume — the reference's RECOMPUTE preemption path).
+
+Pure host logic, unit-tested with a fake runner (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+
+from xllm_tpu.config import SchedulerConfig
+from xllm_tpu.framework.block_manager import BlockManager
+from xllm_tpu.framework.request import Request, Sequence, SequenceStatus
+from xllm_tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+
+@dataclass
+class SchedulerOutput:
+    prefill_items: list[tuple[Sequence, int]] = field(default_factory=list)
+    decode_seqs: list[Sequence] = field(default_factory=list)
+    preempted_requests: list[Request] = field(default_factory=list)
+
+    @property
+    def is_empty(self) -> bool:
+        return not self.prefill_items and not self.decode_seqs
+
+
+class ContinuousScheduler:
+    def __init__(self, config: SchedulerConfig, block_manager: BlockManager):
+        self.config = config
+        self.block_manager = block_manager
+        self.waiting: deque[Request] = deque()
+        self.running: list[Request] = []
+
+    # ------------------------------------------------------------------
+    def add_request(self, request: Request) -> None:
+        self.waiting.append(request)
+
+    def abort_request(self, request: Request) -> None:
+        request.abort()
+        if request in self.running:
+            for seq in request.sequences:
+                self.block_manager.free(seq)
+            self.running.remove(request)
+        elif request in self.waiting:
+            self.waiting.remove(request)
+
+    def has_unfinished(self) -> bool:
+        return bool(self.waiting) or bool(self.running)
+
+    @property
+    def num_running_seqs(self) -> int:
+        return sum(
+            1 for r in self.running for s in r.sequences if not s.is_finished
+        )
+
+    # ------------------------------------------------------------------
+    def schedule(self) -> SchedulerOutput:
+        out = SchedulerOutput()
+        budget = self.config.max_tokens_per_chunk_for_prefill
+
+        # 1. continue chunked prefills of already-running sequences
+        #    (reference handle_prefill_requests, continuous_scheduler.cpp:390)
+        for req in self.running:
+            for seq in req.sequences:
+                if seq.is_finished or not seq.in_prefill:
+                    continue
+                if budget <= 0:
+                    break
+                n = min(seq.num_tokens - seq.num_computed_tokens, budget)
+                if n <= 0:
+                    continue
+                if not self.block_manager.allocate(seq, n):
+                    break  # pool exhausted; decode preemption below may help
+                out.prefill_items.append((seq, n))
+                budget -= n
+
+        # 2. admit waiting requests under seq + token budgets
+        while self.waiting and budget > 0:
+            if self.num_running_seqs >= self.config.max_seqs_per_batch:
+                break
+            req = self.waiting[0]
+            seq = req.sequences[0]
+            # prefix-cache hit shortens the chunk
+            # (reference prefill path prefix match, continuous_scheduler.cpp:390)
+            self.block_manager.match_prefix(seq)
+            n = min(seq.num_tokens - seq.num_computed_tokens, budget)
+            if n <= 0:
+                n = 1  # degenerate: everything cached; recompute last token
+            if not self.block_manager.allocate(seq, n):
+                # roll back the prefix refs; retry next step
+                self.block_manager.free(seq)
+                break
+            self.waiting.popleft()
+            req.sequences[0].status = SequenceStatus.RUNNING
+            out.prefill_items.append((seq, n))
+            budget -= n
+            # remaining best_of sequences join as separate prefills later
+            for extra in req.sequences[1:]:
+                extra.status = SequenceStatus.RUNNING
+            self.running.append(req)
+
+        # 2b. chunks for secondary (best_of>1) sequences of admitted requests
+        for req in self.running:
+            for seq in req.sequences[1:]:
+                if seq.is_finished or not seq.in_prefill or budget <= 0:
+                    continue
+                if seq.num_computed_tokens == 0 and not seq.block_ids:
+                    self.block_manager.match_prefix(seq)
+                n = min(seq.num_tokens - seq.num_computed_tokens, budget)
+                if n <= 0 or any(s is seq for s, _ in out.prefill_items):
+                    continue
+                if not self.block_manager.allocate(seq, n):
+                    break
+                out.prefill_items.append((seq, n))
+                budget -= n
+
+        # 3. decode batch with preemption
+        #    (reference handle_decode_requests, continuous_scheduler.cpp:612)
+        prefilling = {id(s) for s, _ in out.prefill_items}
+        for req in list(self.running):
+            if req not in self.running:
+                continue  # preempted earlier in this loop
+            for seq in req.sequences:
+                if seq.is_finished or seq.in_prefill or id(seq) in prefilling:
+                    continue
+                self_preempted = False
+                while not self.block_manager.allocate(seq, 1):
+                    victim = self._pick_victim()
+                    if victim is None:
+                        logger.warning(
+                            "decode OOM and no preemption victim; seq %d waits",
+                            seq.seq_id,
+                        )
+                        break
+                    self._preempt(victim, out)
+                    if victim is req:
+                        self_preempted = True
+                        break
+                else:
+                    out.decode_seqs.append(seq)
+                if self_preempted:
+                    break
+
+        if len(out.decode_seqs) > self.config.max_seqs_per_batch:
+            out.decode_seqs = out.decode_seqs[: self.config.max_seqs_per_batch]
+        return out
+
+    # ------------------------------------------------------------------
+    def _pick_victim(self) -> Request | None:
+        """Latest-arrived running request — possibly the requester itself
+        (the reference also self-evicts when it is the lowest priority,
+        continuous_scheduler.cpp:612 decode OOM path)."""
+        for req in reversed(self.running):
+            if not req.is_finished:
+                return req
+        return None
+
+    def _preempt(self, req: Request, out: SchedulerOutput) -> None:
+        logger.info("preempting request %s (recompute)", req.request_id)
+        for seq in req.sequences:
+            if not seq.is_finished:
+                self.block_manager.free(seq)
+                seq.status = SequenceStatus.PREEMPTED
+        self.running.remove(req)
+        self.waiting.appendleft(req)
+        out.preempted_requests.append(req)
+        # drop any already-scheduled items of the preempted request
+        out.prefill_items = [
+            (s, n) for s, n in out.prefill_items if s.request_id != req.request_id
+        ]
+        out.decode_seqs = [
+            s for s in out.decode_seqs if s.request_id != req.request_id
+        ]
+
+    # ------------------------------------------------------------------
+    def free_finished(self) -> list[Request]:
+        """Release finished requests; returns them for response processing."""
+        done = []
+        for req in list(self.running):
+            for seq in req.sequences:
+                if seq.is_finished and seq.block_ids:
+                    self.block_manager.free(seq)
+            if req.is_finished:
+                self.running.remove(req)
+                done.append(req)
+        return done
