@@ -1,0 +1,224 @@
+"""Pallas paged-attention prefill kernel (flash attention over paged KV).
+
+TPU-native counterpart of the reference's batch_prefill / flash-attention
+kernels (reference xllm/core/kernels/cuda/batch_prefill.cpp:24-40, mlu
+flash_attention wrappers). One sequence's prompt chunk attends causally to
+its full paged KV (earlier chunks included — chunked prefill).
+
+Design:
+- grid = (S / TQ,): each program owns a [Hq, TQ, D] query tile (ALL heads)
+  and streams the sequence's KV pages from HBM with an N-deep DMA pipeline.
+  A page fetch is ONE contiguous [Hkv, bs, D] DMA shared by every query
+  head — GQA costs no extra bandwidth.
+- The causal frontier bounds the walk: query tile t needs KV positions
+  <= q_offset + (t+1)*TQ - 1 only, so trailing pages are never fetched.
+- Per page and kv head, the G grouped query rows fold into one
+  [G*TQ, D] x [D, bs] MXU matmul; online softmax state is fp32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+_NSLOTS = 4
+
+
+def _prefill_kernel(
+    # scalar prefetch
+    layer_ref,  # [1] int32
+    block_table_ref,  # [NBmax] int32
+    q_offset_ref,  # [1] int32
+    kv_len_ref,  # [1] int32
+    # inputs
+    q_ref,  # [Hq, TQ, D] VMEM
+    k_hbm,  # [L, NB, Hkv, bs, D] ANY
+    v_hbm,
+    # outputs
+    o_ref,  # [Hq, TQ, D] VMEM
+    # scratch
+    k_buf,  # [NSLOTS, Hkv, bs, D]
+    v_buf,
+    sem,  # [2, NSLOTS]
+    *,
+    scale: float,
+    block_size: int,
+    group: int,
+):
+    t = pl.program_id(0)
+    layer = layer_ref[0]
+    q_offset = q_offset_ref[0]
+    kv_len = kv_len_ref[0]
+    hq, tq, d = q_ref.shape
+    hkv = hq // group
+
+    # this tile's rows cover absolute positions [q_offset + t*TQ, ... + TQ)
+    tile_last_pos = q_offset + (t + 1) * tq - 1
+    kv_limit = jnp.minimum(kv_len, tile_last_pos + 1)
+    nblks = pl.cdiv(kv_limit, block_size)
+
+    def k_dma(slot, i):
+        return pltpu.make_async_copy(
+            k_hbm.at[layer, block_table_ref[i]], k_buf.at[slot], sem.at[0, slot]
+        )
+
+    def v_dma(slot, i):
+        return pltpu.make_async_copy(
+            v_hbm.at[layer, block_table_ref[i]], v_buf.at[slot], sem.at[1, slot]
+        )
+
+    @pl.when(nblks > 0)
+    def _():
+        for s in range(_NSLOTS - 1):
+
+            @pl.when(s < nblks)
+            def _(s=s):
+                k_dma(s, s).start()
+                v_dma(s, s).start()
+
+        # [Hkv, G*TQ, D]: kv head h's group rows, G-major then TQ
+        q = q_ref[...].reshape(hkv, group * tq, d)
+        # absolute position of each (g, tq) row: q_offset + t*TQ + (row % TQ)
+        row_pos = (
+            q_offset
+            + t * tq
+            + jax.lax.rem(
+                jax.lax.broadcasted_iota(jnp.int32, (group * tq, block_size), 0),
+                tq,
+            )
+        )  # [G*TQ, bs]
+
+        def body(i, carry):
+            m, l, acc = carry  # [Hkv, G*TQ, 1] x2, [Hkv, G*TQ, D]
+            slot = jax.lax.rem(i, _NSLOTS)
+            nxt = i + _NSLOTS - 1
+
+            @pl.when(nxt < nblks)
+            def _():
+                k_dma(jax.lax.rem(nxt, _NSLOTS), nxt).start()
+                v_dma(jax.lax.rem(nxt, _NSLOTS), nxt).start()
+
+            k_dma(slot, i).wait()
+            s_parts = []
+            for h in range(hkv):
+                s_parts.append(
+                    jax.lax.dot_general(
+                        q[h],
+                        k_buf[slot, h],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+            s = jnp.stack(s_parts, axis=0) * scale  # [Hkv, G*TQ, bs]
+            kv_idx = i * block_size + jax.lax.broadcasted_iota(
+                jnp.int32, (group * tq, block_size), 1
+            )
+            mask = (kv_idx <= row_pos) & (kv_idx < kv_len)
+            s = jnp.where(mask[None], s, _NEG_INF)
+
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+
+            v_dma(slot, i).wait()
+            p_cast = p.astype(v_buf.dtype)
+            pv_parts = []
+            for h in range(hkv):
+                pv_parts.append(
+                    jax.lax.dot_general(
+                        p_cast[h],
+                        v_buf[slot, h],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+            pv = jnp.stack(pv_parts, axis=0)
+            acc_new = acc * alpha + pv
+            return m_new, l_new, acc_new
+
+        m0 = jnp.full((hkv, group * tq, 1), _NEG_INF, jnp.float32)
+        l0 = jnp.zeros((hkv, group * tq, 1), jnp.float32)
+        acc0 = jnp.zeros((hkv, group * tq, d), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, nblks, body, (m0, l0, acc0))
+        out = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        o_ref[...] = out.reshape(hq, tq, d)
+
+    @pl.when(nblks == 0)
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+
+def _pick_q_tile(s: int) -> int:
+    # TQ=128 keeps the fp32 accumulator + 4-deep KV pipeline under the
+    # 16 MB VMEM budget at Hq=16, D=128 (TQ=256 OOMs the scoped vmem)
+    if s % 128 == 0:
+        return 128
+    return s
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def paged_attention_prefill_tpu(
+    q: jnp.ndarray,  # [S, Hq, D]
+    k_all: jnp.ndarray,  # [L, NB, Hkv, bs, D]
+    v_all: jnp.ndarray,
+    layer_idx: jnp.ndarray,  # [] int32
+    block_table: jnp.ndarray,  # [NBmax] int32
+    q_offset: jnp.ndarray,  # [] int32
+    kv_len: jnp.ndarray,  # [] int32
+    scale: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    s, hq, d = q.shape
+    _, _, hkv, bs, _ = k_all.shape
+    g = hq // hkv
+    tq = _pick_q_tile(s)
+
+    # head-major [Hq, S, D]; rows of head h*g+j are kv head h, group slot j,
+    # so q_t.reshape(hkv, g*tq, d) groups each kv head's G query rows.
+    qt = q.transpose(1, 0, 2)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(s // tq,),
+        in_specs=[
+            pl.BlockSpec(
+                (hq, tq, d), lambda t, *_: (0, t, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (hq, tq, d), lambda t, *_: (0, t, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_NSLOTS, hkv, bs, d), k_all.dtype),
+            pltpu.VMEM((_NSLOTS, hkv, bs, d), v_all.dtype),
+            pltpu.SemaphoreType.DMA((2, _NSLOTS)),
+        ],
+    )
+    kernel = functools.partial(
+        _prefill_kernel, scale=scale, block_size=bs, group=g
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((hq, s, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        layer_idx.reshape(1),
+        block_table,
+        q_offset.reshape(1),
+        kv_len.reshape(1),
+        qt,
+        k_all,
+        v_all,
+    )
+    return out.transpose(1, 0, 2)
