@@ -5,7 +5,6 @@ kernels against jnp references without a device, mirroring the reference's
 kernel-vs-torch comparisons in tests/core/kernels/*).
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -14,7 +13,9 @@ from xllm_tpu.ops.attention_ref import (
     paged_attention_decode_ref,
     paged_attention_prefill_ref,
 )
-from xllm_tpu.ops.pallas.decode_attention import paged_attention_decode_tpu
+from xllm_tpu.ops.kv_cache_ops import write_kv
+from xllm_tpu.ops.pallas.decode_attention import paged_decode_attention_write_tpu
+from xllm_tpu.ops.pallas.kv_write import kv_write_prefill_tpu
 from xllm_tpu.ops.pallas.prefill_attention import paged_attention_prefill_tpu
 
 
@@ -24,38 +25,81 @@ def _make_cache(rng, L, NB, Hkv, bs, D, dtype=jnp.float32):
     return k, v
 
 
-@pytest.mark.parametrize("hq,hkv", [(4, 4), (8, 2), (4, 1)])
-def test_decode_matches_ref(hq, hkv):
-    rng = np.random.default_rng(0)
-    L, NB, bs, D, B, NBmax = 2, 24, 16, 64, 5, 6
-    k_all, v_all = _make_cache(rng, L, NB, hkv, bs, D)
-    q = jnp.asarray(rng.standard_normal((B, hq, D)), jnp.float32)
-    seq_lens = jnp.asarray([1, 16, 17, 70, 0], jnp.int32)  # last row = padding
-    block_tables = np.zeros((B, NBmax), np.int32)
+@pytest.mark.parametrize(
+    "hq,hkv,dtype", [(4, 4, jnp.float32), (8, 2, jnp.float32), (4, 1, jnp.float32),
+                     (4, 2, jnp.bfloat16)]
+)
+def test_fused_decode_write_matches_ref(hq, hkv, dtype):
+    """Fused write+attend == scatter write + ref attention; cache updated.
+
+    seq_lens INCLUDE the current token; the last batch row is padding
+    (seq_len 0, slot 0 -> null block).
+    """
+    rng = np.random.default_rng(3)
+    L, NB, bs, D, B, NBmax = 2, 32, 16, 64, 5, 6
+    k_all, v_all = _make_cache(rng, L, NB, hkv, bs, D, dtype)
+    q = jnp.asarray(rng.standard_normal((B, hq, D)), dtype)
+    k_new = jnp.asarray(rng.standard_normal((B, hkv, D)), dtype)
+    v_new = jnp.asarray(rng.standard_normal((B, hkv, D)), dtype)
+    seq_lens_np = [18, 1, 16, 70, 0]
+    bt = np.zeros((B, NBmax), np.int32)
     used = iter(range(1, NB))
-    for i, sl in enumerate([1, 16, 17, 70, 0]):
+    for i, sl in enumerate(seq_lens_np):
         for j in range((sl + bs - 1) // bs):
-            block_tables[i, j] = next(used)
-    block_tables = jnp.asarray(block_tables)
+            bt[i, j] = next(used)
+    slots = np.zeros(B, np.int32)
+    for i, sl in enumerate(seq_lens_np):
+        if sl > 0:
+            pos = sl - 1
+            slots[i] = bt[i, pos // bs] * bs + pos % bs
+    block_tables, seq_lens = jnp.asarray(bt), jnp.asarray(seq_lens_np, dtype=jnp.int32)
+    slot_mapping = jnp.asarray(slots)
     layer_idx = jnp.int32(1)
     scale = D**-0.5
 
+    valid = [i for i, sl in enumerate(seq_lens_np) if sl > 0]
+    k_ref, v_ref = write_kv(
+        k_all, v_all, layer_idx,
+        k_new[jnp.asarray(valid)], v_new[jnp.asarray(valid)],
+        slot_mapping[jnp.asarray(valid)],
+    )
     ref = paged_attention_decode_ref(
-        q, k_all, v_all, layer_idx, block_tables, seq_lens, scale
+        q, k_ref, v_ref, layer_idx, block_tables, seq_lens, scale
     )
-    out = paged_attention_decode_tpu(
-        q, k_all, v_all, layer_idx, block_tables, seq_lens, scale, interpret=True
+    out, k_out, v_out = paged_decode_attention_write_tpu(
+        q, k_new, v_new, k_all, v_all, layer_idx, slot_mapping,
+        block_tables, seq_lens, scale, interpret=True,
     )
-    # padded row (seq_len 0) is garbage in ref (softmax over empty) — skip it
+    tol = 3e-2 if dtype == jnp.bfloat16 else 2e-5
     np.testing.assert_allclose(
-        np.asarray(out)[:4], np.asarray(ref)[:4], rtol=2e-5, atol=2e-5
+        np.asarray(out, np.float32)[valid],
+        np.asarray(ref, np.float32)[valid],
+        rtol=tol, atol=tol,
     )
-    assert not np.any(np.isnan(np.asarray(out)))
+    assert not np.any(np.isnan(np.asarray(out, np.float32)))
+    # written rows landed in the cache
+    for i in valid:
+        pos = seq_lens_np[i] - 1
+        blk, off = bt[i, pos // bs], pos % bs
+        np.testing.assert_allclose(
+            np.asarray(k_out[1, blk, :, off, :], np.float32),
+            np.asarray(k_new[i], np.float32),
+        )
+        np.testing.assert_allclose(
+            np.asarray(v_out[1, blk, :, off, :], np.float32),
+            np.asarray(v_new[i], np.float32),
+        )
+    # untouched layer unchanged
+    np.testing.assert_allclose(
+        np.asarray(k_out[0], np.float32), np.asarray(k_all[0], np.float32)
+    )
 
 
-@pytest.mark.parametrize("q_offset_v,kv_len_v,s", [(0, 48, 48), (48, 96, 48), (0, 30, 32)])
+@pytest.mark.parametrize(
+    "q_offset_v,kv_len_v,s", [(0, 48, 48), (48, 96, 48), (0, 30, 32)]
+)
 def test_prefill_matches_ref(q_offset_v, kv_len_v, s):
-    """Chunked prefill: chunk starting at q_offset, kv_len total tokens."""
+    """Chunked prefill attention: chunk at q_offset, kv_len total tokens."""
     rng = np.random.default_rng(1)
     L, NB, hkv, hq, bs, D, NBmax = 2, 16, 2, 4, 16, 64, 8
     k_all, v_all = _make_cache(rng, L, NB, hkv, bs, D)
@@ -73,8 +117,6 @@ def test_prefill_matches_ref(q_offset_v, kv_len_v, s):
         q, k_all, v_all, layer_idx, block_table, q_offset, kv_len, scale,
         interpret=True,
     )
-    # rows past kv_len (padding of the chunk) attend only to in-range tokens;
-    # rows whose position >= kv_len are padding — compare only valid rows
     valid = min(s, kv_len_v - q_offset_v)
     np.testing.assert_allclose(
         np.asarray(out)[:valid], np.asarray(ref)[:valid], rtol=2e-5, atol=2e-5
@@ -82,24 +124,45 @@ def test_prefill_matches_ref(q_offset_v, kv_len_v, s):
     assert not np.any(np.isnan(np.asarray(out)))
 
 
-def test_decode_bf16():
-    rng = np.random.default_rng(2)
-    L, NB, hkv, hq, bs, D, B, NBmax = 1, 8, 2, 4, 16, 128, 2, 4
-    k_all, v_all = _make_cache(rng, L, NB, hkv, bs, D, jnp.bfloat16)
-    q = jnp.asarray(rng.standard_normal((B, hq, D)), jnp.bfloat16)
-    seq_lens = jnp.asarray([33, 16], jnp.int32)
-    bt = np.zeros((B, NBmax), np.int32)
-    bt[0, :3] = [1, 2, 3]
-    bt[1, :1] = [4]
-    block_tables = jnp.asarray(bt)
-    scale = D**-0.5
-    ref = paged_attention_decode_ref(
-        q, k_all, v_all, jnp.int32(0), block_tables, seq_lens, scale
+@pytest.mark.parametrize("q_offset_v,ntok_v", [(0, 48), (48, 33), (16, 40), (32, 3)])
+def test_prefill_kv_write_matches_scatter(q_offset_v, ntok_v):
+    """Page-run writer == scatter on all slots belonging to the chunk."""
+    rng = np.random.default_rng(4)
+    L, NB, hkv, bs, D, NBmax = 2, 24, 2, 16, 64, 8
+    s_pad = 48
+    k_all, v_all = _make_cache(rng, L, NB, hkv, bs, D)
+    k_new = jnp.asarray(rng.standard_normal((s_pad, hkv, D)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((s_pad, hkv, D)), jnp.float32)
+    block_table = jnp.asarray(list(range(1, NBmax + 1)), jnp.int32)
+    layer_idx = jnp.int32(1)
+
+    slots = np.zeros(s_pad, np.int32)
+    for r in range(ntok_v):
+        pos = q_offset_v + r
+        slots[r] = int(block_table[pos // bs]) * bs + pos % bs
+    k_ref, v_ref = write_kv(
+        k_all, v_all, layer_idx,
+        k_new[:ntok_v], v_new[:ntok_v], jnp.asarray(slots[:ntok_v]),
     )
-    out = paged_attention_decode_tpu(
-        q, k_all, v_all, jnp.int32(0), block_tables, seq_lens, scale,
-        interpret=True,
+    k_out, v_out = kv_write_prefill_tpu(
+        k_new.transpose(1, 0, 2), v_new.transpose(1, 0, 2),
+        k_all, v_all, layer_idx, block_table,
+        jnp.int32(q_offset_v), jnp.int32(ntok_v), interpret=True,
     )
-    np.testing.assert_allclose(
-        np.asarray(out, np.float32), np.asarray(ref, np.float32), rtol=3e-2, atol=3e-2
-    )
+    # every slot covered by the chunk must match the oracle; slots beyond
+    # the chunk inside the tail page are allowed to be clobbered
+    for r in range(ntok_v):
+        pos = q_offset_v + r
+        blk, off = int(block_table[pos // bs]), pos % bs
+        np.testing.assert_allclose(
+            np.asarray(k_out[1, blk, :, off, :]),
+            np.asarray(k_ref[1, blk, :, off, :]),
+            rtol=1e-6, err_msg=f"row {r}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(v_out[1, blk, :, off, :]),
+            np.asarray(v_ref[1, blk, :, off, :]),
+            rtol=1e-6,
+        )
+    # untouched layer unchanged
+    np.testing.assert_allclose(np.asarray(k_out[0]), np.asarray(k_all[0]))

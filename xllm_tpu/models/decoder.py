@@ -24,8 +24,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from xllm_tpu.config import ModelConfig
-from xllm_tpu.ops.attention import paged_attention_decode, paged_attention_prefill
-from xllm_tpu.ops.kv_cache_ops import write_kv
+from xllm_tpu.ops.attention import decode_attention_write, prefill_attention_write
 from xllm_tpu.ops.norms import rms_norm
 from xllm_tpu.ops.rope import apply_rope, rope_inv_freq
 from xllm_tpu.runtime.forward_params import DecodeInput, PrefillInput
@@ -182,7 +181,7 @@ class DenseDecoderModel:
         x: jnp.ndarray,  # [T, D]
         positions: jnp.ndarray,
         slot_mapping: jnp.ndarray,
-        attn_fn,  # (q, k_all, v_all, layer_idx) -> [T, Hq, Dh]
+        attn_fn,  # (q, k, v, k_all, v_all, layer_idx) -> (attn, k_all, v_all)
     ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         c = self.cfg
         t = x.shape[0]
@@ -193,8 +192,7 @@ class DenseDecoderModel:
             lp, layer_idx = xs
             h = rms_norm(x, lp["input_layernorm"], c.rms_norm_eps)
             q, k, v = self._attn_qkv(lp, h, positions, inv_freq)
-            k_all, v_all = write_kv(k_all, v_all, layer_idx, k, v, slot_mapping)
-            attn = attn_fn(q, k_all, v_all, layer_idx)  # [T, Hq, Dh]
+            attn, k_all, v_all = attn_fn(q, k, v, k_all, v_all, layer_idx)
             attn = attn.reshape(t, c.num_attention_heads * c.head_dim)
             x = x + jnp.dot(
                 attn, lp["o_proj_w"], preferred_element_type=jnp.float32
@@ -219,12 +217,15 @@ class DenseDecoderModel:
     ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """-> (hidden_last [1, D], k_all, v_all)."""
 
-        def attn_fn(q, k_all, v_all, layer_idx):
-            return paged_attention_prefill(
+        def attn_fn(q, k, v, k_all, v_all, layer_idx):
+            return prefill_attention_write(
                 q,
+                k,
+                v,
                 k_all,
                 v_all,
                 layer_idx,
+                inp.slot_mapping,
                 inp.block_table,
                 inp.q_offset,
                 inp.kv_len,
@@ -247,12 +248,15 @@ class DenseDecoderModel:
     ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """-> (hidden [B, D], k_all, v_all)."""
 
-        def attn_fn(q, k_all, v_all, layer_idx):
-            return paged_attention_decode(
+        def attn_fn(q, k, v, k_all, v_all, layer_idx):
+            return decode_attention_write(
                 q,
+                k,
+                v,
                 k_all,
                 v_all,
                 layer_idx,
+                inp.slot_mapping,
                 inp.block_tables,
                 inp.seq_lens,
                 self.scale,

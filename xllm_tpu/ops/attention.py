@@ -1,9 +1,13 @@
-"""Paged-attention dispatch: Pallas kernels on TPU, jnp reference elsewhere.
+"""Fused write+attend paged-attention dispatch.
 
-The TPU-side split mirrors the reference's kernel dispatch layer
-(reference xllm/core/kernels/ops_api.h:27-287 dispatching per backend):
-``backend="auto"`` picks the Pallas kernels when running on TPU and the
-jnp reference otherwise (CPU tests, interpret mode).
+Pallas kernels on TPU, jnp reference elsewhere (CPU tests, interpret mode).
+Mirrors the reference's kernel dispatch layer
+(reference xllm/core/kernels/ops_api.h:27-287 dispatching per backend).
+
+The KV-cache write is part of the attention op: on TPU the kernels update
+the paged cache in place via aliased HBM buffers (see
+xllm_tpu/ops/pallas/decode_attention.py, kv_write.py); the portable path
+composes an XLA scatter (ops/kv_cache_ops.write_kv) with the jnp oracle.
 """
 
 from __future__ import annotations
@@ -14,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from xllm_tpu.ops import attention_ref
+from xllm_tpu.ops.kv_cache_ops import write_kv
 
 _FORCE_REF = os.environ.get("XLLM_ATTENTION_BACKEND", "auto") == "ref"
 
@@ -22,53 +27,72 @@ def _use_pallas() -> bool:
     if _FORCE_REF:
         return False
     try:
-        if jax.default_backend() != "tpu":
-            return False
-        import xllm_tpu.ops.pallas  # noqa: F401
-
-        return True
-    except Exception:  # pragma: no cover - pallas kernels not present
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
         return False
 
 
-def paged_attention_decode(
+def decode_attention_write(
     q: jnp.ndarray,  # [B, Hq, D]
-    k_all: jnp.ndarray,  # [L, num_blocks, Hkv, bs, D]
+    k_new: jnp.ndarray,  # [B, Hkv, D]
+    v_new: jnp.ndarray,
+    k_all: jnp.ndarray,  # [L, NB, Hkv, bs, D]
     v_all: jnp.ndarray,
-    layer_idx: jnp.ndarray,
-    block_tables: jnp.ndarray,  # [B, NB]
-    seq_lens: jnp.ndarray,  # [B]
+    layer_idx: jnp.ndarray,  # [] int32
+    slot_mapping: jnp.ndarray,  # [B] int32
+    block_tables: jnp.ndarray,  # [B, NBmax] int32
+    seq_lens: jnp.ndarray,  # [B] int32 (including current token)
     scale: float,
-) -> jnp.ndarray:
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Write each sequence's new K/V row, then attend. -> (out, k, v)."""
     if _use_pallas():
-        from xllm_tpu.ops.pallas.decode_attention import paged_attention_decode_tpu
-
-        return paged_attention_decode_tpu(
-            q, k_all, v_all, layer_idx, block_tables, seq_lens, scale
+        from xllm_tpu.ops.pallas.decode_attention import (
+            paged_decode_attention_write_tpu,
         )
-    return attention_ref.paged_attention_decode_ref(
+
+        return paged_decode_attention_write_tpu(
+            q, k_new, v_new, k_all, v_all, layer_idx, slot_mapping,
+            block_tables, seq_lens, scale,
+        )
+    k_all, v_all = write_kv(k_all, v_all, layer_idx, k_new, v_new, slot_mapping)
+    out = attention_ref.paged_attention_decode_ref(
         q, k_all, v_all, layer_idx, block_tables, seq_lens, scale
     )
+    return out, k_all, v_all
 
 
-def paged_attention_prefill(
+def prefill_attention_write(
     q: jnp.ndarray,  # [S, Hq, D]
+    k_new: jnp.ndarray,  # [S, Hkv, D]
+    v_new: jnp.ndarray,
     k_all: jnp.ndarray,
     v_all: jnp.ndarray,
-    layer_idx: jnp.ndarray,
-    block_table: jnp.ndarray,  # [NB]
-    q_offset: jnp.ndarray,  # []
-    kv_len: jnp.ndarray,  # []
+    layer_idx: jnp.ndarray,  # [] int32
+    slot_mapping: jnp.ndarray,  # [S] int32 (used by the portable path)
+    block_table: jnp.ndarray,  # [NBmax] int32
+    q_offset: jnp.ndarray,  # [] int32
+    kv_len: jnp.ndarray,  # [] int32
     scale: float,
-) -> jnp.ndarray:
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Write the chunk's K/V into its pages, then flash-attend causally."""
     if _use_pallas():
+        from xllm_tpu.ops.pallas.kv_write import kv_write_prefill_tpu
         from xllm_tpu.ops.pallas.prefill_attention import (
             paged_attention_prefill_tpu,
         )
 
-        return paged_attention_prefill_tpu(
+        ntok = kv_len - q_offset
+        k_all, v_all = kv_write_prefill_tpu(
+            k_new.transpose(1, 0, 2),
+            v_new.transpose(1, 0, 2),
+            k_all, v_all, layer_idx, block_table, q_offset, ntok,
+        )
+        out = paged_attention_prefill_tpu(
             q, k_all, v_all, layer_idx, block_table, q_offset, kv_len, scale
         )
-    return attention_ref.paged_attention_prefill_ref(
+        return out, k_all, v_all
+    k_all, v_all = write_kv(k_all, v_all, layer_idx, k_new, v_new, slot_mapping)
+    out = attention_ref.paged_attention_prefill_ref(
         q, k_all, v_all, layer_idx, block_table, q_offset, kv_len, scale
     )
+    return out, k_all, v_all

@@ -1,18 +1,23 @@
-"""Pallas paged-attention decode kernel (single query token per sequence).
+"""Pallas fused write+attend paged-attention decode kernel.
 
-TPU-native counterpart of the reference's single_query_cached_kv_attn /
-FlashInfer decode kernels (reference xllm/core/kernels/ops_api.h batch
-decode ops, xllm/core/kernels/mlu/attention.cpp:26-157). Design:
+TPU-native counterpart of the reference's reshape_paged_cache +
+single_query_cached_kv_attn pair (reference xllm/core/kernels/ops_api.h
+paged-cache + batch-decode ops, xllm/core/kernels/mlu/attention.cpp:26-157).
+The TPU twist: the per-token KV-cache write happens INSIDE the attention
+kernel with the cache aliased in/out (`input_output_aliases`), so the cache
+is updated in place in HBM — no XLA scatter, no cache copy inside the layer
+scan (the scatter forced a whole-cache copy per layer).
 
-- grid = (batch,); each program owns one sequence and all of its heads, so
-  a page fetch is ONE contiguous [Hkv, bs, D] DMA (the KV layout
-  [L, num_blocks, Hkv, bs, D] makes the whole per-block KV contiguous).
-- The kernel walks the sequence's block table (scalar-prefetched in SMEM)
-  with an N-deep DMA pipeline, hiding HBM latency behind the per-page
-  flash-attention update (online softmax, fp32 state).
-- GQA: per kv head h, the G grouped query rows do [G, D] x [D, bs] on the
-  MXU; decode attention is HBM-bandwidth-bound so the small M dim is fine.
-- Padded batch rows carry seq_len = 0 and are skipped entirely.
+Design:
+- grid = (batch,); each program owns one sequence: it first DMAs the
+  sequence's new K/V row into its page slot (write-before-read within the
+  program; sequences' slots are disjoint — shared prefix blocks are always
+  full and never written), then walks the block table with an N-deep
+  pipeline of contiguous [Hkv, bs, D] page DMAs, accumulating
+  flash-attention online-softmax state in fp32.
+- GQA: per kv head h, the G grouped query rows run [G, D] x [D, bs] on the
+  MXU; decode attention is HBM-bandwidth-bound so the small M is fine.
+- Padded batch rows carry seq_len = 0: no write, no pages, zero output.
 """
 
 from __future__ import annotations
@@ -32,21 +37,28 @@ def _decode_kernel(
     # scalar prefetch
     layer_ref,  # [1] int32
     block_tables_ref,  # [B, NBmax] int32
-    seq_lens_ref,  # [B] int32
+    seq_lens_ref,  # [B] int32 (including the current token)
+    slot_ref,  # [B] int32 (current token's slot = block*bs + off)
     # inputs
     q_ref,  # [1, Hkv, G, D] VMEM (this sequence's queries, group-major)
-    k_hbm,  # [L, NB, Hkv, bs, D] ANY/HBM
-    v_hbm,
+    k_new_ref,  # [1, Hkv, D] VMEM (this sequence's new K row)
+    v_new_ref,
+    k_in,  # [L, NB, Hkv, bs, D] ANY/HBM (aliased with k_out)
+    v_in,
     # outputs
     o_ref,  # [1, Hkv, G, D] VMEM
+    k_out,  # aliased HBM cache
+    v_out,
     # scratch
     k_buf,  # [NSLOTS, Hkv, bs, D] VMEM
     v_buf,
     sem,  # DMA sems [2, NSLOTS]
+    w_sem,  # write sems [2]
     *,
     scale: float,
     block_size: int,
 ):
+    del k_in, v_in  # same buffers as k_out/v_out (aliased); use outputs only
     b = pl.program_id(0)
     layer = layer_ref[0]
     seq_len = seq_lens_ref[b]
@@ -55,16 +67,23 @@ def _decode_kernel(
 
     def k_dma(slot, i):
         return pltpu.make_async_copy(
-            k_hbm.at[layer, block_tables_ref[b, i]], k_buf.at[slot], sem.at[0, slot]
+            k_out.at[layer, block_tables_ref[b, i]], k_buf.at[slot], sem.at[0, slot]
         )
 
     def v_dma(slot, i):
         return pltpu.make_async_copy(
-            v_hbm.at[layer, block_tables_ref[b, i]], v_buf.at[slot], sem.at[1, slot]
+            v_out.at[layer, block_tables_ref[b, i]], v_buf.at[slot], sem.at[1, slot]
         )
 
-    @pl.when(nblks > 0)
+    @pl.when(seq_len > 0)
     def _():
+        # HBM tiling forbids single-row page DMAs, so the new K/V row is
+        # merged read-modify-write style: the last page is already being
+        # DMA'd for attention — patch the row in VMEM (vector select) and
+        # write the whole page back after the loop.
+        off = jax.lax.rem(slot_ref[b], block_size)
+        last = nblks - 1
+
         for s in range(_NSLOTS - 1):
 
             @pl.when(s < nblks)
@@ -85,7 +104,16 @@ def _decode_kernel(
                 v_dma(jax.lax.rem(nxt, _NSLOTS), nxt).start()
 
             k_dma(slot, i).wait()
-            # per-kv-head [G, D] x [D, bs] scores, statically unrolled
+
+            @pl.when(i == last)
+            def _():
+                row = jax.lax.broadcasted_iota(
+                    jnp.int32, (hkv, block_size, d), 1
+                )
+                k_buf[slot] = jnp.where(
+                    row == off, k_new_ref[0][:, None, :], k_buf[slot]
+                )
+
             s_parts = []
             for h in range(hkv):
                 s_parts.append(
@@ -108,8 +136,18 @@ def _decode_kernel(
             l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
 
             v_dma(slot, i).wait()
-            pv_parts = []
+
+            @pl.when(i == last)
+            def _():
+                row = jax.lax.broadcasted_iota(
+                    jnp.int32, (hkv, block_size, d), 1
+                )
+                v_buf[slot] = jnp.where(
+                    row == off, v_new_ref[0][:, None, :], v_buf[slot]
+                )
+
             p_cast = p.astype(v_buf.dtype)
+            pv_parts = []
             for h in range(hkv):
                 pv_parts.append(
                     jax.lax.dot_general(
@@ -129,56 +167,87 @@ def _decode_kernel(
         m, l, acc = jax.lax.fori_loop(0, nblks, body, (m0, l0, acc0))
         o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
-    @pl.when(nblks == 0)
+        # write the patched last page back to HBM (full-page, tile-aligned)
+        last_slot = jax.lax.rem(last, _NSLOTS)
+        last_blk = block_tables_ref[b, last]
+        kw = pltpu.make_async_copy(
+            k_buf.at[last_slot], k_out.at[layer, last_blk], w_sem.at[0]
+        )
+        vw = pltpu.make_async_copy(
+            v_buf.at[last_slot], v_out.at[layer, last_blk], w_sem.at[1]
+        )
+        kw.start()
+        vw.start()
+        kw.wait()
+        vw.wait()
+
+    @pl.when(seq_len == 0)
     def _():
         o_ref[0] = jnp.zeros_like(o_ref[0])
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
-def paged_attention_decode_tpu(
+def paged_decode_attention_write_tpu(
     q: jnp.ndarray,  # [B, Hq, D]
+    k_new: jnp.ndarray,  # [B, Hkv, D]
+    v_new: jnp.ndarray,
     k_all: jnp.ndarray,  # [L, NB, Hkv, bs, D]
     v_all: jnp.ndarray,
     layer_idx: jnp.ndarray,  # [] int32
+    slot_mapping: jnp.ndarray,  # [B] int32
     block_tables: jnp.ndarray,  # [B, NBmax] int32
-    seq_lens: jnp.ndarray,  # [B] int32
+    seq_lens: jnp.ndarray,  # [B] int32 (including the current token)
     scale: float,
     interpret: bool = False,
-) -> jnp.ndarray:
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """-> (out [B, Hq, D], k_all, v_all) — caches updated in place."""
     b, hq, d = q.shape
     _, _, hkv, bs, _ = k_all.shape
     g = hq // hkv
     assert hq == hkv * g
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(b,),
         in_specs=[
             pl.BlockSpec(
-                (1, hkv, g, d),
-                lambda i, *_: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
+                (1, hkv, g, d), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, hkv, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, hkv, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            (1, hkv, g, d),
-            lambda i, *_: (i, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=[
+            pl.BlockSpec(
+                (1, hkv, g, d), lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
         scratch_shapes=[
             pltpu.VMEM((_NSLOTS, hkv, bs, d), k_all.dtype),
             pltpu.VMEM((_NSLOTS, hkv, bs, d), v_all.dtype),
             pltpu.SemaphoreType.DMA((2, _NSLOTS)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(_decode_kernel, scale=scale, block_size=bs)
-    # GQA is head-major: q.reshape(b, hkv, g, d)[_, h] is kv head h's group.
-    out = pl.pallas_call(
+    # input indices include the 4 scalar-prefetch args: q=4, k_new=5,
+    # v_new=6, k_all=7, v_all=8; outputs: o=0, k_out=1, v_out=2
+    out, k_all, v_all = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), q.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hkv, g, d), q.dtype),
+            jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
+            jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
+        ],
+        input_output_aliases={7: 1, 8: 2},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -187,8 +256,11 @@ def paged_attention_decode_tpu(
         layer_idx.reshape(1),
         block_tables,
         seq_lens,
+        slot_mapping,
         q.reshape(b, hkv, g, d),
+        k_new,
+        v_new,
         k_all,
         v_all,
     )
-    return out.reshape(b, hq, d)
+    return out.reshape(b, hq, d), k_all, v_all

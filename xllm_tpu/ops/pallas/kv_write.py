@@ -1,0 +1,151 @@
+"""Pallas in-place paged KV-cache writer for prefill chunks.
+
+TPU-native counterpart of the reference's reshape_paged_cache op
+(reference xllm/core/kernels/ops_api.h paged-cache ops). The chunk's K/V
+rows land in their page slots via HBM->HBM DMA with the cache aliased
+in/out (`input_output_aliases`) — no XLA scatter (which cannot be proven
+in-place inside the layer scan and degenerates to a whole-cache copy per
+layer).
+
+CONTRACT: the chunk start (`q_offset`) is page-aligned — the scheduler
+rounds prefill chunk budgets down to block_size multiples, so every chunk
+except a prompt's final one is a whole number of pages. Writes are then
+all full-page DMAs [Hkv, bs, D] (HBM tiling forbids sub-page slices); the
+tail page is written whole, clobbering only slots beyond the sequence's
+tokens (never-read garbage, overwritten when those positions compute).
+
+New K/V arrive head-major [Hkv, S_pad, D] (the layout the prefill
+attention kernel wants for q), padded internally by one page so tail-page
+source reads stay in bounds.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kv_write_kernel(
+    # scalar prefetch
+    layer_ref,  # [1] int32
+    block_table_ref,  # [NBmax] int32
+    q_offset_ref,  # [1] int32 (page-aligned)
+    ntok_ref,  # [1] int32 (actual chunk tokens, <= S_pad)
+    # inputs
+    kt,  # [Hkv, S_pad + bs, D] ANY (head-major new K)
+    vt,
+    k_in,  # [L, NB, Hkv, bs, D] ANY (aliased)
+    v_in,
+    # outputs (aliased)
+    k_out,
+    v_out,
+    # scratch
+    page_sem,  # [2, MAXP]
+    *,
+    block_size: int,
+    max_pages: int,
+):
+    del k_in, v_in
+    layer = layer_ref[0]
+    q_offset = q_offset_ref[0]
+    ntok = ntok_ref[0]
+    first_page = q_offset // block_size
+
+    def page_dmas(p):
+        r0 = p * block_size
+        blk = block_table_ref[first_page + p]
+        kw = pltpu.make_async_copy(
+            kt.at[:, pl.ds(r0, block_size), :],
+            k_out.at[layer, blk],
+            page_sem.at[0, p],
+        )
+        vw = pltpu.make_async_copy(
+            vt.at[:, pl.ds(r0, block_size), :],
+            v_out.at[layer, blk],
+            page_sem.at[1, p],
+        )
+        return kw, vw
+
+    for p in range(max_pages):
+
+        @pl.when(p * block_size < ntok)
+        def _(p=p):
+            kw, vw = page_dmas(p)
+            kw.start()
+            vw.start()
+
+    for p in range(max_pages):
+
+        @pl.when(p * block_size < ntok)
+        def _(p=p):
+            kw, vw = page_dmas(p)
+            kw.wait()
+            vw.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def kv_write_prefill_tpu(
+    kt: jnp.ndarray,  # [Hkv, S_pad, D] head-major new K of the chunk
+    vt: jnp.ndarray,
+    k_all: jnp.ndarray,  # [L, NB, Hkv, bs, D]
+    v_all: jnp.ndarray,
+    layer_idx: jnp.ndarray,  # [] int32
+    block_table: jnp.ndarray,  # [NBmax] int32
+    q_offset: jnp.ndarray,  # [] int32 (page-aligned; see module docstring)
+    ntok: jnp.ndarray,  # [] int32 (valid rows in kt)
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """-> (k_all, v_all) updated in place."""
+    hkv, s_pad, d = kt.shape
+    bs = k_all.shape[3]
+    max_pages = (s_pad + bs - 1) // bs
+    # one page of slack so tail-page source reads stay in bounds
+    kt = jnp.pad(kt, ((0, 0), (0, bs), (0, 0)))
+    vt = jnp.pad(vt, ((0, 0), (0, bs), (0, 0)))
+
+    kernel = functools.partial(
+        _kv_write_kernel, block_size=bs, max_pages=max_pages
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.SemaphoreType.DMA((2, max_pages)),
+        ],
+    )
+    # inputs: 4 scalars, kt=4, vt=5, k_all=6, v_all=7 -> outputs 0, 1
+    k_all, v_all = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
+            jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
+        ],
+        input_output_aliases={6: 0, 7: 1},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        layer_idx.reshape(1),
+        block_table,
+        q_offset.reshape(1),
+        ntok.reshape(1),
+        kt,
+        vt,
+        k_all,
+        v_all,
+    )
+    return k_all, v_all

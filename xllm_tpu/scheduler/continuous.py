@@ -72,6 +72,20 @@ class ContinuousScheduler:
         )
 
     # ------------------------------------------------------------------
+    def _chunk_tokens(self, seq: Sequence, budget: int) -> int:
+        """Prompt tokens to schedule for this seq under ``budget``.
+
+        Non-final chunks are rounded down to block_size multiples so every
+        chunk starts page-aligned — the contract of the Pallas full-page KV
+        writer (xllm_tpu/ops/pallas/kv_write.py).
+        """
+        remaining = seq.num_tokens - seq.num_computed_tokens
+        n = min(remaining, budget)
+        if n < remaining:
+            bs = self.block_manager.block_size
+            n = (n // bs) * bs
+        return n
+
     def schedule(self) -> SchedulerOutput:
         out = SchedulerOutput()
         budget = self.config.max_tokens_per_chunk_for_prefill
@@ -84,7 +98,7 @@ class ContinuousScheduler:
                     continue
                 if budget <= 0:
                     break
-                n = min(seq.num_tokens - seq.num_computed_tokens, budget)
+                n = self._chunk_tokens(seq, budget)
                 if n <= 0:
                     continue
                 if not self.block_manager.allocate(seq, n):
@@ -101,9 +115,9 @@ class ContinuousScheduler:
             # prefix-cache hit shortens the chunk
             # (reference prefill path prefix match, continuous_scheduler.cpp:390)
             self.block_manager.match_prefix(seq)
-            n = min(seq.num_tokens - seq.num_computed_tokens, budget)
+            n = self._chunk_tokens(seq, budget)
             if n <= 0:
-                n = 1  # degenerate: everything cached; recompute last token
+                break  # leftover budget under one page; retry next step
             if not self.block_manager.allocate(seq, n):
                 # roll back the prefix refs; retry next step
                 self.block_manager.free(seq)
@@ -124,7 +138,7 @@ class ContinuousScheduler:
                     continue
                 if seq.num_computed_tokens == 0 and not seq.block_ids:
                     self.block_manager.match_prefix(seq)
-                n = min(seq.num_tokens - seq.num_computed_tokens, budget)
+                n = self._chunk_tokens(seq, budget)
                 if n <= 0 or any(s is seq for s, _ in out.prefill_items):
                     continue
                 if not self.block_manager.allocate(seq, n):
