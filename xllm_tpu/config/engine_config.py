@@ -118,7 +118,11 @@ class SchedulerConfig:
     max_tokens_per_batch: int = 8192
     max_tokens_per_chunk_for_prefill: int = 2048
     enable_chunked_prefill: bool = True
-    enable_schedule_overlap: bool = False
+    # async schedule overlap (reference --enable_schedule_overlap,
+    # docs/en/features/async_schedule.md): sampled tokens feed the next step
+    # on device; host fixes sequences up overlap_depth steps later
+    enable_schedule_overlap: bool = True
+    overlap_depth: int = 2
     max_model_len: int = 0  # 0 -> model max_position_embeddings
     # decode-batch and prefill-length jit buckets (graph-mode equivalent)
     decode_batch_buckets: list[int] = field(default_factory=list)

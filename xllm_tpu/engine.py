@@ -4,13 +4,27 @@ Counterpart of the reference's LLMEngine + master step loop
 (reference xllm/core/distributed_runtime/llm_engine.cpp:913-977 `step`,
 llm_master.cpp:254-269 loop). The TPU collapse (SURVEY.md §7.1): no worker
 RPC fan-out — one process drives jit calls on the mesh; "engine step" =
-schedule -> prefill calls + decode call -> postprocess.
+schedule -> prefill calls + decode call -> lagged postprocess.
+
+Async schedule overlap (reference async_schedule, continuous_scheduler.cpp
+:1293 + fake-token fixup llm_engine.cpp:979): sampled tokens stay on device
+in the runner's last_tokens ring and feed the next step's embedding lookup
+directly; the host appends PLACEHOLDER tokens at dispatch and fixes them up
+``overlap_depth`` steps later when the async device->host copy has landed.
+This hides the device->host fetch latency entirely (the fetch round-trip
+can exceed the whole decode step time).
 """
 
 from __future__ import annotations
 
 import time
 import uuid
+from collections import deque
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import jax
 
 from xllm_tpu.config import EngineConfig
 from xllm_tpu.framework.block_manager import BlockManager
@@ -28,6 +42,15 @@ from xllm_tpu.scheduler.continuous import ContinuousScheduler
 from xllm_tpu.utils import get_logger
 
 logger = get_logger(__name__)
+
+
+@dataclass
+class _Pending:
+    """One dispatched step whose sampled tokens are still on device."""
+
+    seqs: list[Sequence]
+    tokens: jax.Array  # [>=len(seqs)] int32 device
+    logprobs: jax.Array  # [>=len(seqs)] f32 device
 
 
 class LLMEngine:
@@ -58,6 +81,14 @@ class LLMEngine:
         self.scheduler = ContinuousScheduler(config.scheduler, self.block_manager)
         self._decoders: dict[int, IncrementalDecoder] = {}
         self._active_requests: dict[str, Request] = {}
+        # async schedule-overlap state
+        self._pending: deque[_Pending] = deque()
+        self.overlap_depth = (
+            config.scheduler.overlap_depth
+            if config.scheduler.enable_schedule_overlap
+            else 0
+        )
+        self._free_slots = list(range(self.runner.max_slots - 1, -1, -1))
 
     # ------------------------------------------------------------------
     # request intake (reference llm_master.cpp:177 handle_request)
@@ -106,53 +137,97 @@ class LLMEngine:
         req = self._active_requests.pop(request_id, None)
         if req is not None:
             self.scheduler.abort_request(req)
+            for seq in req.sequences:
+                self._release_slot(seq)
 
     def has_unfinished(self) -> bool:
-        return self.scheduler.has_unfinished()
+        return self.scheduler.has_unfinished() or bool(self._pending)
+
+    # ------------------------------------------------------------------
+    # slot pool for the device last_tokens ring
+    # ------------------------------------------------------------------
+    def _assign_slot(self, seq: Sequence) -> None:
+        if seq.slot_id < 0:
+            seq.slot_id = self._free_slots.pop()
+
+    def _release_slot(self, seq: Sequence) -> None:
+        if seq.slot_id >= 0:
+            self._free_slots.append(seq.slot_id)
+            seq.slot_id = -1
 
     # ------------------------------------------------------------------
     # the engine step (reference continuous_scheduler.cpp:1242 + llm_engine.cpp:913)
     # ------------------------------------------------------------------
     def step(self) -> list[RequestOutput]:
         out = self.scheduler.schedule()
-        if out.is_empty:
-            return []
-        touched: list[Sequence] = []
+        for req in out.preempted_requests:
+            for seq in req.sequences:
+                self._release_slot(seq)
 
         for seq, n in out.prefill_items:
-            token, logprob, samples_token = self.runner.run_prefill(seq, n)
+            self._assign_slot(seq)
+            tokens, logprobs, samples_token = self.runner.run_prefill(seq, n)
             seq.num_computed_tokens += n
             if samples_token:
-                self._on_new_token(seq, token, logprob)
-            self.block_manager.cache_computed_blocks(seq)
-            touched.append(seq)
+                seq.append_placeholder()
+                tokens.copy_to_host_async()
+                logprobs.copy_to_host_async()
+                self._pending.append(_Pending([seq], tokens, logprobs))
 
         if out.decode_seqs:
+            for seq in out.decode_seqs:
+                self._assign_slot(seq)
             tokens, logprobs = self.runner.run_decode(out.decode_seqs)
-            for seq, tok, lp in zip(out.decode_seqs, tokens, logprobs):
+            for seq in out.decode_seqs:
                 seq.num_computed_tokens += 1
-                self._on_new_token(seq, int(tok), float(lp))
-                self.block_manager.cache_computed_blocks(seq)
-                touched.append(seq)
+                seq.append_placeholder()
+            tokens.copy_to_host_async()
+            logprobs.copy_to_host_async()
+            self._pending.append(_Pending(list(out.decode_seqs), tokens, logprobs))
 
-        self.scheduler.free_finished()
+        touched: list[Sequence] = []
+        depth = self.overlap_depth if not out.is_empty else 0
+        while len(self._pending) > depth:
+            touched.extend(self._process_pending(self._pending.popleft()))
+
+        for req in self.scheduler.free_finished():
+            for seq in req.sequences:
+                self._release_slot(seq)
         return self._build_outputs(touched)
 
-    def _on_new_token(self, seq: Sequence, token: int, logprob: float) -> None:
-        seq.append_token(token, logprob)
-        seq.maybe_finish(token, self.config.scheduler.max_model_len)
-        # detokenize + stop-string scan (reference async_response_processor)
-        dec = self._decoders.get(seq.seq_id)
-        if dec is not None:
-            delta = dec.decode_new(seq.token_ids)
-            if delta:
-                seq.output_text += delta
-                if seq.stopping.stop_strings:
-                    cut = seq.stopping.check_stop_strings(seq.output_text)
-                    if cut >= 0:
-                        seq.output_text = seq.output_text[:cut]
-                        seq.finish(FinishReason.STOP)
+    def _process_pending(self, entry: _Pending) -> list[Sequence]:
+        """Fix up placeholders with arrived device tokens; run stop logic."""
+        tokens = np.asarray(entry.tokens)
+        logprobs = np.asarray(entry.logprobs)
+        touched = []
+        for i, seq in enumerate(entry.seqs):
+            if seq.is_finished and not seq.has_unfixed_tokens:
+                continue  # overrun step of an already-stopped sequence
+            self._fixup_token(seq, int(tokens[i]), float(logprobs[i]))
+            touched.append(seq)
+        return touched
 
+    def _fixup_token(self, seq: Sequence, token: int, logprob: float) -> None:
+        seq.fixup_token(token, logprob)
+        if not seq.is_finished:
+            seq.maybe_finish(token, self.config.scheduler.max_model_len)
+            # detokenize + stop-string scan (reference async_response_processor)
+            dec = self._decoders.get(seq.seq_id)
+            if dec is not None:
+                delta = dec.decode_new(seq.token_ids[: seq.num_fixed_tokens])
+                if delta:
+                    seq.output_text += delta
+                    if seq.stopping.stop_strings:
+                        cut = seq.stopping.check_stop_strings(seq.output_text)
+                        if cut >= 0:
+                            seq.output_text = seq.output_text[:cut]
+                            seq.finish(FinishReason.STOP)
+        if seq.is_finished:
+            seq.trim_unfixed()
+        else:
+            self.block_manager.cache_computed_blocks(seq)
+
+    # ------------------------------------------------------------------
     def _build_outputs(self, touched: list[Sequence]) -> list[RequestOutput]:
         by_req: dict[str, list[Sequence]] = {}
         for seq in touched:
@@ -162,15 +237,20 @@ class LLMEngine:
             req = self._active_requests.get(rid)
             if req is None:
                 continue
+            req_done = req.is_finished and not any(
+                s.has_unfixed_tokens for s in req.sequences
+            )
             ro = RequestOutput(
                 request_id=rid,
                 prompt=req.prompt,
-                finished=req.is_finished,
+                finished=req_done,
                 outputs=[
                     SequenceOutput(
                         index=i,
                         text=seq.output_text,
-                        token_ids=seq.token_ids[seq.num_prompt_tokens :],
+                        token_ids=seq.token_ids[
+                            seq.num_prompt_tokens : seq.num_fixed_tokens
+                        ],
                         finish_reason=(
                             seq.finish_reason.value if seq.finish_reason else None
                         ),
@@ -183,7 +263,7 @@ class LLMEngine:
                     for i, seq in enumerate(req.sequences)
                 ],
             )
-            if req.is_finished:
+            if req_done:
                 ro.usage = {
                     "prompt_tokens": req.sequences[0].num_prompt_tokens,
                     "completion_tokens": sum(

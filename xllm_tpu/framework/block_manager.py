@@ -161,7 +161,10 @@ class BlockManager:
         if not self.enable_prefix_cache:
             return
         bs = self.block_size
-        num_full = seq.num_computed_tokens // bs
+        # hash only tokens whose values are known on host (async overlap may
+        # leave trailing placeholder ids that must not poison the cache)
+        known = min(seq.num_computed_tokens, seq.num_fixed_tokens)
+        num_full = known // bs
         start = self._seq_num_hashed.get(seq.seq_id, 0)
         if start >= num_full:
             return

@@ -105,6 +105,13 @@ class Sequence:
         self.num_computed_tokens = 0  # tokens with KV in device cache
         self.num_cached_tokens = 0  # prefix-cache hit length (<= computed)
 
+        # async schedule-overlap state (reference async_schedule fake tokens,
+        # xllm/core/runtime/worker_impl.h:126): generated tokens are appended
+        # as placeholders at dispatch and given their real value at fixup
+        # once the device tokens arrive on host.
+        self.slot_id = -1  # index into the runner's last_tokens ring
+        self.num_fixed_tokens = len(prompt_token_ids)
+
         # incremental detokenization state (reference incremental_decoder.h:28)
         self.output_text = ""
         self.num_detokenized_tokens = len(prompt_token_ids)
@@ -139,12 +146,39 @@ class Sequence:
 
     def append_token(self, token_id: int, logprob: float | None = None) -> None:
         self.token_ids.append(token_id)
+        self.num_fixed_tokens = len(self.token_ids)
         if logprob is not None:
             self.output_logprobs.append(logprob)
 
+    # ---- async schedule-overlap plumbing ----
+    PLACEHOLDER = -1
+
+    def append_placeholder(self) -> None:
+        """Reserve a generated-token position whose value is still on device."""
+        self.token_ids.append(self.PLACEHOLDER)
+
+    @property
+    def has_unfixed_tokens(self) -> bool:
+        return self.num_fixed_tokens < len(self.token_ids)
+
+    def fixup_token(self, token_id: int, logprob: float) -> None:
+        """Give the oldest placeholder its real value (device->host arrived)."""
+        idx = self.num_fixed_tokens
+        assert idx < len(self.token_ids), "fixup without placeholder"
+        self.token_ids[idx] = token_id
+        self.output_logprobs.append(logprob)
+        self.num_fixed_tokens = idx + 1
+
+    def trim_unfixed(self) -> None:
+        """Drop overrun placeholders past the stop point (finish during fixup)."""
+        del self.token_ids[self.num_fixed_tokens :]
+        self.num_computed_tokens = min(self.num_computed_tokens, len(self.token_ids))
+
     def maybe_finish(self, last_token_id: int, max_model_len: int) -> bool:
+        # length checks count only FIXED tokens — trailing placeholders are
+        # in-flight dispatches whose values would be lost to trim_unfixed()
         reason = self.stopping.check(
-            last_token_id, self.num_prompt_tokens, self.num_tokens
+            last_token_id, self.num_prompt_tokens, self.num_fixed_tokens
         )
         if reason is not None:
             self.finish(reason)

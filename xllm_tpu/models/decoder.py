@@ -245,6 +245,7 @@ class DenseDecoderModel:
         k_all: jnp.ndarray,
         v_all: jnp.ndarray,
         inp: DecodeInput,
+        token_ids: jnp.ndarray,  # [B] int32 (gathered from last_tokens ring)
     ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """-> (hidden [B, D], k_all, v_all)."""
 
@@ -262,7 +263,7 @@ class DenseDecoderModel:
                 self.scale,
             )
 
-        x = params["embed_tokens"][inp.token_ids]
+        x = params["embed_tokens"][token_ids]
         x, k_all, v_all = self._run_layers(
             params, k_all, v_all, x, inp.positions, inp.slot_mapping, attn_fn
         )

@@ -39,9 +39,18 @@ class PrefillInput:
 @jax.tree_util.register_dataclass
 @dataclass
 class DecodeInput:
-    """One decode step for a padded batch of sequences (1 token each)."""
+    """One decode step for a padded batch of sequences (1 token each).
 
-    token_ids: jnp.ndarray  # [B] int32
+    Token values are NOT part of the input: each row's input token is read
+    on device from the runner's ``last_tokens`` ring via ``slot_ids`` —
+    the device-resident feedback that lets the host dispatch step i+1
+    before fetching step i's sampled tokens (the reference's async
+    schedule-overlap, xllm/core/scheduler/continuous_scheduler.cpp:1293,
+    with fake-token fixup llm_engine.cpp:979 — here the "fake" token is
+    simply never materialized on host).
+    """
+
+    slot_ids: jnp.ndarray  # [B] int32 index into last_tokens (pad -> trash)
     positions: jnp.ndarray  # [B] int32
     slot_mapping: jnp.ndarray  # [B] int32
     block_tables: jnp.ndarray  # [B, NB] int32

@@ -68,17 +68,19 @@ def build_decode_input(
     block_size: int,
     batch_buckets: list[int],
     num_block_table_cols: int,
+    trash_slot: int,
 ) -> DecodeInput:
+    """Padded rows point at the trash slot of the last_tokens ring."""
     b = len(seqs)
     b_pad = next_bucket(batch_buckets, b)
-    token_ids = np.zeros(b_pad, np.int32)
+    slot_ids = np.full(b_pad, trash_slot, np.int32)
     positions = np.zeros(b_pad, np.int32)
     slot_mapping = np.zeros(b_pad, np.int32)
     block_tables = np.zeros((b_pad, num_block_table_cols), np.int32)
     seq_lens = np.zeros(b_pad, np.int32)
     for i, seq in enumerate(seqs):
         pos = seq.num_tokens - 1
-        token_ids[i] = seq.token_ids[pos]
+        slot_ids[i] = seq.slot_id
         positions[i] = pos
         slot_mapping[i] = seq.block_ids[pos // block_size] * block_size + (
             pos % block_size
@@ -87,7 +89,7 @@ def build_decode_input(
         block_tables[i, :nb] = seq.block_ids
         seq_lens[i] = seq.num_tokens
     return DecodeInput(
-        token_ids=token_ids,
+        slot_ids=slot_ids,
         positions=positions,
         slot_mapping=slot_mapping,
         block_tables=block_tables,

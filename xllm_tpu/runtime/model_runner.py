@@ -53,6 +53,13 @@ class ModelRunner:
         self.max_blocks_per_seq = cdiv(
             config.scheduler.max_model_len, self.block_size
         )
+        # device-resident sampled-token ring for async schedule overlap
+        # (reference async_schedule fake-token path, SURVEY.md §2.2): slot i
+        # holds sequence-slot i's last sampled token; the extra trash slot
+        # absorbs padded rows.
+        self.max_slots = config.scheduler.max_seqs_per_batch
+        self.trash_slot = self.max_slots
+        self.last_tokens = None
         self._key = None
         self._prefill_fn = None
         self._decode_fn = None
@@ -78,6 +85,7 @@ class ModelRunner:
                 params = jax.tree.map(jax.device_put, params, shardings)
             self.params = params
         self._key = jax.random.key(self.config.seed)
+        self.last_tokens = self._put(jnp.zeros(self.max_slots + 1, jnp.int32))
         self._build_step_fns()
 
     def initialize_kv_cache(self, num_blocks: int | None = None) -> int:
@@ -140,19 +148,29 @@ class ModelRunner:
     def _build_step_fns(self) -> None:
         model = self.model
 
-        @partial(jax.jit, donate_argnums=(1, 2))
-        def prefill_step(params, k_cache, v_cache, inp: PrefillInput, si):
+        @partial(jax.jit, donate_argnums=(1, 2, 5))
+        def prefill_step(
+            params, k_cache, v_cache, inp: PrefillInput, si, last_tokens, slot
+        ):
             hidden, k_cache, v_cache = model.prefill(params, k_cache, v_cache, inp)
             logits = model.compute_logits(params, hidden)
             tokens, logprobs = sample(logits, si)
-            return k_cache, v_cache, tokens, logprobs
+            # mid-prompt chunks pass slot = trash_slot
+            last_tokens = last_tokens.at[slot].set(tokens[0])
+            return k_cache, v_cache, tokens, logprobs, last_tokens
 
-        @partial(jax.jit, donate_argnums=(1, 2))
-        def decode_step(params, k_cache, v_cache, inp: DecodeInput, si):
-            hidden, k_cache, v_cache = model.decode(params, k_cache, v_cache, inp)
+        @partial(jax.jit, donate_argnums=(1, 2, 5))
+        def decode_step(
+            params, k_cache, v_cache, inp: DecodeInput, si, last_tokens
+        ):
+            token_ids = last_tokens[inp.slot_ids]
+            hidden, k_cache, v_cache = model.decode(
+                params, k_cache, v_cache, inp, token_ids
+            )
             logits = model.compute_logits(params, hidden)
             tokens, logprobs = sample(logits, si)
-            return k_cache, v_cache, tokens, logprobs
+            last_tokens = last_tokens.at[inp.slot_ids].set(tokens)
+            return k_cache, v_cache, tokens, logprobs, last_tokens
 
         self._prefill_fn = prefill_step
         self._decode_fn = decode_step
@@ -172,8 +190,15 @@ class ModelRunner:
     # ------------------------------------------------------------------
     def run_prefill(
         self, seq: Sequence, num_new_tokens: int
-    ) -> tuple[int, float, bool]:
-        """Run one prompt chunk; returns (token, logprob, samples_token)."""
+    ) -> tuple[jax.Array, jax.Array, bool]:
+        """Run one prompt chunk asynchronously.
+
+        Returns (token_dev [1], logprob_dev [1], samples_token) — device
+        arrays, NOT fetched: the engine fixes up sequences with a lag
+        (async schedule overlap). The sampled token is also written into
+        the last_tokens ring at the sequence's slot so the next decode
+        step can read it without a host round trip.
+        """
         inp, samples_token = build_prefill_input(
             seq,
             num_new_tokens,
@@ -185,31 +210,50 @@ class ModelRunner:
         si = SamplingInput(
             temperature=temperature, top_k=top_k, top_p=top_p, key=self._next_key()
         )
-        self.k_cache, self.v_cache, tokens, logprobs = self._prefill_fn(
-            self.params, self.k_cache, self.v_cache, self._put(inp), self._put(si)
+        slot = seq.slot_id if samples_token else self.trash_slot
+        self.k_cache, self.v_cache, tokens, logprobs, self.last_tokens = (
+            self._prefill_fn(
+                self.params,
+                self.k_cache,
+                self.v_cache,
+                self._put(inp),
+                self._put(si),
+                self.last_tokens,
+                np.int32(slot),
+            )
         )
-        return int(tokens[0]), float(logprobs[0]), samples_token
+        return tokens, logprobs, samples_token
 
     def run_decode(
         self, seqs: list[Sequence]
-    ) -> tuple[np.ndarray, np.ndarray]:
-        """One decode token for each running sequence."""
+    ) -> tuple[jax.Array, jax.Array]:
+        """One decode token for each running sequence (async, device out).
+
+        Input tokens come from the last_tokens ring on device; returned
+        arrays are un-fetched device arrays for lagged fixup.
+        """
         inp = build_decode_input(
             seqs,
             self.block_size,
             self.config.scheduler.decode_batch_buckets,
             self.max_blocks_per_seq,
+            self.trash_slot,
         )
-        b_pad = inp.token_ids.shape[0]
+        b_pad = inp.slot_ids.shape[0]
         temperature, top_k, top_p = build_sampling_arrays(seqs, b_pad)
         si = SamplingInput(
             temperature=temperature, top_k=top_k, top_p=top_p, key=self._next_key()
         )
-        self.k_cache, self.v_cache, tokens, logprobs = self._decode_fn(
-            self.params, self.k_cache, self.v_cache, self._put(inp), self._put(si)
+        self.k_cache, self.v_cache, tokens, logprobs, self.last_tokens = (
+            self._decode_fn(
+                self.params,
+                self.k_cache,
+                self.v_cache,
+                self._put(inp),
+                self._put(si),
+                self.last_tokens,
+            )
         )
-        tokens = np.asarray(tokens)[: len(seqs)]
-        logprobs = np.asarray(logprobs)[: len(seqs)]
         return tokens, logprobs
 
     # ------------------------------------------------------------------
@@ -241,12 +285,15 @@ class ModelRunner:
                 top_p=np.ones(1, np.float32),
                 key=key,
             )
-            self.k_cache, self.v_cache, tokens, _ = self._prefill_fn(
-                self.params, self.k_cache, self.v_cache, self._put(inp), self._put(si)
+            self.k_cache, self.v_cache, tokens, _, self.last_tokens = (
+                self._prefill_fn(
+                    self.params, self.k_cache, self.v_cache, self._put(inp),
+                    self._put(si), self.last_tokens, np.int32(self.trash_slot),
+                )
             )
         for b_pad in sc.decode_batch_buckets:
             inp = DecodeInput(
-                token_ids=np.zeros(b_pad, np.int32),
+                slot_ids=np.full(b_pad, self.trash_slot, np.int32),
                 positions=np.zeros(b_pad, np.int32),
                 slot_mapping=np.zeros(b_pad, np.int32),
                 block_tables=np.zeros((b_pad, nb), np.int32),
@@ -258,8 +305,11 @@ class ModelRunner:
                 top_p=np.ones(b_pad, np.float32),
                 key=key,
             )
-            self.k_cache, self.v_cache, tokens, _ = self._decode_fn(
-                self.params, self.k_cache, self.v_cache, self._put(inp), self._put(si)
+            self.k_cache, self.v_cache, tokens, _, self.last_tokens = (
+                self._decode_fn(
+                    self.params, self.k_cache, self.v_cache, self._put(inp),
+                    self._put(si), self.last_tokens,
+                )
             )
         jax.block_until_ready(tokens)
         dt = time.perf_counter() - t0

@@ -96,6 +96,8 @@ class ContinuousScheduler:
             for seq in req.sequences:
                 if seq.is_finished or not seq.in_prefill:
                     continue
+                if seq.has_unfixed_tokens:
+                    continue  # resumed-preempted seq awaiting async fixup
                 if budget <= 0:
                     break
                 n = self._chunk_tokens(seq, budget)
@@ -112,6 +114,8 @@ class ContinuousScheduler:
                 break
             req = self.waiting[0]
             seq = req.sequences[0]
+            if seq.has_unfixed_tokens:
+                break  # preempted seq awaiting async fixup before re-prefill
             # prefix-cache hit shortens the chunk
             # (reference prefill path prefix match, continuous_scheduler.cpp:390)
             self.block_manager.match_prefix(seq)
@@ -154,6 +158,13 @@ class ContinuousScheduler:
                 continue  # preempted earlier in this loop
             for seq in req.sequences:
                 if seq.is_finished or seq.in_prefill or id(seq) in prefilling:
+                    continue
+                if (
+                    seq.num_tokens >= seq.stopping.max_model_len
+                    or seq.num_generated_tokens >= seq.stopping.max_new_tokens
+                ):
+                    # placeholders already reach a stop bound; the lagged
+                    # fixup will finish the sequence — don't overrun further
                     continue
                 self_preempted = False
                 while not self.block_manager.allocate(seq, 1):
