@@ -1,0 +1,199 @@
+"""OpenAI API server end-to-end on a tiny CPU model.
+
+Counterpart of the reference's tests/api_service suite (SURVEY.md §4):
+drives /v1/completions, /v1/chat/completions (stream + non-stream),
+/v1/models, /health, /metrics against a random-weight model with a
+word-level tokenizer built on the fly.
+"""
+
+import asyncio
+import json
+import os
+
+import pytest
+
+from xllm_tpu.config import CacheConfig, EngineConfig, ModelConfig, SchedulerConfig
+
+
+def _make_tokenizer_dir(tmp_path) -> str:
+    """Word-level HF tokenizer + ChatML template, no checkpoint."""
+    from tokenizers import Tokenizer, models, pre_tokenizers
+
+    vocab = {f"w{i}": i for i in range(200)}
+    vocab["<unk>"] = 200
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    d = str(tmp_path)
+    tok.save(os.path.join(d, "tokenizer.json"))
+    with open(os.path.join(d, "tokenizer_config.json"), "w") as f:
+        json.dump({"eos_token": "w0"}, f)
+    return d
+
+
+def _config(model_dir: str) -> EngineConfig:
+    return EngineConfig(
+        model=ModelConfig(
+            model_path=model_dir,
+            model_type="qwen3",
+            dtype="float32",
+            vocab_size=256,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=16,
+            qk_norm=True,
+            max_position_embeddings=128,
+        ),
+        cache=CacheConfig(block_size=16, num_blocks=32),
+        scheduler=SchedulerConfig(
+            max_seqs_per_batch=4,
+            max_tokens_per_batch=256,
+            decode_batch_buckets=[4],
+            prefill_token_buckets=[32, 64],
+            max_model_len=128,
+        ),
+        load_format="dummy",
+    )
+
+
+@pytest.fixture(scope="module")
+def server_client(tmp_path_factory):
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from xllm_tpu.server.api import APIServer
+
+    model_dir = _make_tokenizer_dir(tmp_path_factory.mktemp("model"))
+    api = APIServer(_config(model_dir), served_model_name="tiny")
+
+    loop = asyncio.new_event_loop()
+    client = TestClient(TestServer(api.app()), loop=loop)
+    loop.run_until_complete(client.start_server())
+    yield client, loop
+    loop.run_until_complete(client.close())
+    loop.close()
+
+
+def test_health_and_models(server_client):
+    client, loop = server_client
+
+    async def go():
+        r = await client.get("/health")
+        assert r.status == 200
+        r = await client.get("/v1/models")
+        data = await r.json()
+        assert data["data"][0]["id"] == "tiny"
+
+    loop.run_until_complete(go())
+
+
+def test_completions_non_stream(server_client):
+    client, loop = server_client
+
+    async def go():
+        r = await client.post(
+            "/v1/completions",
+            json={
+                "prompt": "w1 w2 w3 w4",
+                "max_tokens": 8,
+                "temperature": 0,
+                "ignore_eos": True,
+            },
+        )
+        assert r.status == 200, await r.text()
+        data = await r.json()
+        assert data["object"] == "text_completion"
+        assert data["usage"]["completion_tokens"] == 8
+        assert data["choices"][0]["finish_reason"] == "length"
+
+    loop.run_until_complete(go())
+
+
+def test_completions_token_ids_and_errors(server_client):
+    client, loop = server_client
+
+    async def go():
+        r = await client.post(
+            "/v1/completions",
+            json={"prompt": [5, 6, 7], "max_tokens": 4, "temperature": 0,
+                  "ignore_eos": True},
+        )
+        assert r.status == 200
+        data = await r.json()
+        assert data["usage"]["completion_tokens"] == 4
+
+        r = await client.post("/v1/completions", json={})
+        assert r.status == 400
+        # overlong prompt -> 400 through intake error propagation
+        r = await client.post(
+            "/v1/completions",
+            json={"prompt": [1] * 500, "max_tokens": 4},
+        )
+        assert r.status == 400
+
+    loop.run_until_complete(go())
+
+
+def test_completions_stream(server_client):
+    client, loop = server_client
+
+    async def go():
+        r = await client.post(
+            "/v1/completions",
+            json={
+                "prompt": "w1 w2",
+                "max_tokens": 6,
+                "temperature": 0,
+                "ignore_eos": True,
+                "stream": True,
+                "stream_options": {"include_usage": True},
+            },
+        )
+        assert r.status == 200
+        raw = await r.text()
+        events = [
+            json.loads(line[6:])
+            for line in raw.splitlines()
+            if line.startswith("data: ") and line != "data: [DONE]"
+        ]
+        assert raw.rstrip().endswith("data: [DONE]")
+        assert any(e["choices"] and e["choices"][0]["text"] for e in events)
+        finals = [e for e in events if e.get("usage")]
+        assert finals and finals[-1]["usage"]["completion_tokens"] == 6
+
+    loop.run_until_complete(go())
+
+
+def test_chat_completions(server_client):
+    client, loop = server_client
+
+    async def go():
+        r = await client.post(
+            "/v1/chat/completions",
+            json={
+                "messages": [{"role": "user", "content": "w3 w4 w5"}],
+                "max_tokens": 5,
+                "temperature": 0,
+                "ignore_eos": True,
+            },
+        )
+        assert r.status == 200, await r.text()
+        data = await r.json()
+        assert data["object"] == "chat.completion"
+        assert data["choices"][0]["message"]["role"] == "assistant"
+        assert data["usage"]["completion_tokens"] == 5
+
+    loop.run_until_complete(go())
+
+
+def test_metrics_endpoint(server_client):
+    client, loop = server_client
+
+    async def go():
+        r = await client.get("/metrics")
+        assert r.status == 200
+        body = await r.text()
+        assert "xllm_generated_tokens_total" in body
+
+    loop.run_until_complete(go())

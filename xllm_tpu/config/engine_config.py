@@ -197,6 +197,9 @@ class EngineConfig:
     speculative: SpeculativeConfig = field(default_factory=SpeculativeConfig)
     seed: int = 0
     enforce_eager: bool = False  # skip bucketing/jit caching (debug)
+    # "auto": load safetensors from model_path; "dummy": random init (tests,
+    # synthetic benchmarks — reference --load_format dummy equivalent)
+    load_format: str = "auto"
 
     def __post_init__(self) -> None:
         if self.scheduler.max_model_len == 0:

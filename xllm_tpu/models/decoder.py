@@ -52,9 +52,17 @@ class DenseDecoderModel:
     # parameter tree
     # ------------------------------------------------------------------
     def init_params(self, rng: jax.Array) -> dict:
-        """Random init (tests / synthetic benchmarks)."""
+        """Random init (tests / synthetic benchmarks).
+
+        Projections are fused for weight-streaming efficiency (one matmul
+        streams one big weight): qkv_proj_w packs Q/K/V group-major —
+        out dim = hkv groups x (G q-heads + 1 K + 1 V) x head_dim — so a
+        TP shard of the out dim holds whole GQA groups; gate_up_proj_w is
+        [D, 2, I] so a TP shard of I holds matching gate/up columns.
+        """
         c = self.cfg
         hq, hkv, dh = c.num_attention_heads, c.num_kv_heads, c.head_dim
+        g = hq // hkv
         L, D, I, V = c.num_hidden_layers, c.hidden_size, c.intermediate_size, c.vocab_size
 
         def w(key, *shape, scale=0.02):
@@ -66,18 +74,13 @@ class DenseDecoderModel:
         layers = {
             "input_layernorm": jnp.ones((L, D), self.dtype),
             "post_attention_layernorm": jnp.ones((L, D), self.dtype),
-            "q_proj_w": w(next(keys), L, D, hq * dh),
-            "k_proj_w": w(next(keys), L, D, hkv * dh),
-            "v_proj_w": w(next(keys), L, D, hkv * dh),
+            "qkv_proj_w": w(next(keys), L, D, hkv * (g + 2) * dh),
             "o_proj_w": w(next(keys), L, hq * dh, D),
-            "gate_proj_w": w(next(keys), L, D, I),
-            "up_proj_w": w(next(keys), L, D, I),
+            "gate_up_proj_w": w(next(keys), L, D, 2, I),
             "down_proj_w": w(next(keys), L, I, D),
         }
         if c.attention_bias:
-            layers["q_proj_b"] = jnp.zeros((L, hq * dh), self.dtype)
-            layers["k_proj_b"] = jnp.zeros((L, hkv * dh), self.dtype)
-            layers["v_proj_b"] = jnp.zeros((L, hkv * dh), self.dtype)
+            layers["qkv_proj_b"] = jnp.zeros((L, hkv * (g + 2) * dh), self.dtype)
         if c.qk_norm:
             layers["q_norm"] = jnp.ones((L, dh), self.dtype)
             layers["k_norm"] = jnp.ones((L, dh), self.dtype)
@@ -96,18 +99,13 @@ class DenseDecoderModel:
         layers = {
             "input_layernorm": P(),
             "post_attention_layernorm": P(),
-            "q_proj_w": P(None, None, TP_AXIS),
-            "k_proj_w": P(None, None, TP_AXIS),
-            "v_proj_w": P(None, None, TP_AXIS),
+            "qkv_proj_w": P(None, None, TP_AXIS),
             "o_proj_w": P(None, TP_AXIS, None),
-            "gate_proj_w": P(None, None, TP_AXIS),
-            "up_proj_w": P(None, None, TP_AXIS),
+            "gate_up_proj_w": P(None, None, None, TP_AXIS),
             "down_proj_w": P(None, TP_AXIS, None),
         }
         if c.attention_bias:
-            layers["q_proj_b"] = P(None, TP_AXIS)
-            layers["k_proj_b"] = P(None, TP_AXIS)
-            layers["v_proj_b"] = P(None, TP_AXIS)
+            layers["qkv_proj_b"] = P(None, TP_AXIS)
         if c.qk_norm:
             layers["q_norm"] = P()
             layers["k_norm"] = P()
@@ -141,9 +139,12 @@ class DenseDecoderModel:
     # forward
     # ------------------------------------------------------------------
     def _mlp(self, lp: dict, x: jnp.ndarray) -> jnp.ndarray:
-        gate = jnp.dot(x, lp["gate_proj_w"], preferred_element_type=jnp.float32)
-        up = jnp.dot(x, lp["up_proj_w"], preferred_element_type=jnp.float32)
-        act = jax.nn.silu(gate) * up
+        t = x.shape[0]
+        w = lp["gate_up_proj_w"]  # [D, 2, I]
+        gu = jnp.dot(
+            x, w.reshape(w.shape[0], -1), preferred_element_type=jnp.float32
+        ).reshape(t, 2, w.shape[2])
+        act = jax.nn.silu(gu[:, 0]) * gu[:, 1]
         return jnp.dot(
             act.astype(x.dtype), lp["down_proj_w"], preferred_element_type=jnp.float32
         ).astype(x.dtype)
@@ -157,16 +158,16 @@ class DenseDecoderModel:
     ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         c = self.cfg
         t = x.shape[0]
-        q = jnp.dot(x, lp["q_proj_w"], preferred_element_type=jnp.float32)
-        k = jnp.dot(x, lp["k_proj_w"], preferred_element_type=jnp.float32)
-        v = jnp.dot(x, lp["v_proj_w"], preferred_element_type=jnp.float32)
+        hkv, dh = c.num_kv_heads, c.head_dim
+        g = c.num_attention_heads // hkv
+        qkv = jnp.dot(x, lp["qkv_proj_w"], preferred_element_type=jnp.float32)
         if c.attention_bias:
-            q = q + lp["q_proj_b"]
-            k = k + lp["k_proj_b"]
-            v = v + lp["v_proj_b"]
-        q = q.astype(x.dtype).reshape(t, c.num_attention_heads, c.head_dim)
-        k = k.astype(x.dtype).reshape(t, c.num_kv_heads, c.head_dim)
-        v = v.astype(x.dtype).reshape(t, c.num_kv_heads, c.head_dim)
+            qkv = qkv + lp["qkv_proj_b"]
+        # group-major fused layout: [T, hkv, g+2, dh]
+        qkv = qkv.astype(x.dtype).reshape(t, hkv, g + 2, dh)
+        q = qkv[:, :, :g].reshape(t, c.num_attention_heads, dh)
+        k = qkv[:, :, g]
+        v = qkv[:, :, g + 1]
         if c.qk_norm:
             q = rms_norm(q, lp["q_norm"], c.rms_norm_eps)
             k = rms_norm(k, lp["k_norm"], c.rms_norm_eps)

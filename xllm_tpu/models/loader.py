@@ -67,19 +67,40 @@ _LAYER_MAP = {
         "model.layers.{i}.post_attention_layernorm.weight",
         False,
     ),
-    "q_proj_w": ("model.layers.{i}.self_attn.q_proj.weight", True),
-    "k_proj_w": ("model.layers.{i}.self_attn.k_proj.weight", True),
-    "v_proj_w": ("model.layers.{i}.self_attn.v_proj.weight", True),
     "o_proj_w": ("model.layers.{i}.self_attn.o_proj.weight", True),
-    "q_proj_b": ("model.layers.{i}.self_attn.q_proj.bias", False),
-    "k_proj_b": ("model.layers.{i}.self_attn.k_proj.bias", False),
-    "v_proj_b": ("model.layers.{i}.self_attn.v_proj.bias", False),
     "q_norm": ("model.layers.{i}.self_attn.q_norm.weight", False),
     "k_norm": ("model.layers.{i}.self_attn.k_norm.weight", False),
-    "gate_proj_w": ("model.layers.{i}.mlp.gate_proj.weight", True),
-    "up_proj_w": ("model.layers.{i}.mlp.up_proj.weight", True),
     "down_proj_w": ("model.layers.{i}.mlp.down_proj.weight", True),
 }
+
+
+def _fuse_qkv(
+    cfg: ModelConfig, q: np.ndarray, k: np.ndarray, v: np.ndarray
+) -> np.ndarray:
+    """HF [out, in] (or [out] bias) q/k/v -> group-major fused out layout.
+
+    Out dim order: hkv groups x (G q-heads + 1 K head + 1 V head) x head_dim
+    — matches DenseDecoderModel.init_params, keeping TP shards on whole
+    GQA groups.
+    """
+    hkv, dh = cfg.num_key_value_heads, cfg.head_dim
+    g = cfg.num_attention_heads // hkv
+    vec = q.ndim == 1
+
+    def heads(t, n):  # [n*dh, in] -> [n, dh, in]
+        return t.reshape(n, dh, -1) if not vec else t.reshape(n, dh, 1)
+
+    qh, kh, vh = heads(q, hkv * g), heads(k, hkv), heads(v, hkv)
+    groups = []
+    for j in range(hkv):
+        groups.append(qh[j * g : (j + 1) * g])
+        groups.append(kh[j : j + 1])
+        groups.append(vh[j : j + 1])
+    fused = np.concatenate(groups, axis=0)  # [hkv*(g+2), dh, in]
+    fused = fused.reshape(hkv * (g + 2) * dh, -1)
+    if vec:
+        return fused[:, 0]
+    return np.ascontiguousarray(fused.T)  # [in, out]
 
 
 def load_dense_params(
@@ -127,6 +148,56 @@ def load_dense_params(
         stacked = np.stack(per_layer, axis=0)
         params["layers"][pname] = put(f"layers.{pname}", stacked)
         logger.info("loaded %s %s", pname, stacked.shape)
+
+    # fused projections (group-major qkv; [D, 2, I] gate_up)
+    attn = "model.layers.{i}.self_attn.{p}_proj.{t}"
+    qkv_w = np.stack(
+        [
+            _fuse_qkv(
+                cfg,
+                reader.get(attn.format(i=i, p="q", t="weight")),
+                reader.get(attn.format(i=i, p="k", t="weight")),
+                reader.get(attn.format(i=i, p="v", t="weight")),
+            )
+            for i in range(L)
+        ],
+        axis=0,
+    )
+    params["layers"]["qkv_proj_w"] = put("layers.qkv_proj_w", qkv_w)
+    logger.info("loaded qkv_proj_w %s", qkv_w.shape)
+    if attn.format(i=0, p="q", t="bias") in reader:
+        qkv_b = np.stack(
+            [
+                _fuse_qkv(
+                    cfg,
+                    reader.get(attn.format(i=i, p="q", t="bias")),
+                    reader.get(attn.format(i=i, p="k", t="bias")),
+                    reader.get(attn.format(i=i, p="v", t="bias")),
+                )
+                for i in range(L)
+            ],
+            axis=0,
+        )
+        params["layers"]["qkv_proj_b"] = put("layers.qkv_proj_b", qkv_b)
+    gu = np.stack(
+        [
+            np.stack(
+                [
+                    np.ascontiguousarray(
+                        reader.get(f"model.layers.{i}.mlp.gate_proj.weight").T
+                    ),
+                    np.ascontiguousarray(
+                        reader.get(f"model.layers.{i}.mlp.up_proj.weight").T
+                    ),
+                ],
+                axis=1,
+            )  # [D, 2, I]
+            for i in range(L)
+        ],
+        axis=0,
+    )
+    params["layers"]["gate_up_proj_w"] = put("layers.gate_up_proj_w", gu)
+    logger.info("loaded gate_up_proj_w %s", gu.shape)
 
     reader.close()
     return params

@@ -72,7 +72,7 @@ class ModelRunner:
         shardings = make_named_shardings(self.mesh, self.model.param_shardings())
         if params is not None:
             self.params = params
-        elif self.config.model.model_path:
+        elif self.config.model.model_path and self.config.load_format != "dummy":
             from xllm_tpu.models.loader import load_dense_params
 
             self.params = load_dense_params(

@@ -1,0 +1,162 @@
+"""Async engine front: background step loop + asyncio streaming.
+
+Counterpart of the reference master's scheduler loop thread + response
+threadpool (reference xllm/core/distributed_runtime/llm_master.cpp:254-269
+run loop, async_response_processor.h:29): one thread owns the engine and
+steps it continuously; results cross into the asyncio world through
+per-request queues.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import queue as _queue
+import threading
+import time
+from dataclasses import dataclass, field
+
+from xllm_tpu.common import metrics
+from xllm_tpu.config import EngineConfig
+from xllm_tpu.engine import LLMEngine
+from xllm_tpu.framework.request import RequestOutput
+from xllm_tpu.framework.sampling_params import SamplingParams
+from xllm_tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+
+@dataclass
+class _Stream:
+    loop: asyncio.AbstractEventLoop
+    queue: asyncio.Queue = field(default_factory=asyncio.Queue)
+    first_token_at: float | None = None
+    started_at: float = field(default_factory=time.monotonic)
+
+    def push(self, item) -> None:
+        self.loop.call_soon_threadsafe(self.queue.put_nowait, item)
+
+
+class AsyncLLMEngine:
+    """Thread-owned LLMEngine with an asyncio streaming facade."""
+
+    def __init__(self, config: EngineConfig, engine: LLMEngine | None = None):
+        self.engine = engine or LLMEngine(config)
+        self._intake: _queue.Queue = _queue.Queue()
+        self._streams: dict[str, _Stream] = {}
+        self._streams_lock = threading.Lock()
+        self._stopped = threading.Event()
+        self._wake = threading.Event()
+        self._thread: threading.Thread | None = None
+        metrics.KV_BLOCKS_TOTAL.set(self.engine.block_manager.num_blocks - 1)
+
+    # ------------------------------------------------------------------
+    def start(self) -> None:
+        if self._thread is not None:
+            return
+        self._thread = threading.Thread(target=self._loop, daemon=True, name="engine")
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stopped.set()
+        self._wake.set()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+
+    @property
+    def tokenizer(self):
+        return self.engine.tokenizer
+
+    # ------------------------------------------------------------------
+    async def generate(
+        self,
+        prompt: str | None = None,
+        prompt_token_ids: list[int] | None = None,
+        sampling_params: SamplingParams | None = None,
+        request_id: str | None = None,
+    ):
+        """Async generator of cumulative RequestOutputs (last has finished=True)."""
+        loop = asyncio.get_running_loop()
+        stream = _Stream(loop)
+        done = loop.create_future()
+        self._intake.put(
+            ("add", dict(
+                prompt=prompt,
+                prompt_token_ids=prompt_token_ids,
+                sampling_params=sampling_params,
+                request_id=request_id,
+            ), stream, done)
+        )
+        self._wake.set()
+        req_id = await done  # raises on intake error (e.g. overlong prompt)
+        try:
+            while True:
+                out: RequestOutput | Exception = await stream.queue.get()
+                if isinstance(out, Exception):
+                    raise out
+                if stream.first_token_at is None and any(
+                    o.token_ids for o in out.outputs
+                ):
+                    stream.first_token_at = time.monotonic()
+                    metrics.TTFT.observe(stream.first_token_at - stream.started_at)
+                yield out
+                if out.finished:
+                    metrics.REQUEST_LATENCY.observe(
+                        time.monotonic() - stream.started_at
+                    )
+                    return
+        finally:
+            with self._streams_lock:
+                self._streams.pop(req_id, None)
+
+    def abort(self, request_id: str) -> None:
+        self._intake.put(("abort", request_id, None, None))
+        self._wake.set()
+
+    # ------------------------------------------------------------------
+    def _loop(self) -> None:
+        logger.info("engine loop started")
+        eng = self.engine
+        while not self._stopped.is_set():
+            # intake (the reference's request threadpool hop, llm_master.cpp:223)
+            drained = 0
+            while True:
+                try:
+                    kind, payload, stream, done = self._intake.get_nowait()
+                except _queue.Empty:
+                    break
+                drained += 1
+                if kind == "abort":
+                    eng.abort_request(payload)
+                    continue
+                try:
+                    req = eng.add_request(**payload)
+                    with self._streams_lock:
+                        self._streams[req.request_id] = stream
+                    metrics.REQUESTS_RUNNING.inc()
+                    metrics.PROMPT_TOKENS.inc(len(req.prompt_token_ids))
+                    stream.loop.call_soon_threadsafe(
+                        done.set_result, req.request_id
+                    )
+                except Exception as e:
+                    stream.loop.call_soon_threadsafe(done.set_exception, e)
+
+            if not eng.has_unfinished():
+                self._wake.wait(timeout=0.01)
+                self._wake.clear()
+                continue
+
+            with metrics.observe_latency(metrics.SCHEDULE_LATENCY):
+                outputs = eng.step()
+            metrics.ENGINE_STEPS.inc()
+            metrics.KV_BLOCKS_USED.set(eng.block_manager.num_used_blocks)
+            for ro in outputs:
+                ntok = sum(len(o.token_ids) for o in ro.outputs)
+                with self._streams_lock:
+                    stream = self._streams.get(ro.request_id)
+                if stream is not None:
+                    stream.push(ro)
+                if ro.finished:
+                    metrics.REQUESTS_RUNNING.dec()
+                    if ro.usage:
+                        metrics.GENERATED_TOKENS.inc(ro.usage["completion_tokens"])
+        logger.info("engine loop stopped")
