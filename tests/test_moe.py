@@ -1,0 +1,109 @@
+"""MoE routing + grouped expert MLP vs dense oracle; qwen3-moe E2E."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xllm_tpu.ops.moe import moe_mlp_gmm, moe_mlp_ref, route
+
+
+def test_route_topk_and_renorm():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((5, 16)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((16, 8)), jnp.float32)
+    topv, topi = route(x, w, 2, norm_topk_prob=True)
+    assert topi.shape == (5, 2)
+    np.testing.assert_allclose(np.asarray(topv.sum(-1)), 1.0, rtol=1e-5)
+    # greedy expert is the argmax of the softmax
+    probs = jax.nn.softmax(x @ w, axis=-1)
+    np.testing.assert_array_equal(
+        np.asarray(topi[:, 0]), np.asarray(jnp.argmax(probs, -1))
+    )
+
+
+def test_moe_ref_matches_manual_loop():
+    rng = np.random.default_rng(1)
+    T, D, E, I, K = 6, 16, 4, 8, 2
+    x = jnp.asarray(rng.standard_normal((T, D)), jnp.float32)
+    rw = jnp.asarray(rng.standard_normal((D, E)), jnp.float32)
+    gu = jnp.asarray(rng.standard_normal((E, D, 2 * I)) * 0.3, jnp.float32)
+    dn = jnp.asarray(rng.standard_normal((E, I, D)) * 0.3, jnp.float32)
+
+    out = moe_mlp_ref(x, rw, gu, dn, K, norm_topk_prob=False)
+
+    topv, topi = route(x, rw, K, False)
+    expect = np.zeros((T, D), np.float32)
+    for t in range(T):
+        for j in range(K):
+            e = int(topi[t, j])
+            h = np.asarray(x[t]) @ np.asarray(gu[e])
+            act = (h[:I] / (1 + np.exp(-h[:I]))) * h[I:]
+            expect[t] += float(topv[t, j]) * (act @ np.asarray(dn[e]))
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-4, atol=1e-4)
+
+
+def test_moe_gmm_matches_ref():
+    rng = np.random.default_rng(2)
+    T, D, E, I, K = 16, 128, 4, 128, 2
+    x = jnp.asarray(rng.standard_normal((T, D)), jnp.float32)
+    rw = jnp.asarray(rng.standard_normal((D, E)), jnp.float32)
+    gu = jnp.asarray(rng.standard_normal((E, D, 2 * I)) * 0.1, jnp.float32)
+    dn = jnp.asarray(rng.standard_normal((E, I, D)) * 0.1, jnp.float32)
+
+    ref = moe_mlp_ref(x, rw, gu, dn, K, True)
+    # interpret-mode megablox on CPU
+    import functools
+    import unittest.mock as mock
+    from jax.experimental.pallas.ops.tpu.megablox import gmm as real_gmm
+
+    with mock.patch(
+        "jax.experimental.pallas.ops.tpu.megablox.gmm",
+        functools.partial(real_gmm, interpret=True),
+    ):
+        out = moe_mlp_gmm(x, rw, gu, dn, K, True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_qwen3_moe_engine_e2e():
+    from xllm_tpu.config import CacheConfig, EngineConfig, ModelConfig, SchedulerConfig
+    from xllm_tpu.engine import LLMEngine
+    from xllm_tpu.framework.sampling_params import SamplingParams
+
+    cfg = EngineConfig(
+        model=ModelConfig(
+            model_type="qwen3_moe",
+            dtype="float32",
+            vocab_size=128,
+            hidden_size=32,
+            intermediate_size=0,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=8,
+            qk_norm=True,
+            max_position_embeddings=64,
+            num_experts=4,
+            num_experts_per_tok=2,
+            moe_intermediate_size=16,
+            norm_topk_prob=True,
+        ),
+        cache=CacheConfig(block_size=16, num_blocks=16),
+        scheduler=SchedulerConfig(
+            max_seqs_per_batch=2,
+            decode_batch_buckets=[2],
+            prefill_token_buckets=[16],
+            max_model_len=64,
+        ),
+    )
+    eng = LLMEngine(cfg)
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+    eng.add_request(prompt_token_ids=[3, 5, 7, 9], sampling_params=sp)
+    eng.add_request(prompt_token_ids=[2, 4, 6], sampling_params=sp)
+    outs = eng.generate_all()
+    assert len(outs) == 2
+    for o in outs:
+        assert len(o.outputs[0].token_ids) == 6
+    assert eng.block_manager.num_used_blocks == 0

@@ -179,25 +179,72 @@ def load_dense_params(
             axis=0,
         )
         params["layers"]["qkv_proj_b"] = put("layers.qkv_proj_b", qkv_b)
-    gu = np.stack(
+    if cfg.num_experts > 0:
+        _load_moe_mlp(cfg, reader, params, put, L)
+    else:
+        gu = np.stack(
+            [
+                np.stack(
+                    [
+                        np.ascontiguousarray(
+                            reader.get(f"model.layers.{i}.mlp.gate_proj.weight").T
+                        ),
+                        np.ascontiguousarray(
+                            reader.get(f"model.layers.{i}.mlp.up_proj.weight").T
+                        ),
+                    ],
+                    axis=1,
+                )  # [D, 2, I]
+                for i in range(L)
+            ],
+            axis=0,
+        )
+        params["layers"]["gate_up_proj_w"] = put("layers.gate_up_proj_w", gu)
+        logger.info("loaded gate_up_proj_w %s", gu.shape)
+
+    reader.close()
+    return params
+
+
+def _load_moe_mlp(cfg: ModelConfig, reader, params, put, L: int) -> None:
+    """qwen3-moe expert stacks: router [D, E], experts [E, D, 2I]/[E, I, D]."""
+    E = cfg.num_experts
+    router = np.stack(
         [
-            np.stack(
-                [
-                    np.ascontiguousarray(
-                        reader.get(f"model.layers.{i}.mlp.gate_proj.weight").T
-                    ),
-                    np.ascontiguousarray(
-                        reader.get(f"model.layers.{i}.mlp.up_proj.weight").T
-                    ),
-                ],
-                axis=1,
-            )  # [D, 2, I]
+            np.ascontiguousarray(
+                reader.get(f"model.layers.{i}.mlp.gate.weight").T
+            )
             for i in range(L)
         ],
         axis=0,
     )
-    params["layers"]["gate_up_proj_w"] = put("layers.gate_up_proj_w", gu)
-    logger.info("loaded gate_up_proj_w %s", gu.shape)
+    params["layers"]["router_w"] = put("layers.router_w", router)
 
-    reader.close()
-    return params
+    def expert(i, j, proj):
+        return np.ascontiguousarray(
+            reader.get(
+                f"model.layers.{i}.mlp.experts.{j}.{proj}_proj.weight"
+            ).T
+        )
+
+    gus, downs = [], []
+    for i in range(L):
+        gus.append(
+            np.stack(
+                [
+                    np.concatenate(
+                        [expert(i, j, "gate"), expert(i, j, "up")], axis=1
+                    )
+                    for j in range(E)
+                ],
+                axis=0,
+            )
+        )  # [E, D, 2I]
+        downs.append(np.stack([expert(i, j, "down") for j in range(E)], axis=0))
+    params["layers"]["experts_gate_up"] = put(
+        "layers.experts_gate_up", np.stack(gus, axis=0)
+    )
+    params["layers"]["experts_down"] = put(
+        "layers.experts_down", np.stack(downs, axis=0)
+    )
+    logger.info("loaded %d experts x %d layers", E, L)

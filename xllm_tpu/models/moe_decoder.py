@@ -1,0 +1,77 @@
+"""MoE decoder-only transformer (qwen3-moe family).
+
+Counterpart of the reference's qwen3-moe model + FusedMoE layer
+(reference xllm/models/llm/qwen3_moe.h registered at model_registry.h:150-247,
+xllm/core/layers/common/fused_moe.cpp). Same scan-over-layers structure as
+the dense model; the MLP is a routed expert block (ops/moe.py).
+
+Expert-parallel sharding (reference moe_ep groups,
+collective_communicator.h:48-49): expert-stacked weights shard on the
+expert dim over the ``tp`` mesh axis (EP aliases TP — activations are
+already replicated across tp after the attention row-parallel sum, so
+expert outputs combine with one psum inserted by GSPMD).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from xllm_tpu.config import ModelConfig
+from xllm_tpu.models.decoder import TP_AXIS, DenseDecoderModel
+from xllm_tpu.ops.moe import moe_mlp
+
+
+class MoeDecoderModel(DenseDecoderModel):
+    def __init__(self, cfg: ModelConfig):
+        super().__init__(cfg)
+        if cfg.num_experts <= 0:
+            raise ValueError("MoeDecoderModel requires num_experts > 0")
+        if cfg.mlp_only_layers or cfg.decoder_sparse_step != 1:
+            raise NotImplementedError(
+                "dense/sparse mixed stacks land with the deepseek family"
+            )
+
+    # ------------------------------------------------------------------
+    def init_params(self, rng: jax.Array) -> dict:
+        c = self.cfg
+        params = super().init_params(rng)
+        layers = params["layers"]
+        del layers["gate_up_proj_w"], layers["down_proj_w"]
+        L, D, E = c.num_hidden_layers, c.hidden_size, c.num_experts
+        I = c.moe_intermediate_size
+
+        k1, k2, k3 = jax.random.split(rng, 3)
+
+        def w(key, *shape, scale=0.02):
+            return (jax.random.normal(key, shape, jnp.float32) * scale).astype(
+                self.dtype
+            )
+
+        layers["router_w"] = w(k1, L, D, E)
+        layers["experts_gate_up"] = w(k2, L, E, D, 2 * I)
+        layers["experts_down"] = w(k3, L, E, I, D)
+        return params
+
+    def param_shardings(self) -> dict:
+        out = super().param_shardings()
+        layers = out["layers"]
+        del layers["gate_up_proj_w"], layers["down_proj_w"]
+        layers["router_w"] = P()
+        # EP: experts sharded over the tp axis
+        layers["experts_gate_up"] = P(None, TP_AXIS, None, None)
+        layers["experts_down"] = P(None, TP_AXIS, None, None)
+        return out
+
+    # ------------------------------------------------------------------
+    def _mlp(self, lp: dict, x: jnp.ndarray) -> jnp.ndarray:
+        c = self.cfg
+        return moe_mlp(
+            x,
+            lp["router_w"],
+            lp["experts_gate_up"],
+            lp["experts_down"],
+            c.num_experts_per_tok,
+            c.norm_topk_prob,
+        )

@@ -33,12 +33,13 @@ class ModelRegistry:
 
 def get_model_class(model_type: str) -> type:
     # import triggers registration
-    import xllm_tpu.models.decoder  # noqa: F401
     from xllm_tpu.models.decoder import DenseDecoderModel
+    from xllm_tpu.models.moe_decoder import MoeDecoderModel
 
     ModelRegistry._registry.setdefault("llama", DenseDecoderModel)
     ModelRegistry._registry.setdefault("qwen2", DenseDecoderModel)
     ModelRegistry._registry.setdefault("qwen3", DenseDecoderModel)
+    ModelRegistry._registry.setdefault("qwen3_moe", MoeDecoderModel)
     return ModelRegistry.get(model_type)
 
 
