@@ -166,3 +166,35 @@ def test_prefill_kv_write_matches_scatter(q_offset_v, ntok_v):
         )
     # untouched layer unchanged
     np.testing.assert_allclose(np.asarray(k_out[0]), np.asarray(k_all[0]))
+
+
+@pytest.mark.parametrize("q_offset_v,ntok_v", [(17, 4), (14, 5), (0, 3), (30, 2)])
+def test_rmw_kv_write_matches_scatter(q_offset_v, ntok_v):
+    """RMW small-chunk writer (unaligned starts, page-crossing) == scatter."""
+    from xllm_tpu.ops.pallas.kv_write import kv_write_rmw_tpu
+
+    rng = np.random.default_rng(5)
+    L, NB, hkv, bs, D, NBmax = 2, 12, 2, 16, 64, 6
+    s = 8
+    k_all, v_all = _make_cache(rng, L, NB, hkv, bs, D)
+    k_new = jnp.asarray(rng.standard_normal((s, hkv, D)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((s, hkv, D)), jnp.float32)
+    block_table = jnp.asarray(list(range(1, NBmax + 1)), jnp.int32)
+    layer_idx = jnp.int32(0)
+
+    slots = np.asarray(
+        [
+            int(block_table[(q_offset_v + r) // bs]) * bs + (q_offset_v + r) % bs
+            for r in range(ntok_v)
+        ],
+        np.int32,
+    )
+    k_ref, v_ref = write_kv(
+        k_all, v_all, layer_idx, k_new[:ntok_v], v_new[:ntok_v], jnp.asarray(slots)
+    )
+    k_out, v_out = kv_write_rmw_tpu(
+        k_new, v_new, k_all, v_all, layer_idx, block_table,
+        jnp.int32(q_offset_v), jnp.int32(ntok_v), interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(k_out), np.asarray(k_ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(v_out), np.asarray(v_ref), rtol=1e-6)

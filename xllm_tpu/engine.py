@@ -89,6 +89,15 @@ class LLMEngine:
             else 0
         )
         self._free_slots = list(range(self.runner.max_slots - 1, -1, -1))
+        # speculative decoding (reference SpeculativeEngine selection,
+        # llm_master.cpp:47-51): suffix/ngram drafting is model-free
+        self.spec_k = 0
+        if config.speculative.method in ("suffix", "ngram"):
+            self.spec_k = max(config.speculative.num_speculative_tokens, 1)
+            # spec verification is synchronous — multi-token yield replaces
+            # the overlap as the fetch-latency amortizer
+            self.overlap_depth = 0
+        self._proposers: dict[int, object] = {}
 
     # ------------------------------------------------------------------
     # request intake (reference llm_master.cpp:177 handle_request)
@@ -174,18 +183,32 @@ class LLMEngine:
                 logprobs.copy_to_host_async()
                 self._pending.append(_Pending([seq], tokens, logprobs))
 
-        if out.decode_seqs:
+        decode_seqs = out.decode_seqs
+        verified: list[Sequence] = []
+        if self.spec_k and decode_seqs:
+            decode_seqs = []
             for seq in out.decode_seqs:
                 self._assign_slot(seq)
-            tokens, logprobs = self.runner.run_decode(out.decode_seqs)
-            for seq in out.decode_seqs:
+                draft = self._propose_draft(seq)
+                if draft is None:
+                    decode_seqs.append(seq)
+                    continue
+                tokens, n = self.runner.run_verify(seq, draft)
+                self._apply_verified(seq, tokens)
+                verified.append(seq)
+
+        if decode_seqs:
+            for seq in decode_seqs:
+                self._assign_slot(seq)
+            tokens, logprobs = self.runner.run_decode(decode_seqs)
+            for seq in decode_seqs:
                 seq.num_computed_tokens += 1
                 seq.append_placeholder()
             tokens.copy_to_host_async()
             logprobs.copy_to_host_async()
-            self._pending.append(_Pending(list(out.decode_seqs), tokens, logprobs))
+            self._pending.append(_Pending(list(decode_seqs), tokens, logprobs))
 
-        touched: list[Sequence] = []
+        touched: list[Sequence] = list(verified)
         depth = self.overlap_depth if not out.is_empty else 0
         while len(self._pending) > depth:
             touched.extend(self._process_pending(self._pending.popleft()))
@@ -194,6 +217,62 @@ class LLMEngine:
             for seq in req.sequences:
                 self._release_slot(seq)
         return self._build_outputs(touched)
+
+    # ------------------------------------------------------------------
+    # speculative decoding helpers
+    # ------------------------------------------------------------------
+    def _propose_draft(self, seq: Sequence) -> list[int] | None:
+        """Exactly spec_k draft tokens from the suffix proposer, or None."""
+        from xllm_tpu.framework.suffix_cache import SuffixProposer
+
+        k = self.spec_k
+        if seq.num_fixed_tokens != seq.num_tokens:
+            return None  # last token still on device (shouldn't happen sync)
+        if seq.num_tokens + k + 1 > self.config.scheduler.max_model_len:
+            return None
+        if seq.num_generated_tokens + k + 1 > seq.stopping.max_new_tokens:
+            return None
+        prop = self._proposers.get(seq.seq_id)
+        if prop is None:
+            prop = self._proposers[seq.seq_id] = SuffixProposer()
+        prop.extend(seq.token_ids, seq.num_fixed_tokens)
+        draft = prop.propose(seq.token_ids, k)
+        if not draft:
+            return None
+        while len(draft) < k:  # pad short drafts by repeating the tail
+            draft.append(draft[-1])
+        # capacity for k+1 tokens beyond computed (scheduler allocated 1)
+        if not self.block_manager.allocate(seq, k + 1):
+            return None
+        return draft
+
+    def _apply_verified(self, seq: Sequence, tokens) -> None:
+        """Apply accepted tokens from a sync verify step."""
+        for tok in tokens:
+            seq.append_token(int(tok), 0.0)
+            seq.num_computed_tokens += 1
+            if not seq.is_finished:
+                seq.maybe_finish(
+                    int(tok), self.config.scheduler.max_model_len
+                )
+            if seq.is_finished:
+                break
+        # keep the sample-then-compute invariant: last token's KV pending
+        seq.num_computed_tokens = min(
+            seq.num_computed_tokens, seq.num_tokens - 1
+        )
+        if not seq.is_finished:
+            dec = self._decoders.get(seq.seq_id)
+            if dec is not None:
+                delta = dec.decode_new(seq.token_ids)
+                if delta:
+                    seq.output_text += delta
+                    if seq.stopping.stop_strings:
+                        cut = seq.stopping.check_stop_strings(seq.output_text)
+                        if cut >= 0:
+                            seq.output_text = seq.output_text[:cut]
+                            seq.finish(FinishReason.STOP)
+            self.block_manager.cache_computed_blocks(seq)
 
     def _process_pending(self, entry: _Pending) -> list[Sequence]:
         """Fix up placeholders with arrived device tokens; run stop logic."""
@@ -273,6 +352,7 @@ class LLMEngine:
                 self._active_requests.pop(rid, None)
                 for seq in req.sequences:
                     self._decoders.pop(seq.seq_id, None)
+                    self._proposers.pop(seq.seq_id, None)
             outputs.append(ro)
         return outputs
 

@@ -76,7 +76,8 @@ class DenseDecoderModel:
             "post_attention_layernorm": jnp.ones((L, D), self.dtype),
             "qkv_proj_w": w(next(keys), L, D, hkv * (g + 2) * dh),
             "o_proj_w": w(next(keys), L, hq * dh, D),
-            "gate_up_proj_w": w(next(keys), L, D, 2, I),
+            "gate_proj_w": w(next(keys), L, D, I),
+            "up_proj_w": w(next(keys), L, D, I),
             "down_proj_w": w(next(keys), L, I, D),
         }
         if c.attention_bias:
@@ -101,7 +102,8 @@ class DenseDecoderModel:
             "post_attention_layernorm": P(),
             "qkv_proj_w": P(None, None, TP_AXIS),
             "o_proj_w": P(None, TP_AXIS, None),
-            "gate_up_proj_w": P(None, None, None, TP_AXIS),
+            "gate_proj_w": P(None, None, TP_AXIS),
+            "up_proj_w": P(None, None, TP_AXIS),
             "down_proj_w": P(None, TP_AXIS, None),
         }
         if c.attention_bias:
@@ -139,12 +141,9 @@ class DenseDecoderModel:
     # forward
     # ------------------------------------------------------------------
     def _mlp(self, lp: dict, x: jnp.ndarray) -> jnp.ndarray:
-        t = x.shape[0]
-        w = lp["gate_up_proj_w"]  # [D, 2, I]
-        gu = jnp.dot(
-            x, w.reshape(w.shape[0], -1), preferred_element_type=jnp.float32
-        ).reshape(t, 2, w.shape[2])
-        act = jax.nn.silu(gu[:, 0]) * gu[:, 1]
+        gate = jnp.dot(x, lp["gate_proj_w"], preferred_element_type=jnp.float32)
+        up = jnp.dot(x, lp["up_proj_w"], preferred_element_type=jnp.float32)
+        act = jax.nn.silu(gate) * up
         return jnp.dot(
             act.astype(x.dtype), lp["down_proj_w"], preferred_element_type=jnp.float32
         ).astype(x.dtype)
@@ -215,8 +214,15 @@ class DenseDecoderModel:
         k_all: jnp.ndarray,
         v_all: jnp.ndarray,
         inp: PrefillInput,
+        num_logits: int = 1,
     ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """-> (hidden_last [1, D], k_all, v_all)."""
+        """-> (hidden of the last num_logits real rows [num_logits, D], k, v).
+
+        num_logits > 1 serves speculative verification (reference
+        SpeculativeWorkerImpl target pass, speculative_worker_impl.h:128):
+        the chunk is [last_token, draft_1..draft_k] and every row's logits
+        feed the rejection sampler.
+        """
 
         def attn_fn(q, k, v, k_all, v_all, layer_idx):
             return prefill_attention_write(
@@ -237,7 +243,9 @@ class DenseDecoderModel:
         x, k_all, v_all = self._run_layers(
             params, k_all, v_all, x, inp.positions, inp.slot_mapping, attn_fn
         )
-        hidden = jax.lax.dynamic_slice_in_dim(x, inp.logits_idx, 1, axis=0)
+        hidden = jax.lax.dynamic_slice_in_dim(
+            x, inp.logits_idx - (num_logits - 1), num_logits, axis=0
+        )
         return hidden, k_all, v_all
 
     def decode(

@@ -182,25 +182,21 @@ def load_dense_params(
     if cfg.num_experts > 0:
         _load_moe_mlp(cfg, reader, params, put, L)
     else:
-        gu = np.stack(
-            [
-                np.stack(
-                    [
-                        np.ascontiguousarray(
-                            reader.get(f"model.layers.{i}.mlp.gate_proj.weight").T
-                        ),
-                        np.ascontiguousarray(
-                            reader.get(f"model.layers.{i}.mlp.up_proj.weight").T
-                        ),
-                    ],
-                    axis=1,
-                )  # [D, 2, I]
-                for i in range(L)
-            ],
-            axis=0,
-        )
-        params["layers"]["gate_up_proj_w"] = put("layers.gate_up_proj_w", gu)
-        logger.info("loaded gate_up_proj_w %s", gu.shape)
+        for pname, hf in (
+            ("gate_proj_w", "gate_proj"),
+            ("up_proj_w", "up_proj"),
+        ):
+            stacked = np.stack(
+                [
+                    np.ascontiguousarray(
+                        reader.get(f"model.layers.{i}.mlp.{hf}.weight").T
+                    )
+                    for i in range(L)
+                ],
+                axis=0,
+            )
+            params["layers"][pname] = put(f"layers.{pname}", stacked)
+            logger.info("loaded %s %s", pname, stacked.shape)
 
     reader.close()
     return params

@@ -38,7 +38,7 @@ class MoeDecoderModel(DenseDecoderModel):
         c = self.cfg
         params = super().init_params(rng)
         layers = params["layers"]
-        del layers["gate_up_proj_w"], layers["down_proj_w"]
+        del layers["gate_proj_w"], layers["up_proj_w"], layers["down_proj_w"]
         L, D, E = c.num_hidden_layers, c.hidden_size, c.num_experts
         I = c.moe_intermediate_size
 
@@ -57,7 +57,7 @@ class MoeDecoderModel(DenseDecoderModel):
     def param_shardings(self) -> dict:
         out = super().param_shardings()
         layers = out["layers"]
-        del layers["gate_up_proj_w"], layers["down_proj_w"]
+        del layers["gate_proj_w"], layers["up_proj_w"], layers["down_proj_w"]
         layers["router_w"] = P()
         # EP: experts sharded over the tp axis
         layers["experts_gate_up"] = P(None, TP_AXIS, None, None)

@@ -76,17 +76,30 @@ def prefill_attention_write(
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Write the chunk's K/V into its pages, then flash-attend causally."""
     if _use_pallas():
-        from xllm_tpu.ops.pallas.kv_write import kv_write_prefill_tpu
+        from xllm_tpu.ops.pallas.kv_write import (
+            kv_write_prefill_tpu,
+            kv_write_rmw_tpu,
+        )
         from xllm_tpu.ops.pallas.prefill_attention import (
             paged_attention_prefill_tpu,
         )
 
         ntok = kv_len - q_offset
-        k_all, v_all = kv_write_prefill_tpu(
-            k_new.transpose(1, 0, 2),
-            v_new.transpose(1, 0, 2),
-            k_all, v_all, layer_idx, block_table, q_offset, ntok,
-        )
+        block_size = k_all.shape[3]
+        if k_new.shape[0] <= block_size:
+            # small chunk (speculative verify): may start mid-page -> RMW
+            # (token-major input, no transpose)
+            k_all, v_all = kv_write_rmw_tpu(
+                k_new, v_new, k_all, v_all, layer_idx, block_table,
+                q_offset, ntok,
+            )
+        else:
+            # large chunk: page-aligned start (scheduler contract) -> full-page
+            k_all, v_all = kv_write_prefill_tpu(
+                k_new.transpose(1, 0, 2),
+                v_new.transpose(1, 0, 2),
+                k_all, v_all, layer_idx, block_table, q_offset, ntok,
+            )
         out = paged_attention_prefill_tpu(
             q, k_all, v_all, layer_idx, block_table, q_offset, kv_len, scale
         )

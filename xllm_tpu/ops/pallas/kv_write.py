@@ -87,6 +87,134 @@ def _kv_write_kernel(
             vw.wait()
 
 
+def _kv_write_rmw_kernel(
+    # scalar prefetch
+    layer_ref,  # [1]
+    block_table_ref,  # [NBmax]
+    q_offset_ref,  # [1] (any alignment)
+    ntok_ref,  # [1] valid rows (<= S)
+    # inputs
+    kt,  # [S, Hkv, D] VMEM (small chunk, token-major, S <= block_size)
+    vt,
+    k_in,  # aliased
+    v_in,
+    # outputs (aliased)
+    k_out,
+    v_out,
+    # scratch
+    k_pg,  # [Hkv, bs, D] VMEM
+    v_pg,
+    sem,  # [2]
+    *,
+    block_size: int,
+    s: int,
+):
+    """Read-modify-write small-chunk writer (speculative verify chunks).
+
+    The chunk spans at most two pages; each touched page is DMA'd to VMEM,
+    the chunk rows are merged with per-row vector selects (S is small and
+    static), and the page is written back whole — HBM tiling never sees a
+    sub-page DMA. The chunk is token-major so indexing row j slices the
+    UNtiled leading dim.
+    """
+    del k_in, v_in
+    layer = layer_ref[0]
+    q_offset = q_offset_ref[0]
+    ntok = ntok_ref[0]
+    _, hkv, d = kt.shape
+    first_page = q_offset // block_size
+    last_page = (q_offset + jnp.maximum(ntok, 1) - 1) // block_size
+
+    def do_page(page_idx):
+        blk = block_table_ref[page_idx]
+        kr = pltpu.make_async_copy(k_out.at[layer, blk], k_pg, sem.at[0])
+        vr = pltpu.make_async_copy(v_out.at[layer, blk], v_pg, sem.at[1])
+        kr.start()
+        vr.start()
+        kr.wait()
+        vr.wait()
+        row = jax.lax.broadcasted_iota(jnp.int32, (hkv, block_size, d), 1)
+        for j in range(s):
+            pos = q_offset + j
+            hit = (
+                (j < ntok)
+                & (pos // block_size == page_idx)
+                & (row == jax.lax.rem(pos, block_size))
+            )
+            k_pg[...] = jnp.where(hit, kt[j][:, None, :], k_pg[...])
+            v_pg[...] = jnp.where(hit, vt[j][:, None, :], v_pg[...])
+        kw = pltpu.make_async_copy(k_pg, k_out.at[layer, blk], sem.at[0])
+        vw = pltpu.make_async_copy(v_pg, v_out.at[layer, blk], sem.at[1])
+        kw.start()
+        vw.start()
+        kw.wait()
+        vw.wait()
+
+    do_page(first_page)
+
+    @pl.when(last_page != first_page)
+    def _():
+        do_page(last_page)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def kv_write_rmw_tpu(
+    kt: jnp.ndarray,  # [S, Hkv, D] token-major chunk, S <= block_size
+    vt: jnp.ndarray,
+    k_all: jnp.ndarray,
+    v_all: jnp.ndarray,
+    layer_idx: jnp.ndarray,
+    block_table: jnp.ndarray,
+    q_offset: jnp.ndarray,  # [] any alignment
+    ntok: jnp.ndarray,  # [] valid rows
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    s, hkv, d = kt.shape
+    bs = k_all.shape[3]
+    assert s <= bs, "RMW writer covers chunks within two pages"
+    kernel = functools.partial(_kv_write_rmw_kernel, block_size=bs, s=s)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((hkv, bs, d), k_all.dtype),
+            pltpu.VMEM((hkv, bs, d), v_all.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    k_all, v_all = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
+            jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
+        ],
+        input_output_aliases={6: 0, 7: 1},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        layer_idx.reshape(1),
+        block_table,
+        q_offset.reshape(1),
+        ntok.reshape(1),
+        kt,
+        vt,
+        k_all,
+        v_all,
+    )
+    return k_all, v_all
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def kv_write_prefill_tpu(
     kt: jnp.ndarray,  # [Hkv, S_pad, D] head-major new K of the chunk

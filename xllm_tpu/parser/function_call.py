@@ -1,0 +1,178 @@
+"""Tool/function-call detection in model output.
+
+Counterpart of the reference's per-family function-call detectors +
+streaming partial-JSON parser (reference
+xllm/function_call/function_call_parser.h:29, qwen25_detector, deepseekv3
+detectors, partial_json_parser/). Formats covered:
+
+- hermes/qwen: ``<tool_call>\n{"name": ..., "arguments": {...}}\n</tool_call>``
+- qwen3-coder XML-ish: ``<function=NAME><parameter=K>V</parameter></function>``
+- llama3 JSON: a bare ``{"name": ..., "parameters": {...}}`` body
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import uuid
+from dataclasses import dataclass, field
+
+
+@dataclass
+class ToolCall:
+    name: str
+    arguments: str  # JSON-encoded arguments string (OpenAI schema)
+    id: str = field(default_factory=lambda: "call_" + uuid.uuid4().hex[:24])
+
+
+@dataclass
+class ParseResult:
+    content: str  # normal text outside tool calls
+    tool_calls: list[ToolCall]
+
+
+def parse_partial_json(s: str) -> tuple[object | None, int]:
+    """Best-effort parse of a possibly-truncated JSON document.
+
+    Returns (value, consumed_chars) — value is None when nothing parseable
+    yet. Completes truncated objects/strings the way the reference's
+    partial_json_parser does (tests/function_call/partial_json_parser).
+    """
+    s = s.lstrip()
+    if not s:
+        return None, 0
+    try:
+        v = json.loads(s)
+        return v, len(s)
+    except json.JSONDecodeError:
+        pass
+    # close any open strings/brackets
+    stack: list[str] = []
+    in_str = False
+    esc = False
+    for ch in s:
+        if in_str:
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == '"':
+                in_str = False
+            continue
+        if ch == '"':
+            in_str = True
+        elif ch in "{[":
+            stack.append("}" if ch == "{" else "]")
+        elif ch in "}]":
+            if stack:
+                stack.pop()
+    fixed = s + ('"' if in_str else "")
+    # drop trailing dangling tokens: `"key":`, `, "key"`, lone `,` or `:`
+    fixed = re.sub(r'[,:]\s*$', "", fixed)
+    fixed = re.sub(r'"[^"]*"\s*:\s*$', "", fixed)
+    fixed = re.sub(r',\s*"[^"]*"\s*$', "", fixed)
+    fixed = re.sub(r",\s*$", "", fixed)
+    fixed += "".join(reversed(stack))
+    try:
+        return json.loads(fixed), len(s)
+    except json.JSONDecodeError:
+        return None, 0
+
+
+class BaseDetector:
+    def parse(self, text: str) -> ParseResult:  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+class HermesDetector(BaseDetector):
+    """``<tool_call>{json}</tool_call>`` (qwen2.5/qwen3, hermes format).
+
+    Reference qwen25_detector (xllm/function_call/).
+    """
+
+    _RE = re.compile(r"<tool_call>\s*(.*?)\s*</tool_call>", re.DOTALL)
+
+    def parse(self, text: str) -> ParseResult:
+        calls = []
+        for m in self._RE.finditer(text):
+            try:
+                obj = json.loads(m.group(1))
+                calls.append(
+                    ToolCall(
+                        name=obj.get("name", ""),
+                        arguments=json.dumps(obj.get("arguments", {})),
+                    )
+                )
+            except json.JSONDecodeError:
+                obj, used = parse_partial_json(m.group(1))
+                if isinstance(obj, dict) and obj.get("name"):
+                    calls.append(
+                        ToolCall(
+                            name=obj["name"],
+                            arguments=json.dumps(obj.get("arguments", {})),
+                        )
+                    )
+        content = self._RE.sub("", text).strip()
+        return ParseResult(content=content, tool_calls=calls)
+
+
+class QwenCoderXMLDetector(BaseDetector):
+    """``<function=NAME><parameter=K>V</parameter>...</function>``.
+
+    Reference qwen3_coder_detector.
+    """
+
+    _FN = re.compile(r"<function=([\w\-.]+)>(.*?)</function>", re.DOTALL)
+    _PARAM = re.compile(r"<parameter=([\w\-.]+)>\s*(.*?)\s*</parameter>", re.DOTALL)
+
+    def parse(self, text: str) -> ParseResult:
+        calls = []
+        for m in self._FN.finditer(text):
+            args = {}
+            for pm in self._PARAM.finditer(m.group(2)):
+                val = pm.group(2)
+                try:
+                    args[pm.group(1)] = json.loads(val)
+                except json.JSONDecodeError:
+                    args[pm.group(1)] = val
+            calls.append(ToolCall(name=m.group(1), arguments=json.dumps(args)))
+        content = self._FN.sub("", text)
+        content = re.sub(r"</?tool_call>", "", content).strip()
+        return ParseResult(content=content, tool_calls=calls)
+
+
+class LlamaJsonDetector(BaseDetector):
+    """Bare ``{"name": ..., "parameters": {...}}`` body (llama3-style)."""
+
+    def parse(self, text: str) -> ParseResult:
+        stripped = text.strip()
+        if stripped.startswith("{"):
+            obj, used = parse_partial_json(stripped)
+            if isinstance(obj, dict) and "name" in obj:
+                args = obj.get("parameters", obj.get("arguments", {}))
+                return ParseResult(
+                    content="",
+                    tool_calls=[
+                        ToolCall(name=obj["name"], arguments=json.dumps(args))
+                    ],
+                )
+        return ParseResult(content=text, tool_calls=[])
+
+
+_DETECTORS = {
+    "hermes": HermesDetector,
+    "qwen25": HermesDetector,
+    "qwen3": HermesDetector,
+    "qwen3_coder": QwenCoderXMLDetector,
+    "llama3_json": LlamaJsonDetector,
+}
+
+
+def get_detector(format_name: str) -> BaseDetector:
+    """Reference FunctionCallParser factory (function_call_parser.h:29)."""
+    cls = _DETECTORS.get(format_name)
+    if cls is None:
+        raise ValueError(
+            f"unknown tool-call format {format_name!r}; known: {sorted(_DETECTORS)}"
+        )
+    return cls()

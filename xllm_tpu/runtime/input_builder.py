@@ -97,6 +97,44 @@ def build_decode_input(
     )
 
 
+def build_verify_input(
+    seq: Sequence,
+    draft_tokens: list[int],
+    block_size: int,
+    num_block_table_cols: int,
+) -> PrefillInput:
+    """Speculative-verify chunk: [last_token, draft_1..draft_k].
+
+    Requires the invariant num_computed == num_tokens - 1 (the last token
+    was sampled but its KV not yet computed) and k+1 tokens of block
+    capacity already allocated. Shapes are exact (k+1 rows, no bucket
+    padding) — one compiled program per spec_k.
+    """
+    start = seq.num_computed_tokens
+    assert start == seq.num_tokens - 1, "verify needs sample-then-compute state"
+    chunk = [seq.token_ids[start], *draft_tokens]
+    s = len(chunk)
+    positions = np.arange(start, start + s, dtype=np.int32)
+    slot_mapping = np.asarray(
+        [
+            seq.block_ids[p // block_size] * block_size + p % block_size
+            for p in range(start, start + s)
+        ],
+        np.int32,
+    )
+    block_table = np.zeros(num_block_table_cols, np.int32)
+    block_table[: len(seq.block_ids)] = seq.block_ids
+    return PrefillInput(
+        token_ids=_np(chunk),
+        positions=positions,
+        slot_mapping=slot_mapping,
+        block_table=block_table,
+        kv_len=_np(start + s),
+        q_offset=_np(start),
+        logits_idx=_np(s - 1),
+    )
+
+
 def build_sampling_arrays(
     seqs: list[Sequence], n_pad: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -32,7 +32,9 @@ from xllm_tpu.runtime.input_builder import (
     build_decode_input,
     build_prefill_input,
     build_sampling_arrays,
+    build_verify_input,
 )
+from xllm_tpu.runtime.rejection_sampler import rejection_sample
 from xllm_tpu.runtime.sampler import sample
 from xllm_tpu.utils import cdiv, get_logger, next_bucket
 
@@ -172,8 +174,30 @@ class ModelRunner:
             last_tokens = last_tokens.at[inp.slot_ids].set(tokens)
             return k_cache, v_cache, tokens, logprobs, last_tokens
 
+        @partial(
+            jax.jit, donate_argnums=(1, 2, 6), static_argnames=("num_logits",)
+        )
+        def verify_step(
+            params, k_cache, v_cache, inp: PrefillInput, draft_tokens,
+            temperature, last_tokens, slot, key, num_logits,
+        ):
+            hidden, k_cache, v_cache = model.prefill(
+                params, k_cache, v_cache, inp, num_logits=num_logits
+            )
+            logits = model.compute_logits(params, hidden)  # [k+1, V]
+            tokens, num_acc = rejection_sample(
+                draft_tokens[None],
+                jnp.full((1,), num_logits - 1, jnp.int32),
+                logits[None],
+                temperature[None],
+                key,
+            )
+            last_tokens = last_tokens.at[slot].set(tokens[0, num_acc[0] - 1])
+            return k_cache, v_cache, tokens[0], num_acc[0], last_tokens
+
         self._prefill_fn = prefill_step
         self._decode_fn = decode_step
+        self._verify_fn = verify_step
 
     def _next_key(self) -> jax.Array:
         self._key, sub = jax.random.split(self._key)
@@ -223,6 +247,38 @@ class ModelRunner:
             )
         )
         return tokens, logprobs, samples_token
+
+    def run_verify(
+        self, seq: Sequence, draft_tokens: list[int]
+    ) -> tuple[np.ndarray, int]:
+        """Speculative verify: compute KV+logits for [last, drafts], accept.
+
+        SYNCHRONOUS (fetches the result): speculative decoding trades the
+        fetch round-trip against multi-token yield per step (reference
+        SpeculativeEngine step, speculative_engine.cpp:41-70).
+        Returns (tokens [<=k+1], num_accepted) — tokens[:num_accepted] are
+        the emitted tokens; the ring slot is updated on device.
+        """
+        inp = build_verify_input(
+            seq, draft_tokens, self.block_size, self.max_blocks_per_seq
+        )
+        sp = seq.sampling_params
+        self.k_cache, self.v_cache, tokens, num_acc, self.last_tokens = (
+            self._verify_fn(
+                self.params,
+                self.k_cache,
+                self.v_cache,
+                self._put(inp),
+                jnp.asarray(draft_tokens, jnp.int32),
+                jnp.float32(sp.temperature),
+                self.last_tokens,
+                np.int32(seq.slot_id),
+                self._next_key(),
+                num_logits=len(draft_tokens) + 1,
+            )
+        )
+        n = int(num_acc)
+        return np.asarray(tokens)[:n], n
 
     def run_decode(
         self, seqs: list[Sequence]

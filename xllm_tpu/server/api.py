@@ -64,11 +64,19 @@ def _sampling_from_body(body: dict, max_model_len: int) -> SamplingParams:
 
 
 class APIServer:
-    def __init__(self, config: EngineConfig, served_model_name: str = ""):
+    def __init__(
+        self,
+        config: EngineConfig,
+        served_model_name: str = "",
+        tool_call_parser: str = "",
+        reasoning_parser: bool = False,
+    ):
         self.config = config
         self.engine = AsyncLLMEngine(config)
         self.model_name = served_model_name or config.model.model_path or "xllm-tpu"
         self.rate_limiter = RateLimiter(0)
+        self.tool_call_parser = tool_call_parser
+        self.reasoning_parser = reasoning_parser
         self.chat_template: ChatTemplate | None = None
         if config.model.model_path:
             try:
@@ -197,6 +205,36 @@ class APIServer:
         finally:
             self.rate_limiter.release()
 
+    def _postprocess_chat_text(self, text: str) -> dict:
+        """Split reasoning + detect tool calls (reference StreamOutputParser
+        + FunctionCallParser on the non-stream path)."""
+        msg: dict = {"role": "assistant", "content": text}
+        if self.reasoning_parser:
+            from xllm_tpu.parser.reasoning_parser import ReasoningParser
+
+            p = ReasoningParser()
+            d = p.feed(text)
+            f = p.finish()
+            reasoning = d.reasoning + f.reasoning
+            if reasoning:
+                msg["reasoning_content"] = reasoning
+                msg["content"] = d.content + f.content
+        if self.tool_call_parser:
+            from xllm_tpu.parser.function_call import get_detector
+
+            r = get_detector(self.tool_call_parser).parse(msg["content"])
+            if r.tool_calls:
+                msg["content"] = r.content or None
+                msg["tool_calls"] = [
+                    {
+                        "id": c.id,
+                        "type": "function",
+                        "function": {"name": c.name, "arguments": c.arguments},
+                    }
+                    for c in r.tool_calls
+                ]
+        return msg
+
     async def _full_response(self, gen, request_id, created, chat, endpoint):
         final = None
         async for out in gen:
@@ -205,11 +243,15 @@ class APIServer:
         choices = []
         for o in final.outputs:
             if chat:
+                msg = self._postprocess_chat_text(o.text)
+                finish = o.finish_reason
+                if msg.get("tool_calls") and finish == "stop":
+                    finish = "tool_calls"
                 choices.append(
                     {
                         "index": o.index,
-                        "message": {"role": "assistant", "content": o.text},
-                        "finish_reason": o.finish_reason,
+                        "message": msg,
+                        "finish_reason": finish,
                     }
                 )
             else:
@@ -359,11 +401,22 @@ def main(argv=None) -> None:
     p.add_argument("--no-prefix-cache", action="store_true")
     p.add_argument("--no-schedule-overlap", action="store_true")
     p.add_argument("--warmup", action="store_true")
+    p.add_argument(
+        "--tool-call-parser", default="",
+        help="hermes|qwen25|qwen3|qwen3_coder|llama3_json",
+    )
+    p.add_argument("--reasoning-parser", action="store_true",
+                   help="split <think> blocks into reasoning_content")
     args = p.parse_args(argv)
 
     config = build_config(args)
     logger.info("engine config:\n%s", config.to_json())
-    server = APIServer(config, args.served_model_name)
+    server = APIServer(
+        config,
+        args.served_model_name,
+        tool_call_parser=args.tool_call_parser,
+        reasoning_parser=args.reasoning_parser,
+    )
     server.rate_limiter.max_concurrency = args.max_concurrency
     if args.warmup:
         server.engine.engine.runner.warmup()
