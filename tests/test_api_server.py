@@ -197,3 +197,23 @@ def test_metrics_endpoint(server_client):
         assert "xllm_generated_tokens_total" in body
 
     loop.run_until_complete(go())
+
+
+def test_embeddings_endpoint(server_client):
+    client, loop = server_client
+
+    async def go():
+        r = await client.post(
+            "/v1/embeddings",
+            json={"input": ["w1 w2 w3", "w4 w5"]},
+        )
+        assert r.status == 200, await r.text()
+        data = await r.json()
+        assert len(data["data"]) == 2
+        vec = data["data"][0]["embedding"]
+        assert len(vec) == 64  # hidden_size
+        import math
+        assert abs(sum(v * v for v in vec) - 1.0) < 1e-3  # L2-normalized
+        assert data["usage"]["prompt_tokens"] > 0
+
+    loop.run_until_complete(go())

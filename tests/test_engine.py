@@ -109,3 +109,37 @@ def test_many_requests_exceeding_batch(engine):
     outs = engine.generate_all(timeout_s=600)
     assert len(outs) == 12
     assert engine.block_manager.num_used_blocks == 0
+
+
+def test_sleep_wakeup_cycle():
+    """Sleep frees the KV pool; wakeup restores a clean, working engine."""
+    eng = LLMEngine(tiny_config())
+    sp = SamplingParams(temperature=0.0, max_tokens=4, ignore_eos=True)
+    eng.add_request(prompt_token_ids=[3, 5, 7], sampling_params=sp)
+    out1 = eng.generate_all()[0].outputs[0].token_ids
+    eng.sleep(level=1)
+    assert eng.runner.k_cache is None
+    eng.wakeup()
+    eng.add_request(prompt_token_ids=[3, 5, 7], sampling_params=sp)
+    out2 = eng.generate_all()[0].outputs[0].token_ids
+    assert out1 == out2  # same weights -> same greedy tokens
+    assert eng.block_manager.num_used_blocks == 0
+
+
+def test_sleep_refuses_when_busy():
+    eng = LLMEngine(tiny_config())
+    sp = SamplingParams(temperature=0.0, max_tokens=4, ignore_eos=True)
+    eng.add_request(prompt_token_ids=[3, 5, 7], sampling_params=sp)
+    with pytest.raises(RuntimeError):
+        eng.sleep()
+    eng.generate_all()
+
+
+def test_engine_embed_request():
+    eng = LLMEngine(tiny_config())
+    req = eng.add_request(prompt_token_ids=[3, 5, 7, 9, 11], embed=True)
+    finals = eng.generate_all()
+    ro = [r for r in finals if r.request_id == req.request_id][0]
+    assert ro.embedding is not None and len(ro.embedding) == 64
+    assert abs(sum(v * v for v in ro.embedding) - 1.0) < 1e-3
+    assert eng.block_manager.num_used_blocks == 0

@@ -1,0 +1,67 @@
+"""INT8 weight-only quantization: roundtrip, fused kernel parity, engine E2E."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from xllm_tpu.ops.pallas.quant_matmul import quant_matmul_int8
+from xllm_tpu.ops.quant import quantize_int8
+
+
+def test_quantize_roundtrip_error():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((64, 32)) * 0.05, jnp.float32)
+    wq, s = quantize_int8(w)
+    assert wq.dtype == jnp.int8 and s.shape == (32,)
+    deq = np.asarray(wq, np.float32) * np.asarray(s)[None, :]
+    err = np.abs(deq - np.asarray(w)).max()
+    assert err <= np.asarray(s).max() * 0.51  # half-ULP per channel
+
+
+def test_quantize_batched_layers():
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.standard_normal((3, 16, 8)) * 0.1, jnp.float32)
+    wq, s = quantize_int8(w)
+    assert wq.shape == (3, 16, 8) and s.shape == (3, 8)
+
+
+def test_fused_quant_matmul_matches_dequant():
+    rng = np.random.default_rng(2)
+    m, k, n = 16, 128, 256
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, n)) * 0.02, jnp.float32)
+    wq, s = quantize_int8(w)
+    ref = np.asarray(x) @ (np.asarray(wq, np.float32) * np.asarray(s)[None, :])
+    out = quant_matmul_int8(
+        x.astype(jnp.bfloat16), wq, s, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=2e-2)
+
+
+def test_engine_e2e_int8():
+    from xllm_tpu.config import (
+        CacheConfig, EngineConfig, ModelConfig, QuantConfig, SchedulerConfig,
+    )
+    from xllm_tpu.engine import LLMEngine
+    from xllm_tpu.framework.sampling_params import SamplingParams
+
+    cfg = EngineConfig(
+        model=ModelConfig(
+            model_type="qwen3", dtype="float32",
+            vocab_size=64, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=8, qk_norm=True, max_position_embeddings=64,
+        ),
+        cache=CacheConfig(block_size=16, num_blocks=16),
+        scheduler=SchedulerConfig(
+            max_seqs_per_batch=2, decode_batch_buckets=[2],
+            prefill_token_buckets=[16], max_model_len=64,
+        ),
+        quant=QuantConfig(method="int8"),
+    )
+    eng = LLMEngine(cfg)
+    assert eng.runner.params["layers"]["qkv_proj_w"].dtype == jnp.int8
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+    eng.add_request(prompt_token_ids=[3, 5, 7], sampling_params=sp)
+    outs = eng.generate_all()
+    assert len(outs[0].outputs[0].token_ids) == 6
+    assert eng.block_manager.num_used_blocks == 0

@@ -108,6 +108,7 @@ class LLMEngine:
         prompt_token_ids: list[int] | None = None,
         sampling_params: SamplingParams | None = None,
         request_id: str | None = None,
+        embed: bool = False,
     ) -> Request:
         if prompt_token_ids is None:
             if prompt is None or self.tokenizer is None:
@@ -124,6 +125,8 @@ class LLMEngine:
                 f"{max_len} (need room for at least one generated token)"
             )
         sampling_params = sampling_params or SamplingParams()
+        if embed:
+            sampling_params = SamplingParams(max_tokens=1)
         request_id = request_id or f"req-{uuid.uuid4().hex[:16]}"
         req = Request(
             request_id=request_id,
@@ -132,6 +135,7 @@ class LLMEngine:
             eos_token_ids=tuple(self.config.model.eos_token_ids),
             max_model_len=self.config.scheduler.max_model_len,
             prompt=prompt or "",
+            embed=embed,
         )
         self.scheduler.add_request(req)
         self._active_requests[request_id] = req
@@ -173,8 +177,21 @@ class LLMEngine:
             for seq in req.sequences:
                 self._release_slot(seq)
 
+        embed_done: list[Sequence] = []
         for seq, n in out.prefill_items:
             self._assign_slot(seq)
+            req = self._active_requests.get(seq.request_id)
+            if (
+                req is not None
+                and req.embed
+                and seq.num_computed_tokens + n >= seq.num_tokens
+            ):
+                vec = self.runner.run_prefill_embed(seq, n)
+                seq.num_computed_tokens += n
+                seq.embedding = vec.tolist()
+                seq.finish(FinishReason.STOP)
+                embed_done.append(seq)
+                continue
             tokens, logprobs, samples_token = self.runner.run_prefill(seq, n)
             seq.num_computed_tokens += n
             if samples_token:
@@ -208,7 +225,7 @@ class LLMEngine:
             logprobs.copy_to_host_async()
             self._pending.append(_Pending(list(decode_seqs), tokens, logprobs))
 
-        touched: list[Sequence] = list(verified)
+        touched: list[Sequence] = list(verified) + embed_done
         depth = self.overlap_depth if not out.is_empty else 0
         while len(self._pending) > depth:
             touched.extend(self._process_pending(self._pending.popleft()))
@@ -342,6 +359,8 @@ class LLMEngine:
                     for i, seq in enumerate(req.sequences)
                 ],
             )
+            if req.embed and req.sequences[0].embedding is not None:
+                ro.embedding = req.sequences[0].embedding
             if req_done:
                 ro.usage = {
                     "prompt_tokens": req.sequences[0].num_prompt_tokens,
@@ -355,6 +374,32 @@ class LLMEngine:
                     self._proposers.pop(seq.seq_id, None)
             outputs.append(ro)
         return outputs
+
+    # ------------------------------------------------------------------
+    # sleep / wakeup / weight update (RL; reference engine.h:137-156)
+    # ------------------------------------------------------------------
+    def sleep(self, level: int = 1) -> None:
+        """Release HBM between rollouts. Requires a drained engine."""
+        if self.has_unfinished():
+            raise RuntimeError("cannot sleep with unfinished requests")
+        self.runner.sleep(level)
+
+    def wakeup(self) -> None:
+        self.runner.wakeup()
+        # KV content was dropped -> fresh block pool + prefix cache
+        self.block_manager = BlockManager(
+            num_blocks=self.runner.num_blocks,
+            block_size=self.config.cache.block_size,
+            enable_prefix_cache=self.config.cache.enable_prefix_cache,
+        )
+        self.scheduler.block_manager = self.block_manager
+
+    def update_weights(self, model_path: str | None = None) -> None:
+        """Hot-swap weights; prefix cache is invalidated (stale KV)."""
+        if self.has_unfinished():
+            raise RuntimeError("cannot update weights with unfinished requests")
+        self.runner.update_weights(model_path)
+        self.wakeup()
 
     # ------------------------------------------------------------------
     # offline blocking generation (reference llm_master.cpp:271 generate)

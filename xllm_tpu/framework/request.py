@@ -119,6 +119,8 @@ class Sequence:
         # logprobs accumulation
         self.output_logprobs: list[float] = []
         self.output_top_logprobs: list[dict[int, float]] = []
+        # embedding output (pooled last hidden state, embed requests only)
+        self.embedding: list[float] | None = None
 
     # ---- token state ----
     @property
@@ -221,9 +223,11 @@ class Request:
         prompt: str = "",
         priority: int = 0,
         offline: bool = False,
+        embed: bool = False,
     ) -> None:
         self.request_id = request_id
         self.prompt = prompt
+        self.embed = embed
         self.prompt_token_ids = list(prompt_token_ids)
         self.sampling_params = sampling_params
         self.arrival_time = arrival_time if arrival_time is not None else time.time()
@@ -267,6 +271,7 @@ class RequestOutput:
     outputs: list[SequenceOutput] = field(default_factory=list)
     finished: bool = False
     usage: dict | None = None
+    embedding: list[float] | None = None
 
 
 @dataclass

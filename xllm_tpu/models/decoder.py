@@ -140,13 +140,23 @@ class DenseDecoderModel:
     # ------------------------------------------------------------------
     # forward
     # ------------------------------------------------------------------
+    def _linear(self, lp: dict, name: str, x: jnp.ndarray) -> jnp.ndarray:
+        """-> [T, N] f32; dispatches to the fused dequant matmul for int8
+        weights (reference w8a8 path, SURVEY.md §2.8 cutlass row)."""
+        w = lp[name]
+        if w.dtype == jnp.int8:
+            from xllm_tpu.ops.quant import quant_matmul
+
+            return quant_matmul(x, w, lp[name + "_scale"])
+        return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
     def _mlp(self, lp: dict, x: jnp.ndarray) -> jnp.ndarray:
-        gate = jnp.dot(x, lp["gate_proj_w"], preferred_element_type=jnp.float32)
-        up = jnp.dot(x, lp["up_proj_w"], preferred_element_type=jnp.float32)
+        gate = self._linear(lp, "gate_proj_w", x)
+        up = self._linear(lp, "up_proj_w", x)
         act = jax.nn.silu(gate) * up
-        return jnp.dot(
-            act.astype(x.dtype), lp["down_proj_w"], preferred_element_type=jnp.float32
-        ).astype(x.dtype)
+        return self._linear(lp, "down_proj_w", act.astype(x.dtype)).astype(
+            x.dtype
+        )
 
     def _attn_qkv(
         self,
@@ -159,7 +169,7 @@ class DenseDecoderModel:
         t = x.shape[0]
         hkv, dh = c.num_kv_heads, c.head_dim
         g = c.num_attention_heads // hkv
-        qkv = jnp.dot(x, lp["qkv_proj_w"], preferred_element_type=jnp.float32)
+        qkv = self._linear(lp, "qkv_proj_w", x)
         if c.attention_bias:
             qkv = qkv + lp["qkv_proj_b"]
         # group-major fused layout: [T, hkv, g+2, dh]
@@ -194,9 +204,7 @@ class DenseDecoderModel:
             q, k, v = self._attn_qkv(lp, h, positions, inv_freq)
             attn, k_all, v_all = attn_fn(q, k, v, k_all, v_all, layer_idx)
             attn = attn.reshape(t, c.num_attention_heads * c.head_dim)
-            x = x + jnp.dot(
-                attn, lp["o_proj_w"], preferred_element_type=jnp.float32
-            ).astype(x.dtype)
+            x = x + self._linear(lp, "o_proj_w", attn).astype(x.dtype)
             h = rms_norm(x, lp["post_attention_layernorm"], c.rms_norm_eps)
             x = x + self._mlp(lp, h)
             return (x, k_all, v_all), None

@@ -65,6 +65,7 @@ class ModelRunner:
         self._key = None
         self._prefill_fn = None
         self._decode_fn = None
+        self._embed_fn = None
 
     # ------------------------------------------------------------------
     # init
@@ -86,9 +87,31 @@ class ModelRunner:
             if shardings is not None:
                 params = jax.tree.map(jax.device_put, params, shardings)
             self.params = params
+        if self.config.quant.method == "int8":
+            self.params = self._quantize_params(self.params)
         self._key = jax.random.key(self.config.seed)
         self.last_tokens = self._put(jnp.zeros(self.max_slots + 1, jnp.int32))
         self._build_step_fns()
+
+    _QUANT_WEIGHTS = (
+        "qkv_proj_w", "o_proj_w", "gate_proj_w", "up_proj_w", "down_proj_w",
+    )
+
+    def _quantize_params(self, params):
+        """Weight-only INT8 on the decoder matmuls (reference quant_args
+        flow, hf_model_loader.h:44). Embed/lm_head/norms stay bf16."""
+        from xllm_tpu.ops.quant import quantize_int8
+
+        layers = dict(params["layers"])
+        for name in self._QUANT_WEIGHTS:
+            if name in layers and layers[name].dtype != jnp.int8:
+                wq, scale = jax.jit(quantize_int8)(layers[name])
+                layers[name] = wq
+                layers[name + "_scale"] = scale
+        logger.info("quantized %s to int8", [
+            n for n in self._QUANT_WEIGHTS if n in layers
+        ])
+        return {**params, "layers": layers}
 
     def initialize_kv_cache(self, num_blocks: int | None = None) -> int:
         """Allocate the paged pool; returns num_blocks.
@@ -248,6 +271,39 @@ class ModelRunner:
         )
         return tokens, logprobs, samples_token
 
+    def run_prefill_embed(self, seq: Sequence, num_new_tokens: int) -> np.ndarray:
+        """Final prompt chunk of an embed request -> pooled hidden state.
+
+        Counterpart of the reference EmbeddingWorkerImpl / embedding LM path
+        (reference xllm/core/runtime embed worker, /v1/embeddings). Pooling
+        is last-token + L2 normalize. Synchronous fetch.
+        """
+        inp, samples_token = build_prefill_input(
+            seq,
+            num_new_tokens,
+            self.block_size,
+            self.config.scheduler.prefill_token_buckets,
+            self.max_blocks_per_seq,
+        )
+        assert samples_token, "embed must run on the final chunk"
+        if self._embed_fn is None:
+            model = self.model
+
+            @partial(jax.jit, donate_argnums=(1, 2))
+            def embed_step(params, k_cache, v_cache, inp: PrefillInput):
+                hidden, k_cache, v_cache = model.prefill(
+                    params, k_cache, v_cache, inp
+                )
+                vec = hidden[0].astype(jnp.float32)
+                vec = vec / jnp.maximum(jnp.linalg.norm(vec), 1e-12)
+                return k_cache, v_cache, vec
+
+            self._embed_fn = embed_step
+        self.k_cache, self.v_cache, vec = self._embed_fn(
+            self.params, self.k_cache, self.v_cache, self._put(inp)
+        )
+        return np.asarray(vec)
+
     def run_verify(
         self, seq: Sequence, draft_tokens: list[int]
     ) -> tuple[np.ndarray, int]:
@@ -311,6 +367,55 @@ class ModelRunner:
             )
         )
         return tokens, logprobs
+
+    # ------------------------------------------------------------------
+    # sleep / wakeup / weight update (RL rollouts; reference
+    # SleepableAllocator platform/sleepable_allocator.h:41-112 and
+    # engine sleep/wakeup + update_weights, engine.h:137-156)
+    # ------------------------------------------------------------------
+    def sleep(self, level: int = 1) -> None:
+        """Free HBM: level 1 drops the KV cache, level 2 also the weights.
+
+        TPU-native equivalent of deep sleep: deleting the backing jax
+        arrays releases the HBM pages; virtual state (config, shapes,
+        compiled programs) survives for wakeup.
+        """
+        for name in ("k_cache", "v_cache"):
+            arr = getattr(self, name)
+            if arr is not None:
+                arr.delete()
+                setattr(self, name, None)
+        if level >= 2 and self.params is not None:
+            jax.tree.map(lambda x: x.delete(), self.params)
+            self.params = None
+        logger.info("runner asleep (level %d)", level)
+
+    def wakeup(self) -> None:
+        """Reallocate what sleep() released (weights reload from disk)."""
+        if self.params is None:
+            self.load_model()
+        if self.k_cache is None:
+            self.initialize_kv_cache(self.num_blocks or None)
+        logger.info("runner awake")
+
+    def update_weights(self, model_path: str | None = None) -> None:
+        """Hot-swap weights from a checkpoint dir (reference engine.h:153)."""
+        if model_path:
+            self.config.model.model_path = model_path
+        old = self.params
+        self.params = None
+        if old is not None:
+            jax.tree.map(lambda x: x.delete(), old)
+        from xllm_tpu.models.loader import load_dense_params
+        from xllm_tpu.parallel.mesh import make_named_shardings
+
+        shardings = make_named_shardings(self.mesh, self.model.param_shardings())
+        self.params = load_dense_params(
+            self.config.model, shardings, dtype=self.model.dtype
+        )
+        if self.config.quant.method == "int8":
+            self.params = self._quantize_params(self.params)
+        logger.info("weights updated from %s", self.config.model.model_path)
 
     # ------------------------------------------------------------------
     # warmup: precompile all buckets (reference scheduler/profile/graph_warmup)

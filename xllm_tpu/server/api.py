@@ -91,6 +91,7 @@ class APIServer:
         app = web.Application()
         app.router.add_post("/v1/completions", self.completions)
         app.router.add_post("/v1/chat/completions", self.chat_completions)
+        app.router.add_post("/v1/embeddings", self.embeddings)
         app.router.add_get("/v1/models", self.models)
         app.router.add_get("/health", self.health)
         app.router.add_get("/metrics", self.metrics_endpoint)
@@ -129,6 +130,55 @@ class APIServer:
         )
 
     # ------------------------------------------------------------------
+    async def embeddings(self, request: web.Request) -> web.Response:
+        """OpenAI /v1/embeddings (reference EmbeddingServiceImpl)."""
+        try:
+            body = await request.json()
+        except Exception:
+            return _error(400, "invalid JSON body")
+        inputs = body.get("input")
+        if inputs is None:
+            return _error(400, "missing 'input'")
+        if isinstance(inputs, str):
+            inputs = [inputs]
+        if inputs and isinstance(inputs[0], int):
+            inputs = [inputs]
+        data = []
+        total_tokens = 0
+        try:
+            for i, item in enumerate(inputs):
+                kwargs = (
+                    {"prompt_token_ids": item}
+                    if isinstance(item, list)
+                    else {"prompt": item}
+                )
+                final = None
+                async for out in self.engine.generate(embed=True, **kwargs):
+                    final = out
+                data.append(
+                    {
+                        "object": "embedding",
+                        "index": i,
+                        "embedding": final.embedding or [],
+                    }
+                )
+                if final.usage:
+                    total_tokens += final.usage.get("prompt_tokens", 0)
+        except ValueError as e:
+            return _error(400, str(e))
+        metrics.REQUESTS_TOTAL.labels("embeddings", "200").inc()
+        return web.json_response(
+            {
+                "object": "list",
+                "data": data,
+                "model": self.model_name,
+                "usage": {
+                    "prompt_tokens": total_tokens,
+                    "total_tokens": total_tokens,
+                },
+            }
+        )
+
     async def completions(self, request: web.Request) -> web.StreamResponse:
         try:
             body = await request.json()

@@ -73,6 +73,7 @@ class AsyncLLMEngine:
         prompt_token_ids: list[int] | None = None,
         sampling_params: SamplingParams | None = None,
         request_id: str | None = None,
+        embed: bool = False,
     ):
         """Async generator of cumulative RequestOutputs (last has finished=True)."""
         loop = asyncio.get_running_loop()
@@ -84,6 +85,7 @@ class AsyncLLMEngine:
                 prompt_token_ids=prompt_token_ids,
                 sampling_params=sampling_params,
                 request_id=request_id,
+                embed=embed,
             ), stream, done)
         )
         self._wake.set()
