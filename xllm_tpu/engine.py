@@ -73,10 +73,24 @@ class LLMEngine:
             self.runner.load_model()
         if self.runner.k_cache is None:
             self.runner.initialize_kv_cache()
+        hierarchy = None
+        if config.cache.num_host_blocks > 0:
+            from xllm_tpu.framework.host_kv import (
+                HierarchyController,
+                HostKVPool,
+            )
+
+            self.runner.init_host_kv(config.cache.num_host_blocks)
+            hierarchy = HierarchyController(
+                HostKVPool(config.cache.num_host_blocks),
+                swap_out=self.runner.swap_out_block,
+                swap_in=self.runner.swap_in_block,
+            )
         self.block_manager = BlockManager(
             num_blocks=self.runner.num_blocks,
             block_size=config.cache.block_size,
             enable_prefix_cache=config.cache.enable_prefix_cache,
+            hierarchy=hierarchy,
         )
         self.scheduler = ContinuousScheduler(config.scheduler, self.block_manager)
         self._decoders: dict[int, IncrementalDecoder] = {}

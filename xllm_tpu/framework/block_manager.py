@@ -48,7 +48,9 @@ class BlockManager:
         num_blocks: int,
         block_size: int,
         enable_prefix_cache: bool = True,
+        hierarchy=None,  # HierarchyController for the host-DRAM tier
     ) -> None:
+        self.hierarchy = hierarchy
         if num_blocks < 2:
             raise ValueError("need at least 2 blocks (block 0 is reserved)")
         self.num_blocks = num_blocks
@@ -83,10 +85,14 @@ class BlockManager:
     # ---- low-level alloc/free ----
     def _pop_free_block(self) -> int:
         block_id, _ = self.free_lru.popitem(last=False)
-        # evict any cached content living in this block
+        # evict any cached content living in this block — offloading it to
+        # the host tier first when one is configured (reference
+        # HierarchyBlockManagerPool offload path)
         h = self.block_hash.pop(block_id, None)
         if h is not None and self.cached_blocks.get(h) == block_id:
             del self.cached_blocks[h]
+            if self.hierarchy is not None:
+                self.hierarchy.on_device_evict(block_id, h)
         self.ref_counts[block_id] = 1
         return block_id
 
@@ -120,6 +126,20 @@ class BlockManager:
         for i in range(max_match):
             h = hash_block(parent, seq.token_ids[i * bs : (i + 1) * bs])
             block_id = self.cached_blocks.get(h)
+            if block_id is None and self.hierarchy is not None:
+                # host-tier prefetch: pull the block into a fresh device
+                # block and register it (reference hierarchy prefetch path)
+                if self.free_lru and self.hierarchy.pool.lookup(h) is not None:
+                    fresh = self._pop_free_block()
+                    if self.hierarchy.try_fetch(h, fresh):
+                        self.cached_blocks[h] = fresh
+                        self.block_hash[fresh] = h
+                        self.ref_counts[fresh] = 0
+                        self.free_lru[fresh] = None
+                        block_id = fresh
+                    else:  # pragma: no cover - lookup raced
+                        self.ref_counts[fresh] = 0
+                        self.free_lru[fresh] = None
             if block_id is None:
                 break
             matched.append(block_id)

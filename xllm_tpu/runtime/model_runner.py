@@ -369,6 +369,49 @@ class ModelRunner:
         return tokens, logprobs
 
     # ------------------------------------------------------------------
+    # host-DRAM KV tier transfers (reference hierarchy_kv_cache_transfer,
+    # HBM<->host offload/prefetch — Mooncake-lite over the host bus)
+    # ------------------------------------------------------------------
+    def init_host_kv(self, num_host_blocks: int) -> None:
+        c = self.config.model
+        shape = (
+            num_host_blocks,
+            c.num_hidden_layers,
+            c.num_kv_heads,
+            self.block_size,
+            c.head_dim,
+        )
+        host_dt = np.float32 if self.model.dtype == jnp.float32 else np.float16
+        self.host_k = np.zeros(shape, host_dt)
+        self.host_v = np.zeros(shape, host_dt)
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def swapin(k_all, v_all, kc, vc, b):
+            k_all = jax.lax.dynamic_update_slice_in_dim(
+                k_all, kc[:, None], b, axis=1
+            )
+            v_all = jax.lax.dynamic_update_slice_in_dim(
+                v_all, vc[:, None], b, axis=1
+            )
+            return k_all, v_all
+
+        self._swapin_fn = swapin
+        logger.info("host KV tier: %d blocks", num_host_blocks)
+
+    def swap_out_block(self, dev_block: int, host_idx: int) -> None:
+        """HBM block -> host DRAM (synchronous device fetch)."""
+        self.host_k[host_idx] = np.asarray(self.k_cache[:, dev_block])
+        self.host_v[host_idx] = np.asarray(self.v_cache[:, dev_block])
+
+    def swap_in_block(self, host_idx: int, dev_block: int) -> None:
+        """Host DRAM block -> HBM (async dispatch; ordered before reads)."""
+        kc = jnp.asarray(self.host_k[host_idx], self.k_cache.dtype)
+        vc = jnp.asarray(self.host_v[host_idx], self.v_cache.dtype)
+        self.k_cache, self.v_cache = self._swapin_fn(
+            self.k_cache, self.v_cache, kc, vc, np.int32(dev_block)
+        )
+
+    # ------------------------------------------------------------------
     # sleep / wakeup / weight update (RL rollouts; reference
     # SleepableAllocator platform/sleepable_allocator.h:41-112 and
     # engine sleep/wakeup + update_weights, engine.h:137-156)
