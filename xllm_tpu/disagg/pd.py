@@ -1,0 +1,212 @@
+"""Disaggregated prefill/decode serving.
+
+Counterpart of the reference's PD disaggregation stack
+(reference xllm/core/scheduler/disagg_pd_scheduler.h:37-100 dispatch /
+first-generation handoff, disagg_pd_service_impl.cpp, and the Mooncake /
+LlmDataDist KV movement, SURVEY.md §3.4). TPU-native transport: KV blocks
+stage through host DRAM as numpy buffers and move over DCN (HTTP between
+instances; in-process for colocated tests) — there is no RDMA on TPU
+(SURVEY.md §2.7), so the host relay IS the data plane.
+
+Flow (PULL-less, PUSH-style):
+    prefill instance: run prompt -> first token; extract the sequence's KV
+    blocks to host; serialize {tokens, sampling params, first token, KV}
+    decode instance: allocate blocks, inject KV into its paged cache,
+    install the request mid-flight (sample-then-compute invariant holds:
+    the first token's KV is NOT yet computed) and continue decoding.
+"""
+
+from __future__ import annotations
+
+import io
+import uuid
+from dataclasses import dataclass
+
+import numpy as np
+
+from xllm_tpu.engine import LLMEngine
+from xllm_tpu.framework.request import Request, RequestOutput, SequenceStatus
+from xllm_tpu.framework.sampling_params import SamplingParams
+from xllm_tpu.utils import get_logger
+
+logger = get_logger(__name__)
+
+
+@dataclass
+class PrefillHandoff:
+    """The wire payload prefill -> decode (reference disagg_pd.proto)."""
+
+    request_id: str
+    prompt_token_ids: list[int]
+    first_token: int
+    sampling_params: SamplingParams
+    k_blocks: np.ndarray  # [n_blocks, L, Hkv, bs, D]
+    v_blocks: np.ndarray
+
+    def to_bytes(self) -> bytes:
+        """npz serialization — the DCN wire format."""
+        buf = io.BytesIO()
+        import dataclasses
+        import json
+
+        meta = json.dumps(
+            {
+                "request_id": self.request_id,
+                "prompt_token_ids": self.prompt_token_ids,
+                "first_token": self.first_token,
+                "sampling_params": dataclasses.asdict(self.sampling_params),
+            }
+        )
+        np.savez(buf, meta=np.frombuffer(meta.encode(), np.uint8),
+                 k=self.k_blocks, v=self.v_blocks)
+        return buf.getvalue()
+
+    @classmethod
+    def from_bytes(cls, raw: bytes) -> "PrefillHandoff":
+        import json
+
+        z = np.load(io.BytesIO(raw))
+        meta = json.loads(bytes(z["meta"]).decode())
+        return cls(
+            request_id=meta["request_id"],
+            prompt_token_ids=meta["prompt_token_ids"],
+            first_token=meta["first_token"],
+            sampling_params=SamplingParams(**meta["sampling_params"]),
+            k_blocks=z["k"],
+            v_blocks=z["v"],
+        )
+
+
+class PrefillInstance:
+    """Prefill-role engine: prompt -> first token + KV extraction."""
+
+    def __init__(self, engine: LLMEngine):
+        self.engine = engine
+        # spec/overlap off: the handoff needs the first token synchronously
+        self.engine.overlap_depth = 0
+
+    def prefill(
+        self,
+        prompt_token_ids: list[int],
+        sampling_params: SamplingParams,
+        request_id: str | None = None,
+    ) -> PrefillHandoff:
+        eng = self.engine
+        request_id = request_id or f"pd-{uuid.uuid4().hex[:16]}"
+        sp = sampling_params
+        req = eng.add_request(
+            prompt_token_ids=list(prompt_token_ids),
+            sampling_params=sp,
+            request_id=request_id,
+        )
+        seq = req.sequences[0]
+        # run steps until the first token is fixed on host
+        guard = 0
+        while seq.num_fixed_tokens <= seq.num_prompt_tokens:
+            eng.step()
+            guard += 1
+            if guard > 10000:
+                raise RuntimeError("prefill did not produce a first token")
+        first_token = seq.token_ids[seq.num_prompt_tokens]
+        k, v = eng.runner.extract_blocks(seq.block_ids)
+        handoff = PrefillHandoff(
+            request_id=request_id,
+            prompt_token_ids=list(prompt_token_ids),
+            first_token=int(first_token),
+            sampling_params=sp,
+            k_blocks=k,
+            v_blocks=v,
+        )
+        eng.abort_request(request_id)  # frees prefill-side blocks
+        # drain bookkeeping
+        while eng.has_unfinished():
+            eng.step()
+        return handoff
+
+
+class DecodeInstance:
+    """Decode-role engine: accepts handoffs and continues generation."""
+
+    def __init__(self, engine: LLMEngine):
+        self.engine = engine
+
+    def accept(self, handoff: PrefillHandoff) -> Request:
+        """Install a prefilled request (reference decode_recv_first_generation
+        + allocate path, disagg_pd_scheduler.h:65-80)."""
+        eng = self.engine
+        req = Request(
+            request_id=handoff.request_id,
+            prompt_token_ids=handoff.prompt_token_ids,
+            sampling_params=handoff.sampling_params,
+            eos_token_ids=tuple(eng.config.model.eos_token_ids),
+            max_model_len=eng.config.scheduler.max_model_len,
+        )
+        seq = req.sequences[0]
+        n_prompt = len(handoff.prompt_token_ids)
+        if not eng.block_manager.allocate(seq, n_prompt):
+            raise RuntimeError("decode instance out of KV blocks")
+        n_needed = handoff.k_blocks.shape[0]
+        assert len(seq.block_ids) >= n_needed
+        eng.runner.inject_blocks(
+            handoff.k_blocks, handoff.v_blocks, seq.block_ids[:n_needed]
+        )
+        # first token appended; its KV computes on the first decode step
+        seq.num_computed_tokens = n_prompt
+        seq.append_token(handoff.first_token)
+        seq.status = SequenceStatus.RUNNING
+        if seq.maybe_finish(
+            handoff.first_token, eng.config.scheduler.max_model_len
+        ):
+            eng.block_manager.free(seq)
+            return req
+        # seed the device token ring so the first decode reads it
+        eng._assign_slot(seq)
+        eng.runner.seed_last_token(seq.slot_id, handoff.first_token)
+        eng.scheduler.running.append(req)
+        eng._active_requests[req.request_id] = req
+        if eng.tokenizer is not None:
+            from xllm_tpu.framework.tokenizer import IncrementalDecoder
+
+            eng._decoders[seq.seq_id] = IncrementalDecoder(
+                eng.tokenizer, seq.num_prompt_tokens
+            )
+        return req
+
+
+class PDOrchestrator:
+    """Colocated router for tests / single-host PD: prefill -> decode.
+
+    The production path puts PrefillInstance and DecodeInstance in
+    different processes with `PrefillHandoff.to_bytes()` over HTTP
+    (xllm_tpu/disagg/service.py); the orchestration logic is identical.
+    """
+
+    def __init__(self, prefill: PrefillInstance, decode: DecodeInstance):
+        self.prefill = prefill
+        self.decode = decode
+
+    def generate(
+        self,
+        prompt_token_ids: list[int],
+        sampling_params: SamplingParams,
+    ) -> RequestOutput:
+        handoff = self.prefill.prefill(prompt_token_ids, sampling_params)
+        # wire round-trip (serialize/deserialize) to exercise the DCN format
+        handoff = PrefillHandoff.from_bytes(handoff.to_bytes())
+        req = self.decode.accept(handoff)
+        eng = self.decode.engine
+        if req.is_finished:  # first token was already a stop
+            seq = req.sequences[0]
+            return RequestOutput(
+                request_id=req.request_id,
+                prompt="",
+                finished=True,
+                outputs=[],
+            )
+        final = None
+        while eng.has_unfinished():
+            for ro in eng.step():
+                if ro.request_id == req.request_id and ro.finished:
+                    final = ro
+        assert final is not None
+        return final

@@ -66,6 +66,8 @@ class ModelRunner:
         self._prefill_fn = None
         self._decode_fn = None
         self._embed_fn = None
+        self._inject_fn = None
+        self._seed_fn = None
 
     # ------------------------------------------------------------------
     # init
@@ -409,6 +411,52 @@ class ModelRunner:
         vc = jnp.asarray(self.host_v[host_idx], self.v_cache.dtype)
         self.k_cache, self.v_cache = self._swapin_fn(
             self.k_cache, self.v_cache, kc, vc, np.int32(dev_block)
+        )
+
+    # ------------------------------------------------------------------
+    # PD-disaggregation block movement (reference kv_cache_transfer
+    # pull/push, mooncake_kv_cache_transfer.h:25 — host-staged on TPU)
+    # ------------------------------------------------------------------
+    def extract_blocks(
+        self, block_ids: list[int]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Device KV blocks -> host arrays [n, L, Hkv, bs, D]."""
+        k = np.stack([np.asarray(self.k_cache[:, b]) for b in block_ids])
+        v = np.stack([np.asarray(self.v_cache[:, b]) for b in block_ids])
+        return k, v
+
+    def inject_blocks(
+        self, k_blocks: np.ndarray, v_blocks: np.ndarray, block_ids: list[int]
+    ) -> None:
+        """Host arrays -> device KV blocks (ordered before later reads)."""
+        if self._inject_fn is None:
+
+            @partial(jax.jit, donate_argnums=(0, 1))
+            def inject(k_all, v_all, kc, vc, b):
+                k_all = jax.lax.dynamic_update_slice_in_dim(
+                    k_all, kc[:, None], b, axis=1
+                )
+                v_all = jax.lax.dynamic_update_slice_in_dim(
+                    v_all, vc[:, None], b, axis=1
+                )
+                return k_all, v_all
+
+            self._inject_fn = inject
+        for i, b in enumerate(block_ids):
+            kc = jnp.asarray(k_blocks[i], self.k_cache.dtype)
+            vc = jnp.asarray(v_blocks[i], self.v_cache.dtype)
+            self.k_cache, self.v_cache = self._inject_fn(
+                self.k_cache, self.v_cache, kc, vc, np.int32(b)
+            )
+
+    def seed_last_token(self, slot: int, token: int) -> None:
+        """Write a token into the device ring (PD accept path)."""
+        if self._seed_fn is None:
+            self._seed_fn = jax.jit(
+                lambda lt, s, t: lt.at[s].set(t), donate_argnums=(0,)
+            )
+        self.last_tokens = self._seed_fn(
+            self.last_tokens, np.int32(slot), np.int32(token)
         )
 
     # ------------------------------------------------------------------
