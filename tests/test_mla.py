@@ -1,0 +1,177 @@
+"""MLA latent attention: kernel parity vs oracle + deepseek-v2 engine E2E."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from xllm_tpu.ops.mla_ref import mla_decode_ref, mla_prefill_ref
+from xllm_tpu.ops.pallas.kv_write import (
+    latent_write_prefill_tpu,
+    latent_write_rmw_tpu,
+)
+from xllm_tpu.ops.pallas.mla_attention import (
+    mla_decode_attention_write_tpu,
+    mla_prefill_attention_tpu,
+)
+
+
+def _cache(rng, L, NB, bs, Dk, dtype=jnp.float32):
+    return jnp.asarray(rng.standard_normal((L, NB, 1, bs, Dk)), dtype)
+
+
+def test_mla_decode_kernel_matches_ref():
+    rng = np.random.default_rng(0)
+    L, NB, bs, Dk, dv, H, B, NBmax = 2, 24, 16, 96, 64, 4, 4, 6
+    cache = _cache(rng, L, NB, bs, Dk)
+    q = jnp.asarray(rng.standard_normal((B, H, Dk)), jnp.float32)
+    lat_new = jnp.asarray(rng.standard_normal((B, Dk)), jnp.float32)
+    seq_lens_np = [18, 1, 33, 0]
+    bt = np.zeros((B, NBmax), np.int32)
+    used = iter(range(1, NB))
+    for i, sl in enumerate(seq_lens_np):
+        for j in range((sl + bs - 1) // bs):
+            bt[i, j] = next(used)
+    slots = np.zeros(B, np.int32)
+    for i, sl in enumerate(seq_lens_np):
+        if sl:
+            slots[i] = bt[i, (sl - 1) // bs] * bs + (sl - 1) % bs
+    scale = Dk**-0.5
+    block_tables = jnp.asarray(bt)
+    seq_lens = jnp.asarray(seq_lens_np, dtype=jnp.int32)
+
+    # oracle: scatter the latent rows, then attend
+    cache_ref = cache
+    for i, sl in enumerate(seq_lens_np):
+        if sl:
+            blk, off = bt[i, (sl - 1) // bs], (sl - 1) % bs
+            cache_ref = cache_ref.at[1, blk, 0, off].set(lat_new[i])
+    ref = mla_decode_ref(
+        q, cache_ref, jnp.int32(1), block_tables, seq_lens, scale, dv
+    )
+    out, cache_out = mla_decode_attention_write_tpu(
+        q, lat_new, cache, jnp.int32(1), jnp.asarray(slots), block_tables,
+        seq_lens, scale, dv, interpret=True,
+    )
+    valid = [i for i, sl in enumerate(seq_lens_np) if sl]
+    np.testing.assert_allclose(
+        np.asarray(out)[valid], np.asarray(ref)[valid], rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(cache_out[1]), np.asarray(cache_ref[1]), rtol=1e-6
+    )
+
+
+@pytest.mark.parametrize("q_offset_v,kv_len_v,s", [(0, 48, 48), (32, 64, 32)])
+def test_mla_prefill_kernel_matches_ref(q_offset_v, kv_len_v, s):
+    rng = np.random.default_rng(1)
+    L, NB, bs, Dk, dv, H, NBmax = 2, 16, 16, 96, 64, 4, 8
+    cache = _cache(rng, L, NB, bs, Dk)
+    q = jnp.asarray(rng.standard_normal((s, H, Dk)), jnp.float32)
+    block_table = jnp.asarray(list(range(1, NBmax + 1)), jnp.int32)
+    scale = Dk**-0.5
+    ref = mla_prefill_ref(
+        q, cache, jnp.int32(0), block_table, jnp.int32(q_offset_v),
+        jnp.int32(kv_len_v), scale, dv,
+    )
+    out = mla_prefill_attention_tpu(
+        q, cache, jnp.int32(0), block_table, jnp.int32(q_offset_v),
+        jnp.int32(kv_len_v), scale, dv, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+@pytest.mark.parametrize("writer,off,n", [("pages", 0, 40), ("rmw", 13, 5)])
+def test_latent_writers(writer, off, n):
+    rng = np.random.default_rng(2)
+    L, NB, bs, Dk, NBmax = 2, 12, 16, 96, 6
+    cache = _cache(rng, L, NB, bs, Dk)
+    block_table = jnp.asarray(list(range(1, NBmax + 1)), jnp.int32)
+    s_pad = 48 if writer == "pages" else n
+    lt = jnp.asarray(rng.standard_normal((s_pad, Dk)), jnp.float32)
+    fn = latent_write_prefill_tpu if writer == "pages" else latent_write_rmw_tpu
+    out = fn(
+        lt, cache, jnp.int32(0), block_table, jnp.int32(off), jnp.int32(n),
+        interpret=True,
+    )
+    for r in range(n):
+        pos = off + r
+        blk = int(block_table[pos // bs])
+        np.testing.assert_allclose(
+            np.asarray(out[0, blk, 0, pos % bs]), np.asarray(lt[r]),
+            rtol=1e-6, err_msg=f"row {r}",
+        )
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(cache[1]))
+
+
+def _ds_config(**kw):
+    from xllm_tpu.config import CacheConfig, EngineConfig, ModelConfig, SchedulerConfig
+
+    return EngineConfig(
+        model=ModelConfig(
+            model_type="deepseek_v2",
+            dtype="float32",
+            vocab_size=96,
+            hidden_size=48,
+            intermediate_size=64,
+            num_hidden_layers=3,
+            num_attention_heads=4,
+            num_key_value_heads=4,
+            head_dim=16,
+            max_position_embeddings=128,
+            q_lora_rank=24,
+            kv_lora_rank=32,
+            qk_nope_head_dim=16,
+            qk_rope_head_dim=8,
+            v_head_dim=16,
+            num_experts=4,
+            num_experts_per_tok=2,
+            moe_intermediate_size=16,
+            norm_topk_prob=True,
+            first_k_dense_replace=1,
+            n_shared_experts=1,
+            routed_scaling_factor=1.0,
+            **kw,
+        ),
+        cache=CacheConfig(block_size=16, num_blocks=24),
+        scheduler=SchedulerConfig(
+            max_seqs_per_batch=2,
+            decode_batch_buckets=[2],
+            prefill_token_buckets=[16, 32],
+            max_model_len=128,
+        ),
+    )
+
+
+def test_deepseek_v2_engine_e2e():
+    from xllm_tpu.engine import LLMEngine
+    from xllm_tpu.framework.sampling_params import SamplingParams
+
+    eng = LLMEngine(_ds_config())
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+    eng.add_request(prompt_token_ids=[3, 5, 7, 9, 11, 13], sampling_params=sp)
+    eng.add_request(prompt_token_ids=list(range(1, 25)), sampling_params=sp)
+    outs = eng.generate_all()
+    assert len(outs) == 2
+    for o in outs:
+        assert len(o.outputs[0].token_ids) == 6
+    assert eng.block_manager.num_used_blocks == 0
+
+
+def test_deepseek_chunked_equals_single_shot():
+    """Chunked prefill through the MLA path == one-shot prefill."""
+    from xllm_tpu.engine import LLMEngine
+    from xllm_tpu.framework.sampling_params import SamplingParams
+
+    prompt = list(range(1, 50))
+    sp = SamplingParams(temperature=0.0, max_tokens=5, ignore_eos=True)
+    outs = []
+    for chunk in (16, 64):
+        cfg = _ds_config()
+        cfg.scheduler.max_tokens_per_chunk_for_prefill = chunk
+        cfg.scheduler.prefill_token_buckets = [16, 32, 64]
+        eng = LLMEngine(cfg)
+        eng.add_request(prompt_token_ids=list(prompt), sampling_params=sp)
+        outs.append(eng.generate_all()[0].outputs[0].token_ids)
+    assert outs[0] == outs[1]

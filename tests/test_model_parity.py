@@ -46,6 +46,51 @@ def _tiny_hf_model(tmp_path, family):
         from transformers import LlamaConfig
 
         cfg = LlamaConfig(**common)
+    elif family == "qwen3_moe":
+        from transformers import Qwen3MoeConfig
+
+        cfg = Qwen3MoeConfig(
+            **common,
+            head_dim=16,
+            num_experts=4,
+            num_experts_per_tok=2,
+            moe_intermediate_size=32,
+            norm_topk_prob=True,
+            decoder_sparse_step=1,
+            mlp_only_layers=[],
+        )
+    elif family == "deepseek_v2":
+        from transformers import DeepseekV2Config
+
+        cfg = DeepseekV2Config(
+            vocab_size=VOCAB,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=3,
+            num_attention_heads=4,
+            num_key_value_heads=4,
+            max_position_embeddings=256,
+            rms_norm_eps=1e-6,
+            rope_theta=10000.0,
+            tie_word_embeddings=False,
+            q_lora_rank=32,
+            kv_lora_rank=32,
+            qk_nope_head_dim=16,
+            qk_rope_head_dim=8,
+            v_head_dim=16,
+            n_routed_experts=4,
+            num_experts_per_tok=2,
+            moe_intermediate_size=32,
+            norm_topk_prob=False,  # HF v2 gate never renormalizes topk
+            first_k_dense_replace=1,
+            n_shared_experts=1,
+            routed_scaling_factor=1.0,
+            topk_method="greedy",
+            n_group=1,
+            topk_group=1,
+            scoring_func="softmax",
+            attention_bias=False,
+        )
     else:
         raise ValueError(family)
     torch.manual_seed(0)
@@ -56,7 +101,7 @@ def _tiny_hf_model(tmp_path, family):
     return model, str(path)
 
 
-@pytest.mark.parametrize("family", ["qwen2", "qwen3", "llama"])
+@pytest.mark.parametrize("family", ["qwen2", "qwen3", "llama", "qwen3_moe", "deepseek_v2"])
 def test_logits_and_greedy_match_hf(tmp_path, family):
     import torch
 

@@ -73,6 +73,10 @@ class ModelConfig:
     qk_nope_head_dim: int = 0
     qk_rope_head_dim: int = 0
     v_head_dim: int = 0
+    # deepseek MoE structure
+    first_k_dense_replace: int = 0
+    n_shared_experts: int = 0
+    routed_scaling_factor: float = 1.0
     eos_token_ids: list[int] = field(default_factory=list)
 
     def __post_init__(self) -> None:

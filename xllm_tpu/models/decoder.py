@@ -127,6 +127,12 @@ class DenseDecoderModel:
         c = self.cfg
         return (c.num_hidden_layers, num_blocks, c.num_kv_heads, block_size, c.head_dim)
 
+    def kv_bytes_per_token(self) -> int:
+        """Per-token KV bytes across all layers (capacity estimation)."""
+        c = self.cfg
+        bytes_per_el = 2 if self.dtype == jnp.bfloat16 else 4
+        return c.num_hidden_layers * 2 * c.num_kv_heads * c.head_dim * bytes_per_el
+
     def kv_cache_sharding(self) -> P:
         return P(None, None, TP_AXIS, None, None)
 

@@ -103,6 +103,144 @@ def _fuse_qkv(
     return np.ascontiguousarray(fused.T)  # [in, out]
 
 
+def load_params(
+    cfg: ModelConfig, shardings: dict | None = None, dtype=None
+) -> dict:
+    """Family-dispatching checkpoint loader (reference ModelRegistry loaders)."""
+    if cfg.kv_lora_rank > 0:
+        return load_mla_params(cfg, shardings, dtype)
+    return load_dense_params(cfg, shardings, dtype)
+
+
+def load_mla_params(
+    cfg: ModelConfig,
+    shardings: dict | None = None,
+    dtype=None,
+) -> dict:
+    """DeepSeek v2/v3 checkpoint -> MlaDecoderModel param tree.
+
+    HF names: self_attn.{q_a_proj,q_a_layernorm,q_b_proj | q_proj},
+    kv_a_proj_with_mqa, kv_a_layernorm, kv_b_proj (fused
+    [H*(nope+v_head), kv_lora]), o_proj; mlp.{gate,up,down}_proj on dense
+    layers; mlp.gate (router), mlp.experts.{j}.*, mlp.shared_experts.* on
+    MoE layers.
+    """
+    import jax.numpy as jnp
+
+    dt = dtype or jnp.bfloat16
+    reader = SafetensorsReader(cfg.model_path)
+    L = cfg.num_hidden_layers
+    H = cfg.num_attention_heads
+    nope, rope, vh = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim, cfg.v_head_dim
+    kvr = cfg.kv_lora_rank
+    n_dense = cfg.first_k_dense_replace if cfg.num_experts > 0 else L
+
+    def put(name: str, arr: np.ndarray):
+        arr = arr.astype(dt) if arr.dtype != dt else arr
+        sh = None
+        if shardings is not None:
+            sh = shardings
+            for part in name.split("."):
+                sh = sh[part]
+        return jax.device_put(arr, sh)
+
+    def T(name):
+        return np.ascontiguousarray(reader.get(name).T)
+
+    def attn_tensors(i):
+        p = f"model.layers.{i}.self_attn"
+        out = {
+            "input_layernorm": reader.get(
+                f"model.layers.{i}.input_layernorm.weight"
+            ),
+            "post_attention_layernorm": reader.get(
+                f"model.layers.{i}.post_attention_layernorm.weight"
+            ),
+            "kv_a_proj_w": T(f"{p}.kv_a_proj_with_mqa.weight"),
+            "kv_a_norm": reader.get(f"{p}.kv_a_layernorm.weight"),
+            "o_proj_w": T(f"{p}.o_proj.weight"),
+        }
+        kv_b = reader.get(f"{p}.kv_b_proj.weight")  # [H*(nope+vh), kvr]
+        kv_b = kv_b.reshape(H, nope + vh, kvr)
+        out["kv_b_nope_w"] = np.ascontiguousarray(
+            kv_b[:, :nope].transpose(0, 2, 1)  # [H, kvr, nope]
+        )
+        out["kv_b_v_w"] = np.ascontiguousarray(
+            kv_b[:, nope:].transpose(0, 2, 1)  # [H, kvr, vh]
+        )
+        if cfg.q_lora_rank > 0:
+            out["q_a_proj_w"] = T(f"{p}.q_a_proj.weight")
+            out["q_a_norm"] = reader.get(f"{p}.q_a_layernorm.weight")
+            out["q_b_proj_w"] = T(f"{p}.q_b_proj.weight")
+        else:
+            out["q_proj_w"] = T(f"{p}.q_proj.weight")
+        return out
+
+    def stack_group(prefix, layer_ids, extra_fn):
+        per = [dict(attn_tensors(i), **extra_fn(i)) for i in layer_ids]
+        group = {}
+        for name in per[0]:
+            group[name] = put(
+                f"{prefix}.{name}", np.stack([p[name] for p in per], axis=0)
+            )
+        return group
+
+    def dense_mlp(i):
+        p = f"model.layers.{i}.mlp"
+        return {
+            "gate_proj_w": T(f"{p}.gate_proj.weight"),
+            "up_proj_w": T(f"{p}.up_proj.weight"),
+            "down_proj_w": T(f"{p}.down_proj.weight"),
+        }
+
+    def moe_mlp_tensors(i):
+        p = f"model.layers.{i}.mlp"
+        E = cfg.num_experts
+        out = {"router_w": T(f"{p}.gate.weight")}
+        gus, downs = [], []
+        for j in range(E):
+            gus.append(
+                np.concatenate(
+                    [
+                        T(f"{p}.experts.{j}.gate_proj.weight"),
+                        T(f"{p}.experts.{j}.up_proj.weight"),
+                    ],
+                    axis=1,
+                )
+            )
+            downs.append(T(f"{p}.experts.{j}.down_proj.weight"))
+        out["experts_gate_up"] = np.stack(gus, axis=0)
+        out["experts_down"] = np.stack(downs, axis=0)
+        if cfg.n_shared_experts > 0:
+            out["shared_gate_proj_w"] = T(f"{p}.shared_experts.gate_proj.weight")
+            out["shared_up_proj_w"] = T(f"{p}.shared_experts.up_proj.weight")
+            out["shared_down_proj_w"] = T(f"{p}.shared_experts.down_proj.weight")
+        return out
+
+    params: dict = {
+        "embed_tokens": put(
+            "embed_tokens", reader.get("model.embed_tokens.weight")
+        ),
+        "norm": put("norm", reader.get("model.norm.weight")),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = put(
+            "lm_head", np.ascontiguousarray(reader.get("lm_head.weight").T)
+        )
+    if n_dense > 0:
+        params["dense_layers"] = stack_group(
+            "dense_layers", range(n_dense), dense_mlp
+        )
+    if n_dense < L:
+        params["moe_layers"] = stack_group(
+            "moe_layers", range(n_dense, L), moe_mlp_tensors
+        )
+    reader.close()
+    logger.info("loaded deepseek MLA params (%d dense + %d moe layers)",
+                n_dense, L - n_dense)
+    return params
+
+
 def load_dense_params(
     cfg: ModelConfig,
     shardings: dict | None = None,

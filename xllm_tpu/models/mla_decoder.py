@@ -1,0 +1,327 @@
+"""DeepSeek-style MLA decoder (deepseek v2/v2-lite family).
+
+Counterpart of the reference's deepseek v2/v3 models + MLA layers
+(reference xllm/models/llm/deepseek_v2.h, layers npu_deepseek_v2_decoder,
+kernels MLA fused ops). TPU-native design:
+
+- the paged cache holds the ABSORBED latent per token:
+  [c_kv (kv_lora_rank, rms-normed) | k_pe (rope dims, roped)] — MQA over
+  one Dk = kv_lora_rank + rope head; K and V share pages and the Pallas
+  kernels read each page once (ops/pallas/mla_attention.py)
+- absorption matmuls (W_UK into q, W_UV out of the latent) are plain
+  einsums against the per-layer kv_b factor stacks
+- MoE layers (optional): a dense prefix of ``first_k_dense`` layers, then
+  MoE layers combining a shared-expert MLP with routed experts scaled by
+  ``routed_scaling_factor`` (deepseek v2 softmax-topk routing)
+
+Scale note: plain 1/sqrt(qk_nope+qk_rope); yarn mscale correction lands
+with long-context rope scaling.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from xllm_tpu.config import ModelConfig
+from xllm_tpu.models.decoder import TP_AXIS, DenseDecoderModel
+from xllm_tpu.ops.mla import (
+    mla_decode_attention_write,
+    mla_prefill_attention_write,
+)
+from xllm_tpu.ops.moe import moe_mlp
+from xllm_tpu.ops.norms import rms_norm
+from xllm_tpu.ops.rope import apply_rope_interleaved, rope_inv_freq
+from xllm_tpu.runtime.forward_params import DecodeInput, PrefillInput
+
+
+class MlaDecoderModel(DenseDecoderModel):
+    def __init__(self, cfg: ModelConfig):
+        super().__init__(cfg)
+        assert cfg.kv_lora_rank > 0, "MLA requires kv_lora_rank"
+        self.dk = cfg.kv_lora_rank + cfg.qk_rope_head_dim
+        # lane-align the latent dim (Mosaic requires >128 dims to be 128
+        # multiples); zero padding contributes nothing to scores
+        self.dk_pad = -(-self.dk // 128) * 128 if self.dk > 128 else self.dk
+        self.dv = cfg.kv_lora_rank
+        self.qk_dim = cfg.qk_nope_head_dim + cfg.qk_rope_head_dim
+        self.scale = self.qk_dim**-0.5
+        self.n_dense = cfg.first_k_dense_replace if cfg.num_experts > 0 else (
+            cfg.num_hidden_layers
+        )
+        self.n_moe = cfg.num_hidden_layers - self.n_dense
+
+    # ------------------------------------------------------------------
+    def _attn_params(self, key, n_layers):
+        c = self.cfg
+        H, D = c.num_attention_heads, c.hidden_size
+        qr, kvr = c.q_lora_rank, c.kv_lora_rank
+        nope, rope, vh = c.qk_nope_head_dim, c.qk_rope_head_dim, c.v_head_dim
+        L = n_layers
+
+        def w(k, *shape, scale=0.02):
+            return (jax.random.normal(k, shape, jnp.float32) * scale).astype(
+                self.dtype
+            )
+
+        ks = iter(jax.random.split(key, 8))
+        p = {
+            "input_layernorm": jnp.ones((L, D), self.dtype),
+            "post_attention_layernorm": jnp.ones((L, D), self.dtype),
+            "kv_a_proj_w": w(next(ks), L, D, kvr + rope),
+            "kv_a_norm": jnp.ones((L, kvr), self.dtype),
+            "kv_b_nope_w": w(next(ks), L, H, kvr, nope),
+            "kv_b_v_w": w(next(ks), L, H, kvr, vh),
+            "o_proj_w": w(next(ks), L, H * vh, D),
+        }
+        if qr > 0:
+            p["q_a_proj_w"] = w(next(ks), L, D, qr)
+            p["q_a_norm"] = jnp.ones((L, qr), self.dtype)
+            p["q_b_proj_w"] = w(next(ks), L, qr, H * (nope + rope))
+        else:
+            p["q_proj_w"] = w(next(ks), L, D, H * (nope + rope))
+        return p
+
+    def init_params(self, rng: jax.Array) -> dict:
+        c = self.cfg
+        D, I, V = c.hidden_size, c.intermediate_size, c.vocab_size
+        k_embed, k_dense, k_moe, k_head = jax.random.split(rng, 4)
+
+        def w(k, *shape, scale=0.02):
+            return (jax.random.normal(k, shape, jnp.float32) * scale).astype(
+                self.dtype
+            )
+
+        params = {
+            "embed_tokens": w(k_embed, V, D),
+            "norm": jnp.ones((D,), self.dtype),
+        }
+        if not c.tie_word_embeddings:
+            params["lm_head"] = w(k_head, D, V)
+
+        if self.n_dense > 0:
+            ks = iter(jax.random.split(k_dense, 4))
+            dense = self._attn_params(next(ks), self.n_dense)
+            dense["gate_proj_w"] = w(next(ks), self.n_dense, D, I)
+            dense["up_proj_w"] = w(next(ks), self.n_dense, D, I)
+            dense["down_proj_w"] = w(next(ks), self.n_dense, I, D)
+            params["dense_layers"] = dense
+        if self.n_moe > 0:
+            c_moe = c
+            E, MI = c_moe.num_experts, c_moe.moe_intermediate_size
+            SI = max(c_moe.n_shared_experts, 1) * MI
+            ks = iter(jax.random.split(k_moe, 8))
+            moe = self._attn_params(next(ks), self.n_moe)
+            moe["router_w"] = w(next(ks), self.n_moe, D, E)
+            moe["experts_gate_up"] = w(next(ks), self.n_moe, E, D, 2 * MI)
+            moe["experts_down"] = w(next(ks), self.n_moe, E, MI, D)
+            if c_moe.n_shared_experts > 0:
+                moe["shared_gate_proj_w"] = w(next(ks), self.n_moe, D, SI)
+                moe["shared_up_proj_w"] = w(next(ks), self.n_moe, D, SI)
+                moe["shared_down_proj_w"] = w(next(ks), self.n_moe, SI, D)
+            params["moe_layers"] = moe
+        return params
+
+    def param_shardings(self) -> dict:
+        c = self.cfg
+        attn = {
+            "input_layernorm": P(),
+            "post_attention_layernorm": P(),
+            "kv_a_proj_w": P(),
+            "kv_a_norm": P(),
+            "kv_b_nope_w": P(None, TP_AXIS, None, None),
+            "kv_b_v_w": P(None, TP_AXIS, None, None),
+            "o_proj_w": P(None, TP_AXIS, None),
+        }
+        if c.q_lora_rank > 0:
+            attn["q_a_proj_w"] = P()
+            attn["q_a_norm"] = P()
+            attn["q_b_proj_w"] = P(None, None, TP_AXIS)
+        else:
+            attn["q_proj_w"] = P(None, None, TP_AXIS)
+        out = {"embed_tokens": P(TP_AXIS, None), "norm": P()}
+        if not c.tie_word_embeddings:
+            out["lm_head"] = P(None, TP_AXIS)
+        if self.n_dense > 0:
+            dense = dict(attn)
+            dense["gate_proj_w"] = P(None, None, TP_AXIS)
+            dense["up_proj_w"] = P(None, None, TP_AXIS)
+            dense["down_proj_w"] = P(None, TP_AXIS, None)
+            out["dense_layers"] = dense
+        if self.n_moe > 0:
+            moe = dict(attn)
+            moe["router_w"] = P()
+            moe["experts_gate_up"] = P(None, TP_AXIS, None, None)
+            moe["experts_down"] = P(None, TP_AXIS, None, None)
+            if c.n_shared_experts > 0:
+                moe["shared_gate_proj_w"] = P(None, None, TP_AXIS)
+                moe["shared_up_proj_w"] = P(None, None, TP_AXIS)
+                moe["shared_down_proj_w"] = P(None, TP_AXIS, None)
+            out["moe_layers"] = moe
+        return out
+
+    # ------------------------------------------------------------------
+    def kv_cache_shape(self, num_blocks: int, block_size: int):
+        return (
+            self.cfg.num_hidden_layers, num_blocks, 1, block_size, self.dk_pad
+        )
+
+    def kv_cache_sharding(self) -> P:
+        return P()  # latent cache is MQA — replicated over tp
+
+    def kv_bytes_per_token(self) -> int:
+        bytes_per_el = 2 if self.dtype == jnp.bfloat16 else 4
+        return self.cfg.num_hidden_layers * self.dk_pad * bytes_per_el
+
+    def new_kv_cache(self, num_blocks, block_size, dtype=None):
+        dt = dtype or self.dtype
+        cache = jnp.zeros(self.kv_cache_shape(num_blocks, block_size), dt)
+        # v-cache slot unused: latent pages serve both K and V
+        return cache, jnp.zeros((1,), dt)
+
+    # ------------------------------------------------------------------
+    def _mla_qkv(self, lp, h, positions, inv_freq):
+        """normed hidden [T, D] -> (q_eff [T, H, Dk], lat_new [T, Dk])."""
+        c = self.cfg
+        t = h.shape[0]
+        H = c.num_attention_heads
+        nope, rope, kvr = c.qk_nope_head_dim, c.qk_rope_head_dim, c.kv_lora_rank
+        if c.q_lora_rank > 0:
+            qa = jnp.dot(
+                h, lp["q_a_proj_w"], preferred_element_type=jnp.float32
+            ).astype(h.dtype)
+            qa = rms_norm(qa, lp["q_a_norm"], c.rms_norm_eps)
+            q = jnp.dot(
+                qa, lp["q_b_proj_w"], preferred_element_type=jnp.float32
+            ).astype(h.dtype)
+        else:
+            q = jnp.dot(
+                h, lp["q_proj_w"], preferred_element_type=jnp.float32
+            ).astype(h.dtype)
+        q = q.reshape(t, H, nope + rope)
+        q_nope, q_pe = q[..., :nope], q[..., nope:]
+
+        kv_a = jnp.dot(
+            h, lp["kv_a_proj_w"], preferred_element_type=jnp.float32
+        ).astype(h.dtype)
+        c_kv = rms_norm(kv_a[:, :kvr], lp["kv_a_norm"], c.rms_norm_eps)
+        k_pe = kv_a[:, kvr:].reshape(t, 1, rope)
+
+        q_pe, k_pe = apply_rope_interleaved(q_pe, k_pe, positions, inv_freq)
+
+        # absorb W_UK into q: [T, H, nope] x [H, kvr, nope] -> [T, H, kvr]
+        q_lat = jnp.einsum(
+            "thn,hkn->thk",
+            q_nope,
+            lp["kv_b_nope_w"],
+            preferred_element_type=jnp.float32,
+        ).astype(h.dtype)
+        q_eff = jnp.concatenate([q_lat, q_pe], axis=-1)  # [T, H, Dk]
+        lat_new = jnp.concatenate([c_kv, k_pe[:, 0]], axis=-1)  # [T, Dk]
+        if self.dk_pad != self.dk:
+            pad = self.dk_pad - self.dk
+            q_eff = jnp.pad(q_eff, ((0, 0), (0, 0), (0, pad)))
+            lat_new = jnp.pad(lat_new, ((0, 0), (0, pad)))
+        return q_eff, lat_new
+
+    def _mla_out(self, lp, out_lat, t):
+        """[T, H, kvr] latent attention output -> [T, D] residual add."""
+        c = self.cfg
+        out = jnp.einsum(
+            "thk,hkv->thv",
+            out_lat,
+            lp["kv_b_v_w"],
+            preferred_element_type=jnp.float32,
+        ).astype(out_lat.dtype)
+        out = out.reshape(t, c.num_attention_heads * c.v_head_dim)
+        return jnp.dot(
+            out, lp["o_proj_w"], preferred_element_type=jnp.float32
+        )
+
+    def _moe_block(self, lp, x):
+        c = self.cfg
+        routed = moe_mlp(
+            x,
+            lp["router_w"],
+            lp["experts_gate_up"],
+            lp["experts_down"],
+            c.num_experts_per_tok,
+            c.norm_topk_prob,
+        )
+        out = routed * c.routed_scaling_factor
+        if c.n_shared_experts > 0:
+            gate = jnp.dot(
+                x, lp["shared_gate_proj_w"], preferred_element_type=jnp.float32
+            )
+            up = jnp.dot(
+                x, lp["shared_up_proj_w"], preferred_element_type=jnp.float32
+            )
+            act = (jax.nn.silu(gate) * up).astype(x.dtype)
+            out = out + jnp.dot(
+                act, lp["shared_down_proj_w"], preferred_element_type=jnp.float32
+            ).astype(x.dtype)
+        return out.astype(x.dtype)
+
+    def _run_stack(
+        self, stack, layer0, x, cache, positions, attn_fn, mlp_fn
+    ):
+        c = self.cfg
+        t = x.shape[0]
+        inv_freq = rope_inv_freq(c.qk_rope_head_dim, c.rope_theta, c.rope_scaling)
+        n = stack["input_layernorm"].shape[0]
+
+        def body(carry, xs):
+            x, cache = carry
+            lp, li = xs
+            h = rms_norm(x, lp["input_layernorm"], c.rms_norm_eps)
+            q_eff, lat_new = self._mla_qkv(lp, h, positions, inv_freq)
+            out_lat, cache = attn_fn(q_eff, lat_new, cache, li)
+            x = x + self._mla_out(lp, out_lat, t).astype(x.dtype)
+            h2 = rms_norm(x, lp["post_attention_layernorm"], c.rms_norm_eps)
+            x = x + mlp_fn(lp, h2)
+            return (x, cache), None
+
+        lids = layer0 + jnp.arange(n, dtype=jnp.int32)
+        (x, cache), _ = jax.lax.scan(body, (x, cache), (stack, lids))
+        return x, cache
+
+    def _forward(self, params, cache, x, positions, attn_fn):
+        if self.n_dense > 0:
+            x, cache = self._run_stack(
+                params["dense_layers"], 0, x, cache, positions, attn_fn,
+                lambda lp, h: self._mlp(lp, h),
+            )
+        if self.n_moe > 0:
+            x, cache = self._run_stack(
+                params["moe_layers"], self.n_dense, x, cache, positions,
+                attn_fn, lambda lp, h: self._moe_block(lp, h),
+            )
+        x = rms_norm(x, params["norm"], self.cfg.rms_norm_eps)
+        return x, cache
+
+    # ------------------------------------------------------------------
+    def prefill(self, params, k_all, v_all, inp: PrefillInput, num_logits=1):
+        def attn_fn(q_eff, lat_new, cache, li):
+            return mla_prefill_attention_write(
+                q_eff, lat_new, cache, li, inp.slot_mapping, inp.block_table,
+                inp.q_offset, inp.kv_len, self.scale, self.dv,
+            )
+
+        x = params["embed_tokens"][inp.token_ids]
+        x, k_all = self._forward(params, k_all, x, inp.positions, attn_fn)
+        hidden = jax.lax.dynamic_slice_in_dim(
+            x, inp.logits_idx - (num_logits - 1), num_logits, axis=0
+        )
+        return hidden, k_all, v_all
+
+    def decode(self, params, k_all, v_all, inp: DecodeInput, token_ids):
+        def attn_fn(q_eff, lat_new, cache, li):
+            return mla_decode_attention_write(
+                q_eff, lat_new, cache, li, inp.slot_mapping, inp.block_tables,
+                inp.seq_lens, self.scale, self.dv,
+            )
+
+        x = params["embed_tokens"][token_ids]
+        x, k_all = self._forward(params, k_all, x, inp.positions, attn_fn)
+        return x, k_all, v_all

@@ -19,6 +19,9 @@ _ARCH_MAP = {
     "Qwen3MoeForCausalLM": "qwen3_moe",
     "LlamaForCausalLM": "llama",
     "MistralForCausalLM": "llama",
+    "DeepseekV2ForCausalLM": "deepseek_v2",
+    "DeepseekV3ForCausalLM": "deepseek_v2",
+    "Glm4ForCausalLM": "glm4",
 }
 
 
@@ -56,12 +59,20 @@ def model_config_from_hf_dict(cfg: dict, model_path: str = "") -> ModelConfig:
         sliding_window=cfg.get("sliding_window")
         if cfg.get("use_sliding_window", False)
         else None,
-        num_experts=cfg.get("num_experts", 0),
+        num_experts=cfg.get("num_experts", 0) or cfg.get("n_routed_experts", 0),
         num_experts_per_tok=cfg.get("num_experts_per_tok", 0),
         moe_intermediate_size=cfg.get("moe_intermediate_size", 0),
         norm_topk_prob=cfg.get("norm_topk_prob", False),
         decoder_sparse_step=cfg.get("decoder_sparse_step", 1),
         mlp_only_layers=cfg.get("mlp_only_layers", []) or [],
+        q_lora_rank=cfg.get("q_lora_rank") or 0,
+        kv_lora_rank=cfg.get("kv_lora_rank") or 0,
+        qk_nope_head_dim=cfg.get("qk_nope_head_dim") or 0,
+        qk_rope_head_dim=cfg.get("qk_rope_head_dim") or 0,
+        v_head_dim=cfg.get("v_head_dim") or 0,
+        first_k_dense_replace=cfg.get("first_k_dense_replace") or 0,
+        n_shared_experts=cfg.get("n_shared_experts") or 0,
+        routed_scaling_factor=cfg.get("routed_scaling_factor") or 1.0,
         eos_token_ids=eos,
     )
     return mc

@@ -36,10 +36,15 @@ def get_model_class(model_type: str) -> type:
     from xllm_tpu.models.decoder import DenseDecoderModel
     from xllm_tpu.models.moe_decoder import MoeDecoderModel
 
+    from xllm_tpu.models.mla_decoder import MlaDecoderModel
+
     ModelRegistry._registry.setdefault("llama", DenseDecoderModel)
+    ModelRegistry._registry.setdefault("glm4", DenseDecoderModel)
     ModelRegistry._registry.setdefault("qwen2", DenseDecoderModel)
     ModelRegistry._registry.setdefault("qwen3", DenseDecoderModel)
     ModelRegistry._registry.setdefault("qwen3_moe", MoeDecoderModel)
+    ModelRegistry._registry.setdefault("deepseek_v2", MlaDecoderModel)
+    ModelRegistry._registry.setdefault("deepseek_v3", MlaDecoderModel)
     return ModelRegistry.get(model_type)
 
 

@@ -277,3 +277,160 @@ def kv_write_prefill_tpu(
         v_all,
     )
     return k_all, v_all
+
+
+# ----------------------------------------------------------------------
+# single-cache (MLA latent) writers: same schemes, one aliased array
+# ----------------------------------------------------------------------
+def _latent_pages_kernel(
+    layer_ref, block_table_ref, q_offset_ref, ntok_ref,
+    lt, c_in, c_out, page_sem, *, block_size: int, max_pages: int,
+):
+    """Full-page writer for the latent cache (page-aligned chunk starts)."""
+    del c_in
+    layer = layer_ref[0]
+    q_offset = q_offset_ref[0]
+    ntok = ntok_ref[0]
+    first_page = q_offset // block_size
+
+    def page_dma(p):
+        r0 = p * block_size
+        blk = block_table_ref[first_page + p]
+        return pltpu.make_async_copy(
+            lt.at[pl.ds(r0, block_size), :],
+            c_out.at[layer, blk, 0],
+            page_sem.at[p],
+        )
+
+    for p in range(max_pages):
+
+        @pl.when(p * block_size < ntok)
+        def _(p=p):
+            page_dma(p).start()
+
+    for p in range(max_pages):
+
+        @pl.when(p * block_size < ntok)
+        def _(p=p):
+            page_dma(p).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def latent_write_prefill_tpu(
+    lt: jnp.ndarray,  # [S_pad, Dk] latent rows (token-major)
+    cache: jnp.ndarray,  # [L, NB, 1, bs, Dk]
+    layer_idx: jnp.ndarray,
+    block_table: jnp.ndarray,
+    q_offset: jnp.ndarray,  # page-aligned
+    ntok: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    s_pad, dk = lt.shape
+    bs = cache.shape[3]
+    max_pages = (s_pad + bs - 1) // bs
+    lt = jnp.pad(lt, ((0, bs), (0, 0)))
+    kernel = functools.partial(
+        _latent_pages_kernel, block_size=bs, max_pages=max_pages
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((max_pages,))],
+    )
+    # inputs: 4 scalars, lt=4, cache=5 -> output 0
+    (cache,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(cache.shape, cache.dtype)],
+        input_output_aliases={5: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        layer_idx.reshape(1), block_table, q_offset.reshape(1),
+        ntok.reshape(1), lt, cache,
+    )
+    return cache
+
+
+def _latent_rmw_kernel(
+    layer_ref, block_table_ref, q_offset_ref, ntok_ref,
+    lt, c_in, c_out, pg, sem, *, block_size: int, s: int,
+):
+    """RMW small-chunk latent writer (speculative verify chunks)."""
+    del c_in
+    layer = layer_ref[0]
+    q_offset = q_offset_ref[0]
+    ntok = ntok_ref[0]
+    _, dk = lt.shape
+    first_page = q_offset // block_size
+    last_page = (q_offset + jnp.maximum(ntok, 1) - 1) // block_size
+
+    def do_page(page_idx):
+        blk = block_table_ref[page_idx]
+        rd = pltpu.make_async_copy(c_out.at[layer, blk, 0], pg, sem.at[0])
+        rd.start()
+        rd.wait()
+        row = jax.lax.broadcasted_iota(jnp.int32, (block_size, dk), 0)
+        for j in range(s):
+            pos = q_offset + j
+            hit = (
+                (j < ntok)
+                & (pos // block_size == page_idx)
+                & (row == jax.lax.rem(pos, block_size))
+            )
+            pg[...] = jnp.where(hit, lt[j][None, :], pg[...])
+        wr = pltpu.make_async_copy(pg, c_out.at[layer, blk, 0], sem.at[0])
+        wr.start()
+        wr.wait()
+
+    do_page(first_page)
+
+    @pl.when(last_page != first_page)
+    def _():
+        do_page(last_page)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def latent_write_rmw_tpu(
+    lt: jnp.ndarray,  # [S, Dk], S <= block_size
+    cache: jnp.ndarray,
+    layer_idx: jnp.ndarray,
+    block_table: jnp.ndarray,
+    q_offset: jnp.ndarray,  # any alignment
+    ntok: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    s, dk = lt.shape
+    bs = cache.shape[3]
+    assert s <= bs
+    kernel = functools.partial(_latent_rmw_kernel, block_size=bs, s=s)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((bs, dk), cache.dtype),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+    )
+    (cache,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(cache.shape, cache.dtype)],
+        input_output_aliases={5: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        layer_idx.reshape(1), block_table, q_offset.reshape(1),
+        ntok.reshape(1), lt, cache,
+    )
+    return cache

@@ -64,3 +64,29 @@ def apply_rope(
     q_out = qf * cos2 + _rotate_half(qf) * sin2
     k_out = kf * cos2 + _rotate_half(kf) * sin2
     return q_out.astype(q.dtype), k_out.astype(k.dtype)
+
+
+def apply_rope_interleaved(
+    q: jnp.ndarray,  # [T, Hq, D]
+    k: jnp.ndarray,  # [T, Hkv, D]
+    positions: jnp.ndarray,  # [T]
+    inv_freq: jnp.ndarray,  # [D/2]
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Interleaved (complex-pair) convention: pairs (x[2i], x[2i+1]).
+
+    Used by DeepSeek v2/v3 MLA rope (HF apply_rotary_emb via
+    view_as_complex) — NOT the llama rotate-half convention.
+    """
+    angles = positions[:, None].astype(jnp.float32) * inv_freq[None, :]
+    cos = jnp.cos(angles)[:, None, :]  # [T, 1, D/2]
+    sin = jnp.sin(angles)[:, None, :]
+
+    def rot(x):
+        xf = x.astype(jnp.float32)
+        x_pairs = xf.reshape(*xf.shape[:-1], -1, 2)
+        xr, xi = x_pairs[..., 0], x_pairs[..., 1]
+        or_ = xr * cos - xi * sin
+        oi = xr * sin + xi * cos
+        return jnp.stack([or_, oi], axis=-1).reshape(xf.shape).astype(x.dtype)
+
+    return rot(q), rot(k)
