@@ -91,6 +91,11 @@ def _tiny_hf_model(tmp_path, family):
             scoring_func="softmax",
             attention_bias=False,
         )
+    elif family == "glm4":
+        from transformers import Glm4Config
+
+        cfg = Glm4Config(**common, head_dim=16, partial_rotary_factor=0.5,
+                         attention_bias=True, pad_token_id=0)
     else:
         raise ValueError(family)
     torch.manual_seed(0)
@@ -101,7 +106,7 @@ def _tiny_hf_model(tmp_path, family):
     return model, str(path)
 
 
-@pytest.mark.parametrize("family", ["qwen2", "qwen3", "llama", "qwen3_moe", "deepseek_v2"])
+@pytest.mark.parametrize("family", ["qwen2", "qwen3", "llama", "qwen3_moe", "deepseek_v2", "glm4"])
 def test_logits_and_greedy_match_hf(tmp_path, family):
     import torch
 

@@ -59,6 +59,8 @@ class ModelConfig:
     tie_word_embeddings: bool = False
     attention_bias: bool = False  # qwen2 uses qkv bias; qwen3/llama do not
     qk_norm: bool = False  # qwen3 per-head q/k RMSNorm
+    partial_rotary_factor: float = 1.0  # glm4 ropes only the first half
+    use_sandwich_norms: bool = False  # glm4 post-attn/post-mlp extra norms
     sliding_window: int | None = None
     # MoE (qwen3-moe / deepseek style); 0 experts = dense
     num_experts: int = 0

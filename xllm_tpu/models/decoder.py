@@ -85,6 +85,9 @@ class DenseDecoderModel:
         if c.qk_norm:
             layers["q_norm"] = jnp.ones((L, dh), self.dtype)
             layers["k_norm"] = jnp.ones((L, dh), self.dtype)
+        if c.use_sandwich_norms:
+            layers["post_self_attn_layernorm"] = jnp.ones((L, D), self.dtype)
+            layers["post_mlp_layernorm"] = jnp.ones((L, D), self.dtype)
         params = {
             "embed_tokens": w(next(keys), V, D),
             "layers": layers,
@@ -111,6 +114,9 @@ class DenseDecoderModel:
         if c.qk_norm:
             layers["q_norm"] = P()
             layers["k_norm"] = P()
+        if c.use_sandwich_norms:
+            layers["post_self_attn_layernorm"] = P()
+            layers["post_mlp_layernorm"] = P()
         out = {
             "embed_tokens": P(TP_AXIS, None),
             "layers": layers,
@@ -186,7 +192,14 @@ class DenseDecoderModel:
         if c.qk_norm:
             q = rms_norm(q, lp["q_norm"], c.rms_norm_eps)
             k = rms_norm(k, lp["k_norm"], c.rms_norm_eps)
-        q, k = apply_rope(q, k, positions, inv_freq)
+        if c.partial_rotary_factor < 1.0:
+            from xllm_tpu.ops.rope import apply_rope_partial_interleaved_cos
+
+            q, k = apply_rope_partial_interleaved_cos(
+                q, k, positions, inv_freq, int(dh * c.partial_rotary_factor)
+            )
+        else:
+            q, k = apply_rope(q, k, positions, inv_freq)
         return q, k, v
 
     def _run_layers(
@@ -201,7 +214,8 @@ class DenseDecoderModel:
     ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         c = self.cfg
         t = x.shape[0]
-        inv_freq = rope_inv_freq(c.head_dim, c.rope_theta, c.rope_scaling)
+        rotary_dim = int(c.head_dim * c.partial_rotary_factor)
+        inv_freq = rope_inv_freq(rotary_dim, c.rope_theta, c.rope_scaling)
 
         def body(carry, xs):
             x, k_all, v_all = carry
@@ -210,9 +224,19 @@ class DenseDecoderModel:
             q, k, v = self._attn_qkv(lp, h, positions, inv_freq)
             attn, k_all, v_all = attn_fn(q, k, v, k_all, v_all, layer_idx)
             attn = attn.reshape(t, c.num_attention_heads * c.head_dim)
-            x = x + self._linear(lp, "o_proj_w", attn).astype(x.dtype)
+            attn_out = self._linear(lp, "o_proj_w", attn).astype(x.dtype)
+            if c.use_sandwich_norms:  # glm4 post-attn norm before residual
+                attn_out = rms_norm(
+                    attn_out, lp["post_self_attn_layernorm"], c.rms_norm_eps
+                )
+            x = x + attn_out
             h = rms_norm(x, lp["post_attention_layernorm"], c.rms_norm_eps)
-            x = x + self._mlp(lp, h)
+            mlp_out = self._mlp(lp, h)
+            if c.use_sandwich_norms:
+                mlp_out = rms_norm(
+                    mlp_out, lp["post_mlp_layernorm"], c.rms_norm_eps
+                )
+            x = x + mlp_out
             return (x, k_all, v_all), None
 
         layer_ids = jnp.arange(c.num_hidden_layers, dtype=jnp.int32)

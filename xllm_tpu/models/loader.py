@@ -70,6 +70,12 @@ _LAYER_MAP = {
     "o_proj_w": ("model.layers.{i}.self_attn.o_proj.weight", True),
     "q_norm": ("model.layers.{i}.self_attn.q_norm.weight", False),
     "k_norm": ("model.layers.{i}.self_attn.k_norm.weight", False),
+    "post_self_attn_layernorm": (
+        "model.layers.{i}.post_self_attn_layernorm.weight", False,
+    ),
+    "post_mlp_layernorm": (
+        "model.layers.{i}.post_mlp_layernorm.weight", False,
+    ),
     "down_proj_w": ("model.layers.{i}.mlp.down_proj.weight", True),
 }
 
@@ -319,6 +325,21 @@ def load_dense_params(
         params["layers"]["qkv_proj_b"] = put("layers.qkv_proj_b", qkv_b)
     if cfg.num_experts > 0:
         _load_moe_mlp(cfg, reader, params, put, L)
+    elif "model.layers.0.mlp.gate_up_proj.weight" in reader:
+        # glm4-style fused gate_up: rows [gate | up]
+        gates, ups = [], []
+        for i in range(L):
+            gu = reader.get(f"model.layers.{i}.mlp.gate_up_proj.weight")
+            half = gu.shape[0] // 2
+            gates.append(np.ascontiguousarray(gu[:half].T))
+            ups.append(np.ascontiguousarray(gu[half:].T))
+        params["layers"]["gate_proj_w"] = put(
+            "layers.gate_proj_w", np.stack(gates, axis=0)
+        )
+        params["layers"]["up_proj_w"] = put(
+            "layers.up_proj_w", np.stack(ups, axis=0)
+        )
+        logger.info("loaded fused gate_up (glm4) split into gate/up")
     else:
         for pname, hf in (
             ("gate_proj_w", "gate_proj"),

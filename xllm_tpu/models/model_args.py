@@ -55,7 +55,10 @@ def model_config_from_hf_dict(cfg: dict, model_path: str = "") -> ModelConfig:
         max_position_embeddings=cfg.get("max_position_embeddings", 32768),
         tie_word_embeddings=cfg.get("tie_word_embeddings", False),
         attention_bias=model_type == "qwen2" or cfg.get("attention_bias", False),
-        qk_norm=model_type in ("qwen3", "qwen3_moe"),
+        qk_norm=model_type in ("qwen3", "qwen3_moe")
+        or bool(cfg.get("use_qk_norm", False)),
+        partial_rotary_factor=cfg.get("partial_rotary_factor", 1.0),
+        use_sandwich_norms=model_type == "glm4",
         sliding_window=cfg.get("sliding_window")
         if cfg.get("use_sliding_window", False)
         else None,

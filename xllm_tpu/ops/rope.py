@@ -90,3 +90,31 @@ def apply_rope_interleaved(
         return jnp.stack([or_, oi], axis=-1).reshape(xf.shape).astype(x.dtype)
 
     return rot(q), rot(k)
+
+
+def apply_rope_partial_interleaved_cos(
+    q: jnp.ndarray,  # [T, Hq, D]
+    k: jnp.ndarray,  # [T, Hkv, D]
+    positions: jnp.ndarray,
+    inv_freq: jnp.ndarray,  # [rotary_dim/2]
+    rotary_dim: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """GLM4 convention: only the first rotary_dim dims rotate, in
+    INTERLEAVED (even/odd) pairs — HF glm4's rotate_half is the
+    stack((-x[1::2], x[0::2])) variant, which with its repeat-interleaved
+    cos/sin equals complex-pair rotation on the rotary slice."""
+    angles = positions[:, None].astype(jnp.float32) * inv_freq[None, :]
+    cos = jnp.cos(angles)[:, None, :]  # [T, 1, rd/2]
+    sin = jnp.sin(angles)[:, None, :]
+
+    def rot(x):
+        xf = x.astype(jnp.float32)
+        xr, rest = xf[..., :rotary_dim], xf[..., rotary_dim:]
+        pairs = xr.reshape(*xr.shape[:-1], -1, 2)
+        xre, xim = pairs[..., 0], pairs[..., 1]
+        or_ = xre * cos - xim * sin
+        oi = xre * sin + xim * cos
+        out = jnp.stack([or_, oi], axis=-1).reshape(xr.shape)
+        return jnp.concatenate([out, rest], axis=-1).astype(x.dtype)
+
+    return rot(q), rot(k)
