@@ -106,6 +106,10 @@ class CacheConfig:
     memory_utilization: float = 0.9
     kv_cache_dtype: str = "auto"  # auto|bfloat16|fp8_e4m3|int8
     enable_prefix_cache: bool = True
+    # block manager backend: "python" | "native" (C++ core) | "auto"
+    # (native when the toolchain can build it — reference keeps this
+    # subsystem in C++, SURVEY.md §2.4)
+    block_backend: str = "auto"
     # host (CPU DRAM) tier, reference HierarchyBlockManagerPool
     # (xllm/core/framework/block/hierarchy_block_manager_pool.h:40)
     num_host_blocks: int = 0

@@ -73,25 +73,7 @@ class LLMEngine:
             self.runner.load_model()
         if self.runner.k_cache is None:
             self.runner.initialize_kv_cache()
-        hierarchy = None
-        if config.cache.num_host_blocks > 0:
-            from xllm_tpu.framework.host_kv import (
-                HierarchyController,
-                HostKVPool,
-            )
-
-            self.runner.init_host_kv(config.cache.num_host_blocks)
-            hierarchy = HierarchyController(
-                HostKVPool(config.cache.num_host_blocks),
-                swap_out=self.runner.swap_out_block,
-                swap_in=self.runner.swap_in_block,
-            )
-        self.block_manager = BlockManager(
-            num_blocks=self.runner.num_blocks,
-            block_size=config.cache.block_size,
-            enable_prefix_cache=config.cache.enable_prefix_cache,
-            hierarchy=hierarchy,
-        )
+        self.block_manager = self._make_block_manager()
         self.scheduler = ContinuousScheduler(config.scheduler, self.block_manager)
         self._decoders: dict[int, IncrementalDecoder] = {}
         self._active_requests: dict[str, Request] = {}
@@ -112,6 +94,41 @@ class LLMEngine:
             # the overlap as the fetch-latency amortizer
             self.overlap_depth = 0
         self._proposers: dict[int, object] = {}
+
+    def _make_block_manager(self):
+        config = self.config
+        hierarchy = None
+        if config.cache.num_host_blocks > 0:
+            from xllm_tpu.framework.host_kv import (
+                HierarchyController,
+                HostKVPool,
+            )
+
+            self.runner.init_host_kv(config.cache.num_host_blocks)
+            hierarchy = HierarchyController(
+                HostKVPool(config.cache.num_host_blocks),
+                swap_out=self.runner.swap_out_block,
+                swap_in=self.runner.swap_in_block,
+            )
+        backend = config.cache.block_backend
+        if backend == "auto":
+            from xllm_tpu import native
+
+            backend = "native" if native.available() else "python"
+        if backend == "native":
+            from xllm_tpu.framework.native_block_manager import (
+                NativeBlockManager,
+            )
+
+            cls = NativeBlockManager
+        else:
+            cls = BlockManager
+        return cls(
+            num_blocks=self.runner.num_blocks,
+            block_size=config.cache.block_size,
+            enable_prefix_cache=config.cache.enable_prefix_cache,
+            hierarchy=hierarchy,
+        )
 
     # ------------------------------------------------------------------
     # request intake (reference llm_master.cpp:177 handle_request)
@@ -265,7 +282,13 @@ class LLMEngine:
             return None
         prop = self._proposers.get(seq.seq_id)
         if prop is None:
-            prop = self._proposers[seq.seq_id] = SuffixProposer()
+            from xllm_tpu import native
+
+            if native.available():  # C++ suffix index (reference-native twin)
+                prop = native.NativeSuffixIndex()
+            else:
+                prop = SuffixProposer()
+            self._proposers[seq.seq_id] = prop
         prop.extend(seq.token_ids, seq.num_fixed_tokens)
         draft = prop.propose(seq.token_ids, k)
         if not draft:
@@ -401,11 +424,7 @@ class LLMEngine:
     def wakeup(self) -> None:
         self.runner.wakeup()
         # KV content was dropped -> fresh block pool + prefix cache
-        self.block_manager = BlockManager(
-            num_blocks=self.runner.num_blocks,
-            block_size=self.config.cache.block_size,
-            enable_prefix_cache=self.config.cache.enable_prefix_cache,
-        )
+        self.block_manager = self._make_block_manager()
         self.scheduler.block_manager = self.block_manager
 
     def update_weights(self, model_path: str | None = None) -> None:
