@@ -217,6 +217,7 @@ def load_mla_params(
             downs.append(T(f"{p}.experts.{j}.down_proj.weight"))
         out["experts_gate_up"] = np.stack(gus, axis=0)
         out["experts_down"] = np.stack(downs, axis=0)
+        out["expert_placement"] = np.arange(E, dtype=np.int32)
         if cfg.n_shared_experts > 0:
             out["shared_gate_proj_w"] = T(f"{p}.shared_experts.gate_proj.weight")
             out["shared_up_proj_w"] = T(f"{p}.shared_experts.up_proj.weight")
@@ -401,5 +402,9 @@ def _load_moe_mlp(cfg: ModelConfig, reader, params, put, L: int) -> None:
     )
     params["layers"]["experts_down"] = put(
         "layers.experts_down", np.stack(downs, axis=0)
+    )
+    params["layers"]["expert_placement"] = put(
+        "layers.expert_placement",
+        np.tile(np.arange(E, dtype=np.int32), (L, 1)),
     )
     logger.info("loaded %d experts x %d layers", E, L)

@@ -116,6 +116,9 @@ class MlaDecoderModel(DenseDecoderModel):
             moe["router_w"] = w(next(ks), self.n_moe, D, E)
             moe["experts_gate_up"] = w(next(ks), self.n_moe, E, D, 2 * MI)
             moe["experts_down"] = w(next(ks), self.n_moe, E, MI, D)
+            moe["expert_placement"] = jnp.tile(
+                jnp.arange(E, dtype=jnp.int32), (self.n_moe, 1)
+            )
             if c_moe.n_shared_experts > 0:
                 moe["shared_gate_proj_w"] = w(next(ks), self.n_moe, D, SI)
                 moe["shared_up_proj_w"] = w(next(ks), self.n_moe, D, SI)
@@ -154,6 +157,7 @@ class MlaDecoderModel(DenseDecoderModel):
             moe["router_w"] = P()
             moe["experts_gate_up"] = P(None, TP_AXIS, None, None)
             moe["experts_down"] = P(None, TP_AXIS, None, None)
+            moe["expert_placement"] = P()
             if c.n_shared_experts > 0:
                 moe["shared_gate_proj_w"] = P(None, None, TP_AXIS)
                 moe["shared_up_proj_w"] = P(None, None, TP_AXIS)
@@ -248,6 +252,7 @@ class MlaDecoderModel(DenseDecoderModel):
             lp["experts_down"],
             c.num_experts_per_tok,
             c.norm_topk_prob,
+            placement=lp.get("expert_placement"),
         )
         out = routed * c.routed_scaling_factor
         if c.n_shared_experts > 0:

@@ -52,6 +52,10 @@ class MoeDecoderModel(DenseDecoderModel):
         layers["router_w"] = w(k1, L, D, E)
         layers["experts_gate_up"] = w(k2, L, E, D, 2 * I)
         layers["experts_down"] = w(k3, L, E, I, D)
+        # EPLB slot map: placement[l, slot] = logical expert in that slot
+        layers["expert_placement"] = jnp.tile(
+            jnp.arange(E, dtype=jnp.int32), (L, 1)
+        )
         return params
 
     def param_shardings(self) -> dict:
@@ -62,6 +66,7 @@ class MoeDecoderModel(DenseDecoderModel):
         # EP: experts sharded over the tp axis
         layers["experts_gate_up"] = P(None, TP_AXIS, None, None)
         layers["experts_down"] = P(None, TP_AXIS, None, None)
+        layers["expert_placement"] = P()
         return out
 
     # ------------------------------------------------------------------
@@ -74,4 +79,5 @@ class MoeDecoderModel(DenseDecoderModel):
             lp["experts_down"],
             c.num_experts_per_tok,
             c.norm_topk_prob,
+            placement=lp.get("expert_placement"),
         )

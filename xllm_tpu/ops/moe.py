@@ -128,7 +128,14 @@ def moe_mlp(
     down: jnp.ndarray,
     num_experts_per_tok: int,
     norm_topk_prob: bool,
+    placement: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
+    """placement [E] is the EPLB slot map: placement[slot] = the LOGICAL
+    expert whose weights live in physical slot `slot` (reference
+    EplbExecutor routing remap). Permuting the router columns to slot
+    order makes top-k ids physical, so gather/combine stay unchanged."""
+    if placement is not None:
+        router_w = router_w[:, placement]
     if jax.default_backend() == "tpu":
         return moe_mlp_gmm(
             x, router_w, gate_up, down, num_experts_per_tok, norm_topk_prob

@@ -367,6 +367,36 @@ class ModelRunner:
         return tokens, logprobs
 
     # ------------------------------------------------------------------
+    # EPLB weight shuffling (reference EplbExecutor, eplb_executor.h:29)
+    # ------------------------------------------------------------------
+    def apply_expert_placement(
+        self, placement: np.ndarray, group: str = "layers"
+    ) -> None:
+        """Re-place experts: stack slot s gets logical expert placement[l,s].
+
+        One jitted gather per expert stack (donated, stays on device) plus
+        the router indirection update — the between-steps equivalent of the
+        reference's async expert weight shuffling.
+        """
+        perm = jnp.asarray(placement, jnp.int32)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def permute(layers, perm):
+            out = dict(layers)
+            out["experts_gate_up"] = jnp.take_along_axis(
+                layers["experts_gate_up"], perm[:, :, None, None], axis=1
+            )
+            out["experts_down"] = jnp.take_along_axis(
+                layers["experts_down"], perm[:, :, None, None], axis=1
+            )
+            out["expert_placement"] = perm
+            return out
+
+        layers = permute(self.params[group], perm)
+        self.params = {**self.params, group: layers}
+        logger.info("applied EPLB expert placement (%s)", group)
+
+    # ------------------------------------------------------------------
     # host-DRAM KV tier transfers (reference hierarchy_kv_cache_transfer,
     # HBM<->host offload/prefetch — Mooncake-lite over the host bus)
     # ------------------------------------------------------------------
