@@ -142,7 +142,8 @@ def load_mla_params(
     n_dense = cfg.first_k_dense_replace if cfg.num_experts > 0 else L
 
     def put(name: str, arr: np.ndarray):
-        arr = arr.astype(dt) if arr.dtype != dt else arr
+        if not np.issubdtype(arr.dtype, np.integer) and arr.dtype != dt:
+            arr = arr.astype(dt)
         sh = None
         if shardings is not None:
             sh = shardings
@@ -265,7 +266,8 @@ def load_dense_params(
     L = cfg.num_hidden_layers
 
     def put(name: str, arr: np.ndarray):
-        arr = arr.astype(dt) if arr.dtype != dt else arr
+        if not np.issubdtype(arr.dtype, np.integer) and arr.dtype != dt:
+            arr = arr.astype(dt)
         sh = None
         if shardings is not None:
             sh = shardings
