@@ -143,3 +143,26 @@ def test_engine_embed_request():
     assert ro.embedding is not None and len(ro.embedding) == 64
     assert abs(sum(v * v for v in ro.embedding) - 1.0) < 1e-3
     assert eng.block_manager.num_used_blocks == 0
+
+
+def test_n_greater_than_one_sampling():
+    eng = LLMEngine(tiny_config())
+    sp = SamplingParams(n=2, best_of=2, temperature=0.8, top_p=0.95,
+                        max_tokens=6, ignore_eos=True, seed=1)
+    req = eng.add_request(prompt_token_ids=[4, 8, 15, 16, 23], sampling_params=sp)
+    finals = eng.generate_all()
+    ro = [r for r in finals if r.request_id == req.request_id][0]
+    assert len(ro.outputs) == 2
+    for o in ro.outputs:
+        assert len(o.token_ids) == 6
+    assert eng.block_manager.num_used_blocks == 0
+
+
+def test_logprobs_returned():
+    eng = LLMEngine(tiny_config())
+    sp = SamplingParams(temperature=0.0, max_tokens=4, ignore_eos=True, logprobs=1)
+    eng.add_request(prompt_token_ids=[3, 5, 7], sampling_params=sp)
+    ro = eng.generate_all()[0]
+    lp = ro.outputs[0].logprobs
+    assert lp is not None and len(lp) == 4
+    assert all(v <= 0.0 for v in lp)  # log-probabilities

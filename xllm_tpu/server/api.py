@@ -305,12 +305,20 @@ class APIServer:
                     }
                 )
             else:
+                logprobs = None
+                if o.logprobs is not None:
+                    logprobs = {
+                        "tokens": [str(t) for t in o.token_ids],
+                        "token_logprobs": o.logprobs,
+                        "top_logprobs": None,
+                        "text_offset": [],
+                    }
                 choices.append(
                     {
                         "index": o.index,
                         "text": o.text,
                         "finish_reason": o.finish_reason,
-                        "logprobs": None,
+                        "logprobs": logprobs,
                     }
                 )
         usage = final.usage or {}
