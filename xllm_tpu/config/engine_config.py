@@ -133,6 +133,13 @@ class SchedulerConfig:
     # on device; host fixes sequences up overlap_depth steps later
     enable_schedule_overlap: bool = True
     overlap_depth: int = 2
+    # latency-aware scheduling (reference --enable_latency_aware_schedule):
+    # when > 0, prefill chunk budgets shrink to fit the predicted TTFT
+    ttft_budget_ms: float = 0.0
+    # zero-eviction admission (reference ZeroEvictionScheduler,
+    # zero_eviction_scheduler.h:22-35): admit a prompt only if the pool can
+    # hold its whole projected footprint, avoiding mid-stream preemption
+    enable_zero_eviction: bool = False
     max_model_len: int = 0  # 0 -> model max_position_embeddings
     # decode-batch and prefill-length jit buckets (graph-mode equivalent)
     decode_batch_buckets: list[int] = field(default_factory=list)

@@ -43,9 +43,17 @@ class SchedulerOutput:
 
 
 class ContinuousScheduler:
-    def __init__(self, config: SchedulerConfig, block_manager: BlockManager):
+    def __init__(
+        self,
+        config: SchedulerConfig,
+        block_manager: BlockManager,
+        profile_manager=None,
+    ):
         self.config = config
         self.block_manager = block_manager
+        # latency-aware budgeting (reference ProfileManager-driven TTFT
+        # budgets, scheduler/profile/profile_manager.h:33-145)
+        self.profile_manager = profile_manager
         self.waiting: deque[Request] = deque()
         self.running: list[Request] = []
 
@@ -89,6 +97,15 @@ class ContinuousScheduler:
     def schedule(self) -> SchedulerOutput:
         out = SchedulerOutput()
         budget = self.config.max_tokens_per_chunk_for_prefill
+        if (
+            self.profile_manager is not None
+            and self.config.ttft_budget_ms > 0
+        ):
+            cap = self.profile_manager.max_prefill_tokens_for_ttft(
+                self.config.ttft_budget_ms / 1e3
+            )
+            if cap is not None:
+                budget = min(budget, max(cap, self.block_manager.block_size))
 
         # 1. continue chunked prefills of already-running sequences
         #    (reference handle_prefill_requests, continuous_scheduler.cpp:390)
@@ -116,6 +133,31 @@ class ContinuousScheduler:
             seq = req.sequences[0]
             if seq.has_unfixed_tokens:
                 break  # preempted seq awaiting async fixup before re-prefill
+            if self.config.enable_zero_eviction:
+                # admit only when the pool can hold the request's whole
+                # projected footprint (prompt + max new tokens) ON TOP of
+                # what running requests may still grow into, so nothing is
+                # ever evicted mid-stream (reference ZeroEvictionScheduler,
+                # zero_eviction_scheduler.h:22-35)
+                bs = self.block_manager.block_size
+
+                def projected_blocks(s) -> int:
+                    remaining = s.stopping.max_new_tokens - s.num_generated_tokens
+                    proj = min(
+                        s.num_tokens + max(remaining, 0),
+                        self.config.max_model_len,
+                    )
+                    return -(-proj // bs)
+
+                need = sum(projected_blocks(s) for s in req.sequences)
+                reserved = sum(
+                    projected_blocks(s) - len(s.block_ids)
+                    for r in self.running
+                    for s in r.sequences
+                    if not s.is_finished
+                )
+                if self.block_manager.num_free_blocks - reserved < need:
+                    break
             # prefix-cache hit shortens the chunk
             # (reference prefill path prefix match, continuous_scheduler.cpp:390)
             self.block_manager.match_prefix(seq)
