@@ -217,3 +217,40 @@ def test_embeddings_endpoint(server_client):
         assert data["usage"]["prompt_tokens"] > 0
 
     loop.run_until_complete(go())
+
+
+def test_registry_register_heartbeat_expiry():
+    import time as _time
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from xllm_tpu.server.registry import make_registry_app
+
+    loop = asyncio.new_event_loop()
+
+    async def go():
+        client = TestClient(TestServer(make_registry_app(ttl_s=0.5)))
+        await client.start_server()
+        r = await client.post(
+            "/registry/register",
+            json={"address": "http://a:1", "model": "m", "role": "prefill"},
+        )
+        iid = (await r.json())["instance_id"]
+        r = await client.get("/registry/instances")
+        assert len((await r.json())["instances"]) == 1
+        r = await client.get("/registry/instances?role=decode")
+        assert len((await r.json())["instances"]) == 0
+        # heartbeat keeps it alive past the ttl
+        await asyncio.sleep(0.3)
+        await client.post(f"/registry/heartbeat/{iid}")
+        await asyncio.sleep(0.3)
+        r = await client.get("/registry/instances")
+        assert len((await r.json())["instances"]) == 1
+        # expiry without heartbeats
+        await asyncio.sleep(0.6)
+        r = await client.get("/registry/instances")
+        assert len((await r.json())["instances"]) == 0
+        await client.close()
+
+    loop.run_until_complete(go())
+    loop.close()

@@ -465,6 +465,10 @@ def main(argv=None) -> None:
     )
     p.add_argument("--reasoning-parser", action="store_true",
                    help="split <think> blocks into reasoning_content")
+    p.add_argument("--registry-url", default="",
+                   help="instance registry to register/heartbeat with")
+    p.add_argument("--instance-role", default="mixed",
+                   help="mixed|prefill|decode (PD disaggregation role)")
     args = p.parse_args(argv)
 
     config = build_config(args)
@@ -478,7 +482,22 @@ def main(argv=None) -> None:
     server.rate_limiter.max_concurrency = args.max_concurrency
     if args.warmup:
         server.engine.engine.runner.warmup()
-    web.run_app(server.app(), host=args.host, port=args.port)
+    client = None
+    if args.registry_url:
+        from xllm_tpu.server.registry import InstanceClient
+
+        client = InstanceClient(
+            args.registry_url,
+            address=f"http://{args.host}:{args.port}",
+            model=server.model_name,
+            role=args.instance_role,
+        )
+        client.start()
+    try:
+        web.run_app(server.app(), host=args.host, port=args.port)
+    finally:
+        if client is not None:
+            client.stop()
 
 
 if __name__ == "__main__":
