@@ -254,3 +254,17 @@ def test_registry_register_heartbeat_expiry():
 
     loop.run_until_complete(go())
     loop.close()
+
+
+def test_health_manager_flips_on_failure():
+    from xllm_tpu.common.health import HealthCheckManager
+
+    hm = HealthCheckManager(interval_s=0.05)
+    ok = {"v": True}
+    hm.register("probe", lambda: ok["v"])
+    assert hm.run_checks_once() is True and hm.healthy
+    ok["v"] = False
+    assert hm.run_checks_once() is False
+    assert hm.failed_checks == ["probe"]
+    ok["v"] = True
+    assert hm.run_checks_once() is True

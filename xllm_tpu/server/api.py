@@ -101,12 +101,31 @@ class APIServer:
 
     async def _on_start(self, app):
         self.engine.start()
+        # watchdog: engine loop thread aliveness + device reachability
+        # (reference HealthCheckManager polls registered checks every 3s)
+        from xllm_tpu.common.health import HealthCheckManager
+
+        self.health_manager = HealthCheckManager()
+        self.health_manager.register(
+            "engine_thread",
+            lambda: self.engine._thread is not None
+            and self.engine._thread.is_alive(),
+        )
+        self.health_manager.start()
 
     async def _on_stop(self, app):
+        if getattr(self, "health_manager", None) is not None:
+            self.health_manager.stop()
         self.engine.stop()
 
     # ------------------------------------------------------------------
     async def health(self, request: web.Request) -> web.Response:
+        hm = getattr(self, "health_manager", None)
+        if hm is not None and not hm.healthy:
+            return web.json_response(
+                {"status": "unhealthy", "failed": hm.failed_checks},
+                status=503,
+            )
         return web.json_response({"status": "ok"})
 
     async def metrics_endpoint(self, request: web.Request) -> web.Response:
@@ -368,6 +387,39 @@ class APIServer:
         sent_text_len: dict[int, int] = {}
         final = None
         last_t = time.monotonic()
+        try:
+            final = await self._pump_stream(
+                gen, chat, request_id, created, obj, send,
+                sent_text_len, last_t,
+            )
+        except (ConnectionResetError, asyncio.CancelledError, OSError):
+            # client went away mid-stream: stop generating for it
+            # (reference disconnect -> abort path in the brpc Call wrappers)
+            self.engine.abort(request_id)
+            metrics.REQUESTS_TOTAL.labels(endpoint, "499").inc()
+            raise
+        if include_usage and final is not None and final.usage:
+            await send(
+                {
+                    "id": request_id, "object": obj, "created": created,
+                    "model": self.model_name, "choices": [],
+                    "usage": {
+                        "prompt_tokens": final.usage["prompt_tokens"],
+                        "completion_tokens": final.usage["completion_tokens"],
+                        "total_tokens": final.usage["prompt_tokens"]
+                        + final.usage["completion_tokens"],
+                    },
+                }
+            )
+        await resp.write(b"data: [DONE]\n\n")
+        metrics.REQUESTS_TOTAL.labels(endpoint, "200").inc()
+        await resp.write_eof()
+        return resp
+
+    async def _pump_stream(
+        self, gen, chat, request_id, created, obj, send, sent_text_len, last_t
+    ):
+        final = None
         async for out in gen:
             final = out
             for o in out.outputs:
@@ -397,23 +449,7 @@ class APIServer:
                         "model": self.model_name, "choices": [choice],
                     }
                 )
-        if include_usage and final is not None and final.usage:
-            await send(
-                {
-                    "id": request_id, "object": obj, "created": created,
-                    "model": self.model_name, "choices": [],
-                    "usage": {
-                        "prompt_tokens": final.usage["prompt_tokens"],
-                        "completion_tokens": final.usage["completion_tokens"],
-                        "total_tokens": final.usage["prompt_tokens"]
-                        + final.usage["completion_tokens"],
-                    },
-                }
-            )
-        await resp.write(b"data: [DONE]\n\n")
-        metrics.REQUESTS_TOTAL.labels(endpoint, "200").inc()
-        await resp.write_eof()
-        return resp
+        return final
 
 
 def build_config(args) -> EngineConfig:
