@@ -268,3 +268,43 @@ def test_health_manager_flips_on_failure():
     assert hm.failed_checks == ["probe"]
     ok["v"] = True
     assert hm.run_checks_once() is True
+
+
+def test_chat_stream_reasoning_split(tmp_path_factory):
+    """A server with reasoning_parser streams reasoning_content deltas."""
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from xllm_tpu.server.api import APIServer
+
+    model_dir = _make_tokenizer_dir(tmp_path_factory.mktemp("m2"))
+    api = APIServer(_config(model_dir), served_model_name="tiny2",
+                    reasoning_parser=True)
+    loop = asyncio.new_event_loop()
+    client = TestClient(TestServer(api.app()), loop=loop)
+    loop.run_until_complete(client.start_server())
+
+    async def go():
+        r = await client.post(
+            "/v1/chat/completions",
+            json={
+                "messages": [{"role": "user", "content": "w3 w4"}],
+                "max_tokens": 5, "temperature": 0, "ignore_eos": True,
+                "stream": True,
+            },
+        )
+        assert r.status == 200
+        raw = await r.text()
+        events = [
+            json.loads(line[6:])
+            for line in raw.splitlines()
+            if line.startswith("data: ") and line != "data: [DONE]"
+        ]
+        # random tokens won't contain <think>, so all deltas are content;
+        # the split path must still produce a well-formed stream
+        deltas = [e["choices"][0]["delta"] for e in events if e["choices"]]
+        assert any("content" in d and d["content"] for d in deltas)
+        assert raw.rstrip().endswith("data: [DONE]")
+
+    loop.run_until_complete(go())
+    loop.run_until_complete(client.close())
+    loop.close()

@@ -420,6 +420,17 @@ class APIServer:
         self, gen, chat, request_id, created, obj, send, sent_text_len, last_t
     ):
         final = None
+        # streaming <think> splitter per choice (reference StreamOutputParser
+        # + reasoning_parser.h:26 on the stream path)
+        reasoners: dict[int, object] = {}
+        if chat and self.reasoning_parser:
+            from xllm_tpu.parser.reasoning_parser import ReasoningParser
+
+            def reasoner(i):
+                if i not in reasoners:
+                    reasoners[i] = ReasoningParser()
+                return reasoners[i]
+
         async for out in gen:
             final = out
             for o in out.outputs:
@@ -432,9 +443,23 @@ class APIServer:
                 metrics.TPOT.observe(now - last_t)
                 last_t = now
                 if chat:
+                    d: dict = {}
+                    if self.reasoning_parser:
+                        r = reasoner(o.index)
+                        rd = r.feed(delta)
+                        if out.finished:
+                            tail = r.finish()
+                            rd.reasoning += tail.reasoning
+                            rd.content += tail.content
+                        if rd.reasoning:
+                            d["reasoning_content"] = rd.reasoning
+                        if rd.content:
+                            d["content"] = rd.content
+                    elif delta:
+                        d = {"content": delta}
                     choice = {
                         "index": o.index,
-                        "delta": {"content": delta} if delta else {},
+                        "delta": d,
                         "finish_reason": o.finish_reason if out.finished else None,
                     }
                 else:
