@@ -30,7 +30,9 @@ from xllm_tpu.config import (
     CacheConfig,
     EngineConfig,
     ParallelConfig,
+    QuantConfig,
     SchedulerConfig,
+    SpeculativeConfig,
 )
 from xllm_tpu.framework.chat_template import ChatTemplate
 from xllm_tpu.framework.sampling_params import SamplingParams
@@ -498,6 +500,11 @@ def build_config(args) -> EngineConfig:
             enable_schedule_overlap=not args.no_schedule_overlap,
         ),
         parallel=ParallelConfig(tp_size=args.tp, dp_size=args.dp),
+        speculative=SpeculativeConfig(
+            method=args.speculative_method,
+            num_speculative_tokens=args.num_speculative_tokens,
+        ),
+        quant=QuantConfig(method=args.quantization),
     )
 
 
@@ -526,6 +533,10 @@ def main(argv=None) -> None:
     )
     p.add_argument("--reasoning-parser", action="store_true",
                    help="split <think> blocks into reasoning_content")
+    p.add_argument("--speculative-method", default="",
+                   help="''|suffix|ngram (model-free speculative decoding)")
+    p.add_argument("--num-speculative-tokens", type=int, default=4)
+    p.add_argument("--quantization", default="", help="''|int8 (w8a8)")
     p.add_argument("--registry-url", default="",
                    help="instance registry to register/heartbeat with")
     p.add_argument("--instance-role", default="mixed",
