@@ -166,3 +166,49 @@ def test_logprobs_returned():
     lp = ro.outputs[0].logprobs
     assert lp is not None and len(lp) == 4
     assert all(v <= 0.0 for v in lp)  # log-probabilities
+
+
+def test_engine_penalties_and_seed():
+    """Penalized + seeded sampling through the full engine path."""
+    import numpy as np
+
+    from xllm_tpu.engine import LLMEngine
+    from xllm_tpu.framework.sampling_params import SamplingParams
+
+    rng = np.random.default_rng(7)
+    prompt = rng.integers(1, 500, size=12).tolist()
+
+    def run(seed, rep=1.0):
+        eng = LLMEngine(tiny_config())
+        eng.add_request(
+            prompt_token_ids=prompt,
+            sampling_params=SamplingParams(
+                temperature=0.8, seed=seed, repetition_penalty=rep,
+                max_tokens=10, ignore_eos=True,
+            ),
+            request_id="r0",
+        )
+        outs = eng.generate_all(timeout_s=120)
+        return outs[0].outputs[0].token_ids
+
+    a = run(seed=1234)
+    b = run(seed=1234)
+    c = run(seed=99)
+    assert a == b, "same seed must reproduce"
+    assert len(c) == 10
+    d = run(seed=1234, rep=5.0)
+    assert len(d) == 10  # penalized path runs end-to-end
+
+
+def test_engine_rejects_beam_search():
+    import pytest as _pytest
+
+    from xllm_tpu.engine import LLMEngine
+    from xllm_tpu.framework.sampling_params import SamplingParams
+
+    eng = LLMEngine(tiny_config())
+    with _pytest.raises(ValueError, match="beam"):
+        eng.add_request(
+            prompt_token_ids=[1, 2, 3],
+            sampling_params=SamplingParams(use_beam_search=True),
+        )

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from xllm_tpu.ops.pallas.quant_matmul import quant_matmul_int8
 from xllm_tpu.ops.quant import quantize_int8
@@ -65,3 +66,88 @@ def test_engine_e2e_int8():
     outs = eng.generate_all()
     assert len(outs[0].outputs[0].token_ids) == 6
     assert eng.block_manager.num_used_blocks == 0
+
+
+@pytest.mark.parametrize("method", ["int8", "fp8_e4m3"])
+@pytest.mark.parametrize("family", ["qwen3", "deepseek_v2"])
+def test_quantized_logits_error_bound(method, family):
+    """VERDICT r1 item 5: weight-only quant for dense AND MLA stacks with
+    a logits-error bound vs bf16 (proxy for the <=1% ppl delta bar)."""
+    import numpy as np
+
+    from xllm_tpu.config import (
+        CacheConfig,
+        EngineConfig,
+        ModelConfig,
+        QuantConfig,
+        SchedulerConfig,
+    )
+    from xllm_tpu.runtime.model_runner import ModelRunner
+
+    if family == "qwen3":
+        mc = ModelConfig(
+            model_type="qwen3", dtype="float32", vocab_size=256,
+            hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+            qk_norm=True, max_position_embeddings=64,
+        )
+    else:
+        mc = ModelConfig(
+            model_type="deepseek_v2", dtype="float32", vocab_size=256,
+            hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=4, head_dim=16,
+            q_lora_rank=32, kv_lora_rank=32, qk_nope_head_dim=16,
+            qk_rope_head_dim=8, v_head_dim=16, num_experts=4,
+            num_experts_per_tok=2, moe_intermediate_size=32,
+            first_k_dense_replace=1, n_shared_experts=1,
+            max_position_embeddings=64,
+        )
+
+    def build(method_):
+        cfg = EngineConfig(
+            model=mc,
+            cache=CacheConfig(num_blocks=8, block_size=8),
+            scheduler=SchedulerConfig(
+                max_seqs_per_batch=2, max_model_len=64,
+                decode_batch_buckets=[2], prefill_token_buckets=[16],
+            ),
+            quant=QuantConfig(method=method_),
+        )
+        r = ModelRunner(cfg)
+        r.load_model()
+        r.initialize_kv_cache()
+        return r
+
+    base = build("")
+    quant = build(method)
+    import jax
+    import jax.numpy as jnp
+
+    from xllm_tpu.runtime.forward_params import PrefillInput
+
+    ids = np.arange(1, 13, dtype=np.int32)
+    inp = PrefillInput(
+        token_ids=np.pad(ids, (0, 4)),
+        positions=np.pad(np.arange(12, dtype=np.int32), (0, 4),
+                         constant_values=11),
+        slot_mapping=np.pad(8 + np.arange(12, dtype=np.int32), (0, 4)),
+        block_table=np.asarray([1, 2, 0, 0, 0, 0, 0, 0], np.int32),
+        kv_len=np.int32(12),
+        q_offset=np.int32(0),
+        logits_idx=np.int32(11),
+    )
+
+    def logits_of(r):
+        hidden, _, _ = r.model.prefill(
+            r.params, r.k_cache, r.v_cache, inp
+        )
+        return np.asarray(r.model.compute_logits(r.params, hidden))
+
+    lb = logits_of(base)
+    lq = logits_of(quant)
+    # per-token softmax shift must be small: top-1 agreement + bounded
+    # mean abs logit error relative to the logit scale
+    assert lb.argmax(-1) == lq.argmax(-1)
+    rel = np.abs(lb - lq).mean() / (np.abs(lb).mean() + 1e-9)
+    bound = 0.08 if method == "int8" else 0.05
+    assert rel < bound, f"{family}/{method}: rel logit err {rel:.4f}"

@@ -1,6 +1,7 @@
 from xllm_tpu.config.engine_config import (
     CacheConfig,
     EngineConfig,
+    EplbConfig,
     ModelConfig,
     ParallelConfig,
     QuantConfig,
@@ -11,6 +12,7 @@ from xllm_tpu.config.engine_config import (
 __all__ = [
     "CacheConfig",
     "EngineConfig",
+    "EplbConfig",
     "ModelConfig",
     "ParallelConfig",
     "QuantConfig",

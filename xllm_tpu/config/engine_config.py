@@ -144,6 +144,10 @@ class SchedulerConfig:
     # decode-batch and prefill-length jit buckets (graph-mode equivalent)
     decode_batch_buckets: list[int] = field(default_factory=list)
     prefill_token_buckets: list[int] = field(default_factory=list)
+    # rows (chunks) per batched-prefill dispatch (reference whole-batch
+    # BatchInputBuilder, batch_input_builder.h:53); kept tiny to bound the
+    # (P, S) jit-shape product
+    prefill_row_buckets: list[int] = field(default_factory=list)
 
     def resolve_buckets(self) -> None:
         if not self.decode_batch_buckets:
@@ -152,6 +156,13 @@ class SchedulerConfig:
             self.prefill_token_buckets = _bucket_list(
                 max(self.max_tokens_per_chunk_for_prefill, 128), start=128
             )
+        # chunk budget must fit the largest compiled prefill shape
+        self.max_tokens_per_chunk_for_prefill = min(
+            self.max_tokens_per_chunk_for_prefill,
+            max(self.prefill_token_buckets),
+        )
+        if not self.prefill_row_buckets:
+            self.prefill_row_buckets = [1, 2, 4, 8]
 
 
 @dataclass
@@ -205,6 +216,16 @@ class SpeculativeConfig:
 
 
 @dataclass
+class EplbConfig:
+    """Expert-parallel load balancing (reference EplbManager/Policy/
+    Executor, eplb_manager.h:28; engine hooks llm_engine.cpp:942-945)."""
+
+    enable_eplb: bool = False
+    rebalance_interval: int = 256  # engine steps per evaluation window
+    imbalance_threshold: float = 1.25  # max/mean device load that triggers
+
+
+@dataclass
 class EngineConfig:
     model: ModelConfig = field(default_factory=ModelConfig)
     cache: CacheConfig = field(default_factory=CacheConfig)
@@ -212,6 +233,7 @@ class EngineConfig:
     parallel: ParallelConfig = field(default_factory=ParallelConfig)
     quant: QuantConfig = field(default_factory=QuantConfig)
     speculative: SpeculativeConfig = field(default_factory=SpeculativeConfig)
+    eplb: EplbConfig = field(default_factory=EplbConfig)
     seed: int = 0
     enforce_eager: bool = False  # skip bucketing/jit caching (debug)
     # "auto": load safetensors from model_path; "dummy": random init (tests,

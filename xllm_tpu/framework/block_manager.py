@@ -43,12 +43,14 @@ class BlockManager:
 
     NULL_BLOCK = 0
 
+
     def __init__(
         self,
         num_blocks: int,
         block_size: int,
         enable_prefix_cache: bool = True,
         hierarchy=None,  # HierarchyController for the host-DRAM tier
+        base: int = 0,  # global id of this pool's first block (DP shard)
     ) -> None:
         self.hierarchy = hierarchy
         if num_blocks < 2:
@@ -56,6 +58,10 @@ class BlockManager:
         self.num_blocks = num_blocks
         self.block_size = block_size
         self.enable_prefix_cache = enable_prefix_cache
+        # DP shards: this manager owns global ids [base, base + num_blocks);
+        # internal state is local, seq.block_ids carry global ids
+        # (reference per-rank BlockManagerPool, block_manager_pool.h:27)
+        self.base = base
 
         self.ref_counts = [0] * num_blocks
         self.ref_counts[self.NULL_BLOCK] = 1  # never allocated
@@ -69,6 +75,11 @@ class BlockManager:
         )
         # per-sequence block hashes already inserted (seq_id -> count)
         self._seq_num_hashed: dict[int, int] = {}
+
+    @property
+    def null_block(self) -> int:
+        """Global id of this pool's reserved null block (padded writes)."""
+        return self.base
 
     # ---- capacity ----
     @property
@@ -92,7 +103,7 @@ class BlockManager:
         if h is not None and self.cached_blocks.get(h) == block_id:
             del self.cached_blocks[h]
             if self.hierarchy is not None:
-                self.hierarchy.on_device_evict(block_id, h)
+                self.hierarchy.on_device_evict(self.base + block_id, h)
         self.ref_counts[block_id] = 1
         return block_id
 
@@ -131,7 +142,7 @@ class BlockManager:
                 # block and register it (reference hierarchy prefetch path)
                 if self.free_lru and self.hierarchy.pool.lookup(h) is not None:
                     fresh = self._pop_free_block()
-                    if self.hierarchy.try_fetch(h, fresh):
+                    if self.hierarchy.try_fetch(h, self.base + fresh):
                         self.cached_blocks[h] = fresh
                         self.block_hash[fresh] = h
                         self.ref_counts[fresh] = 0
@@ -146,7 +157,7 @@ class BlockManager:
             parent = h
         for b in matched:
             self._ref_block(b)
-        seq.block_ids = matched
+        seq.block_ids = [self.base + b for b in matched]
         seq.num_cached_tokens = len(matched) * bs
         seq.num_computed_tokens = seq.num_cached_tokens
         return seq.num_cached_tokens
@@ -162,13 +173,13 @@ class BlockManager:
         if need > len(self.free_lru):
             return False
         for _ in range(need):
-            seq.block_ids.append(self._pop_free_block())
+            seq.block_ids.append(self.base + self._pop_free_block())
         return True
 
     def free(self, seq: Sequence) -> None:
         """Release all blocks of a finished/preempted sequence."""
         for b in reversed(seq.block_ids):
-            self._unref_block(b)
+            self._unref_block(b - self.base)
         seq.reset_kv()
         self._seq_num_hashed.pop(seq.seq_id, None)
 
@@ -191,13 +202,13 @@ class BlockManager:
         # recompute parent hash chain from stored per-block hashes
         parent = 0
         if start > 0:
-            parent = self.block_hash.get(seq.block_ids[start - 1], 0)
+            parent = self.block_hash.get(seq.block_ids[start - 1] - self.base, 0)
             if parent == 0:
                 start = 0
                 parent = 0
         for i in range(start, num_full):
             h = hash_block(parent, seq.token_ids[i * bs : (i + 1) * bs])
-            block_id = seq.block_ids[i]
+            block_id = seq.block_ids[i] - self.base
             existing = self.cached_blocks.get(h)
             if existing is None:
                 self.cached_blocks[h] = block_id
@@ -207,5 +218,92 @@ class BlockManager:
 
     def slot_for_token(self, seq: Sequence, token_idx: int) -> int:
         """Flat slot index (block_id * block_size + offset) for a position."""
+        bs = self.block_size
+        return seq.block_ids[token_idx // bs] * bs + token_idx % bs
+
+
+class BlockManagerPool:
+    """Per-DP-rank block pools behind the single-manager interface.
+
+    Counterpart of the reference's BlockManagerPool
+    (reference xllm/core/framework/block/block_manager_pool.h:27): the KV
+    array's block dim is sharded over the mesh ``data`` axis, so each DP
+    rank owns a contiguous global-id range [rank*per, (rank+1)*per) with
+    its own allocator, prefix cache, and null block (the range's first
+    block). A sequence is pinned to the least-loaded rank on first
+    allocation; all its blocks — and its row in every forward batch — stay
+    on that rank.
+    """
+
+    def __init__(
+        self,
+        num_blocks: int,
+        block_size: int,
+        dp_size: int,
+        enable_prefix_cache: bool = True,
+        manager_cls=None,
+    ) -> None:
+        if num_blocks % dp_size != 0:
+            raise ValueError("num_blocks must divide evenly over DP ranks")
+        cls = manager_cls or BlockManager
+        self.dp_size = dp_size
+        self.block_size = block_size
+        self.blocks_per_rank = num_blocks // dp_size
+        self.enable_prefix_cache = enable_prefix_cache
+        self.managers = [
+            cls(
+                self.blocks_per_rank,
+                block_size,
+                enable_prefix_cache,
+                base=r * self.blocks_per_rank,
+            )
+            for r in range(dp_size)
+        ]
+
+    # ---- rank assignment ----
+    def _mgr(self, seq: Sequence):
+        if seq.dp_rank < 0:
+            # least-loaded rank (reference BatchFactory balance heuristic)
+            seq.dp_rank = max(
+                range(self.dp_size),
+                key=lambda r: self.managers[r].num_free_blocks,
+            )
+        return self.managers[seq.dp_rank]
+
+    def null_block_of(self, rank: int) -> int:
+        return self.managers[rank].null_block
+
+    # ---- aggregate capacity (zero-eviction admission etc.) ----
+    @property
+    def num_free_blocks(self) -> int:
+        return sum(m.num_free_blocks for m in self.managers)
+
+    @property
+    def num_used_blocks(self) -> int:
+        return sum(m.num_used_blocks for m in self.managers)
+
+    def has_capacity(self, n: int) -> bool:
+        return max(m.num_free_blocks for m in self.managers) >= n
+
+    # ---- sequence-level API (routed) ----
+    def match_prefix(self, seq: Sequence) -> int:
+        return self._mgr(seq).match_prefix(seq)
+
+    def blocks_needed(self, seq: Sequence, num_new_tokens: int) -> int:
+        return self._mgr(seq).blocks_needed(seq, num_new_tokens)
+
+    def allocate(self, seq: Sequence, num_new_tokens: int) -> bool:
+        return self._mgr(seq).allocate(seq, num_new_tokens)
+
+    def free(self, seq: Sequence) -> None:
+        if seq.dp_rank >= 0:
+            self.managers[seq.dp_rank].free(seq)
+            seq.dp_rank = -1
+
+    def cache_computed_blocks(self, seq: Sequence) -> None:
+        if seq.dp_rank >= 0:
+            self.managers[seq.dp_rank].cache_computed_blocks(seq)
+
+    def slot_for_token(self, seq: Sequence, token_idx: int) -> int:
         bs = self.block_size
         return seq.block_ids[token_idx // bs] * bs + token_idx % bs

@@ -24,9 +24,11 @@ class NativeBlockManager:
         block_size: int,
         enable_prefix_cache: bool = True,
         hierarchy=None,
+        base: int = 0,  # global id of this pool's first block (DP shard)
     ) -> None:
         from xllm_tpu import native
 
+        self.base = base
         if num_blocks < 2:
             raise ValueError("need at least 2 blocks (block 0 is reserved)")
         self._lib = native.load()
@@ -41,6 +43,10 @@ class NativeBlockManager:
         self._seq_chain: dict[int, tuple[int, int]] = {}
         self._ev_blocks = np.zeros(4096, np.int32)
         self._ev_hashes = np.zeros(4096, np.uint64)
+
+    @property
+    def null_block(self) -> int:
+        return self.base
 
     def __del__(self):
         if getattr(self, "_h", None):
@@ -67,7 +73,7 @@ class NativeBlockManager:
         )
         for i in range(n):
             self.hierarchy.on_device_evict(
-                int(self._ev_blocks[i]), int(self._ev_hashes[i])
+                self.base + int(self._ev_blocks[i]), int(self._ev_hashes[i])
             )
 
     # ---- sequence-level API (mirrors BlockManager) ----
@@ -98,7 +104,7 @@ class NativeBlockManager:
                 if self._lib.bc_allocate(self._h, 1, fresh) != 0:
                     break
                 self._drain_evictions()
-                if not self.hierarchy.try_fetch(h, int(fresh[0])):
+                if not self.hierarchy.try_fetch(h, self.base + int(fresh[0])):
                     self._lib.bc_register_cached(self._h, int(fresh[0]), 0)
                     break
                 self._lib.bc_register_cached(self._h, int(fresh[0]), h)
@@ -106,7 +112,7 @@ class NativeBlockManager:
                 out[n] = fresh[0]
                 parent = h
                 n += 1
-        seq.block_ids = [int(b) for b in out[:n]]
+        seq.block_ids = [self.base + int(b) for b in out[:n]]
         seq.num_cached_tokens = n * bs
         seq.num_computed_tokens = seq.num_cached_tokens
         return seq.num_cached_tokens
@@ -123,12 +129,12 @@ class NativeBlockManager:
         if self._lib.bc_allocate(self._h, need, out) != 0:
             return False
         self._drain_evictions()
-        seq.block_ids.extend(int(b) for b in out)
+        seq.block_ids.extend(self.base + int(b) for b in out)
         return True
 
     def free(self, seq: Sequence) -> None:
         if seq.block_ids:
-            arr = np.asarray(seq.block_ids, np.int32)
+            arr = np.asarray(seq.block_ids, np.int32) - self.base
             self._lib.bc_free_blocks(self._h, arr, len(arr))
         seq.reset_kv()
         self._seq_chain.pop(seq.seq_id, None)
@@ -143,7 +149,7 @@ class NativeBlockManager:
         if start >= num_full:
             return
         toks = np.asarray(seq.token_ids[start * bs : num_full * bs], np.int32)
-        blocks = np.asarray(seq.block_ids[start:num_full], np.int32)
+        blocks = np.asarray(seq.block_ids[start:num_full], np.int32) - self.base
         parent = self._lib.bc_insert(
             self._h, np.uint64(parent), toks, blocks, num_full - start
         )

@@ -110,6 +110,10 @@ class Sequence:
         # as placeholders at dispatch and given their real value at fixup
         # once the device tokens arrive on host.
         self.slot_id = -1  # index into the runner's last_tokens ring
+        # attention-DP rank owning this sequence's KV blocks (reference
+        # per-DP-rank BlockManagerPool, block_manager_pool.h:27); assigned
+        # by the pool on first allocation, -1 = unassigned
+        self.dp_rank = -1
         self.num_fixed_tokens = len(prompt_token_ids)
 
         # incremental detokenization state (reference incremental_decoder.h:28)

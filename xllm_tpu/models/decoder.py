@@ -24,7 +24,11 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from xllm_tpu.config import ModelConfig
-from xllm_tpu.ops.attention import decode_attention_write, prefill_attention_write
+from xllm_tpu.ops.attention import (
+    decode_attention_write,
+    prefill_attention_write,
+    prefill_attention_write_batched,
+)
 from xllm_tpu.ops.norms import rms_norm
 from xllm_tpu.ops.rope import apply_rope, rope_inv_freq
 from xllm_tpu.runtime.forward_params import DecodeInput, PrefillInput
@@ -47,6 +51,9 @@ class DenseDecoderModel:
         self.cfg = cfg
         self.dtype = _dtype_of(cfg.dtype)
         self.scale = cfg.head_dim**-0.5
+        # sliding-window attention (mistral/qwen2 long-context families);
+        # 0 = full attention
+        self.window = int(cfg.sliding_window or 0)
 
     # ------------------------------------------------------------------
     # parameter tree
@@ -140,7 +147,9 @@ class DenseDecoderModel:
         return c.num_hidden_layers * 2 * c.num_kv_heads * c.head_dim * bytes_per_el
 
     def kv_cache_sharding(self) -> P:
-        return P(None, None, TP_AXIS, None, None)
+        # blocks shard over attention-DP ranks, kv heads over TP
+        # (reference per-DP-rank KV pools + TP head split)
+        return P(None, DATA_AXIS, TP_AXIS, None, None)
 
     def new_kv_cache(
         self, num_blocks: int, block_size: int, dtype=None
@@ -156,16 +165,21 @@ class DenseDecoderModel:
         """-> [T, N] f32; dispatches to the fused dequant matmul for int8
         weights (reference w8a8 path, SURVEY.md §2.8 cutlass row)."""
         w = lp[name]
-        if w.dtype == jnp.int8:
+        if w.dtype in (jnp.int8, jnp.float8_e4m3fn):
             from xllm_tpu.ops.quant import quant_matmul
 
             return quant_matmul(x, w, lp[name + "_scale"])
         return jnp.dot(x, w, preferred_element_type=jnp.float32)
 
+    # per-layer scan side-channel (expert load counts for EPLB); dense
+    # layers emit a zero-size placeholder so the scan ys stay uniform
+    _scan_aux = None
+
     def _mlp(self, lp: dict, x: jnp.ndarray) -> jnp.ndarray:
         gate = self._linear(lp, "gate_proj_w", x)
         up = self._linear(lp, "up_proj_w", x)
         act = jax.nn.silu(gate) * up
+        self._scan_aux = None
         return self._linear(lp, "down_proj_w", act.astype(x.dtype)).astype(
             x.dtype
         )
@@ -237,12 +251,15 @@ class DenseDecoderModel:
                     mlp_out, lp["post_mlp_layernorm"], c.rms_norm_eps
                 )
             x = x + mlp_out
-            return (x, k_all, v_all), None
+            return (x, k_all, v_all), self._scan_aux
 
         layer_ids = jnp.arange(c.num_hidden_layers, dtype=jnp.int32)
-        (x, k_all, v_all), _ = jax.lax.scan(
+        (x, k_all, v_all), aux = jax.lax.scan(
             body, (x, k_all, v_all), (params["layers"], layer_ids)
         )
+        # stacked per-layer expert counts [L, E] (None for dense models)
+        self._expert_counts = aux
+        self._prenorm_hidden = x  # pre-final-norm states (MTP head input)
         x = rms_norm(x, params["norm"], c.rms_norm_eps)
         return x, k_all, v_all
 
@@ -275,6 +292,7 @@ class DenseDecoderModel:
                 inp.q_offset,
                 inp.kv_len,
                 self.scale,
+                window=self.window,
             )
 
         x = params["embed_tokens"][inp.token_ids]
@@ -284,6 +302,61 @@ class DenseDecoderModel:
         hidden = jax.lax.dynamic_slice_in_dim(
             x, inp.logits_idx - (num_logits - 1), num_logits, axis=0
         )
+        return hidden, k_all, v_all
+
+    # whether prefill_batched is available (MLA overrides to False until
+    # its latent kernels grow a chunk-batched grid)
+    supports_batched_prefill = True
+
+    def prefill_batched(
+        self,
+        params: dict,
+        k_all: jnp.ndarray,
+        v_all: jnp.ndarray,
+        inp,  # BatchedPrefillInput
+        num_logits: int = 1,
+        return_hidden: bool = False,
+    ) -> tuple:
+        """-> (hidden [P, num_logits, D], k_all, v_all[, full_hidden]).
+
+        P chunks from P sequences in one dispatch (reference whole-batch
+        BatchInputBuilder, batch_input_builder.h:53). num_logits > 1 is
+        the speculative batched-verify path: rows
+        [logits_idx-num_logits+1 .. logits_idx] of each chunk feed the
+        rejection sampler. return_hidden additionally yields the full
+        [P, S, D] hidden states (consumed by the MTP draft head,
+        reference mtp_worker_impl.h:34).
+        """
+        p, s = inp.token_ids.shape
+
+        def attn_fn(q, k, v, k_all, v_all, layer_idx):
+            q4 = q.reshape(p, s, *q.shape[1:])
+            k4 = k.reshape(p, s, *k.shape[1:])
+            v4 = v.reshape(p, s, *v.shape[1:])
+            out, k_all, v_all = prefill_attention_write_batched(
+                q4, k4, v4, k_all, v_all, layer_idx, inp.slot_mapping,
+                inp.block_tables, inp.q_offsets, inp.kv_lens, self.scale,
+                window=self.window,
+            )
+            return out.reshape(p * s, *out.shape[2:]), k_all, v_all
+
+        x = params["embed_tokens"][inp.token_ids.reshape(-1)]
+        x, k_all, v_all = self._run_layers(
+            params, k_all, v_all, x, inp.positions.reshape(-1),
+            inp.slot_mapping.reshape(-1), attn_fn,
+        )
+        x = x.reshape(p, s, -1)
+        idx = (
+            inp.logits_idx[:, None]
+            - (num_logits - 1)
+            + jnp.arange(num_logits, dtype=jnp.int32)[None, :]
+        ).clip(0)  # [P, num_logits]
+        hidden = jnp.take_along_axis(x, idx[..., None], axis=1)
+        if return_hidden:
+            # pre-final-norm states: the MTP head applies its own hnorm
+            # (DeepSeek-V3 MTP convention)
+            pre = self._prenorm_hidden.reshape(p, s, -1)
+            return hidden, k_all, v_all, pre
         return hidden, k_all, v_all
 
     def decode(
@@ -308,6 +381,7 @@ class DenseDecoderModel:
                 inp.block_tables,
                 inp.seq_lens,
                 self.scale,
+                window=self.window,
             )
 
         x = params["embed_tokens"][token_ids]

@@ -410,3 +410,59 @@ def _load_moe_mlp(cfg: ModelConfig, reader, params, put, L: int) -> None:
         np.tile(np.arange(E, dtype=np.int32), (L, 1)),
     )
     logger.info("loaded %d experts x %d layers", E, L)
+
+
+def load_mtp_head_params(
+    draft_model_path: str, init_params: dict, dtype=None
+) -> dict:
+    """Best-effort MTP/Eagle3 head weight loading.
+
+    Maps DeepSeek-V3/MiMo-style MTP module tensors (enorm, hnorm, eh_proj,
+    one decoder layer — reference mtp_worker_impl.h:34 weight layout) onto
+    the MTPHead parameter tree; any tensor the checkpoint lacks keeps its
+    random init (and a warning is logged) so structure tests run without
+    real draft checkpoints.
+    """
+    import jax.numpy as jnp
+
+    from xllm_tpu.utils import get_logger
+
+    logger = get_logger(__name__)
+    try:
+        reader = SafetensorsReader(draft_model_path)
+    except Exception as e:
+        logger.warning("MTP head: cannot read %s (%s); random init",
+                       draft_model_path, e)
+        return init_params
+    out = {k: v for k, v in init_params.items()}
+    layers = dict(out["layers"])
+
+    def try_put(dst: dict, key: str, names: list[str], transform=None):
+        for name in names:
+            if name in reader:
+                arr = reader.get(name)
+                if transform is not None:
+                    arr = transform(arr)
+                want = dst[key].shape
+                if arr.shape != want:
+                    logger.warning(
+                        "MTP head: %s shape %s != %s; skipped",
+                        name, arr.shape, want,
+                    )
+                    return
+                dst[key] = jnp.asarray(arr, dst[key].dtype)
+                return
+
+    # candidate prefixes: a dedicated mtp dir ("model.layers.0.") or the
+    # extra-layer convention ("model.layers.<L>.") — probe both
+    prefixes = ["model.layers.0.", "mtp.", "model.mtp."]
+    for pfx in prefixes:
+        if f"{pfx}enorm.weight" in reader:
+            try_put(out, "enorm", [f"{pfx}enorm.weight"])
+            try_put(out, "hnorm", [f"{pfx}hnorm.weight"])
+            try_put(out, "eh_proj", [f"{pfx}eh_proj.weight"],
+                    transform=lambda a: a.T)
+            break
+    reader.close()
+    out["layers"] = layers
+    return out

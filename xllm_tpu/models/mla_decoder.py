@@ -37,6 +37,10 @@ from xllm_tpu.runtime.forward_params import DecodeInput, PrefillInput
 
 
 class MlaDecoderModel(DenseDecoderModel):
+    # latent kernels are single-chunk for now; engine falls back to the
+    # per-sequence prefill/verify dispatch path
+    supports_batched_prefill = False
+
     def __init__(self, cfg: ModelConfig):
         super().__init__(cfg)
         assert cfg.kv_lora_rank > 0, "MLA requires kv_lora_rank"
@@ -172,7 +176,8 @@ class MlaDecoderModel(DenseDecoderModel):
         )
 
     def kv_cache_sharding(self) -> P:
-        return P()  # latent cache is MQA — replicated over tp
+        # latent cache is MQA — replicated over tp; blocks shard over DP
+        return P(None, "data", None, None, None)
 
     def kv_bytes_per_token(self) -> int:
         bytes_per_el = 2 if self.dtype == jnp.bfloat16 else 4
@@ -192,23 +197,15 @@ class MlaDecoderModel(DenseDecoderModel):
         H = c.num_attention_heads
         nope, rope, kvr = c.qk_nope_head_dim, c.qk_rope_head_dim, c.kv_lora_rank
         if c.q_lora_rank > 0:
-            qa = jnp.dot(
-                h, lp["q_a_proj_w"], preferred_element_type=jnp.float32
-            ).astype(h.dtype)
+            qa = self._linear(lp, "q_a_proj_w", h).astype(h.dtype)
             qa = rms_norm(qa, lp["q_a_norm"], c.rms_norm_eps)
-            q = jnp.dot(
-                qa, lp["q_b_proj_w"], preferred_element_type=jnp.float32
-            ).astype(h.dtype)
+            q = self._linear(lp, "q_b_proj_w", qa).astype(h.dtype)
         else:
-            q = jnp.dot(
-                h, lp["q_proj_w"], preferred_element_type=jnp.float32
-            ).astype(h.dtype)
+            q = self._linear(lp, "q_proj_w", h).astype(h.dtype)
         q = q.reshape(t, H, nope + rope)
         q_nope, q_pe = q[..., :nope], q[..., nope:]
 
-        kv_a = jnp.dot(
-            h, lp["kv_a_proj_w"], preferred_element_type=jnp.float32
-        ).astype(h.dtype)
+        kv_a = self._linear(lp, "kv_a_proj_w", h).astype(h.dtype)
         c_kv = rms_norm(kv_a[:, :kvr], lp["kv_a_norm"], c.rms_norm_eps)
         k_pe = kv_a[:, kvr:].reshape(t, 1, rope)
 
@@ -239,9 +236,7 @@ class MlaDecoderModel(DenseDecoderModel):
             preferred_element_type=jnp.float32,
         ).astype(out_lat.dtype)
         out = out.reshape(t, c.num_attention_heads * c.v_head_dim)
-        return jnp.dot(
-            out, lp["o_proj_w"], preferred_element_type=jnp.float32
-        )
+        return self._linear(lp, "o_proj_w", out)
 
     def _moe_block(self, lp, x):
         c = self.cfg
@@ -256,16 +251,12 @@ class MlaDecoderModel(DenseDecoderModel):
         )
         out = routed * c.routed_scaling_factor
         if c.n_shared_experts > 0:
-            gate = jnp.dot(
-                x, lp["shared_gate_proj_w"], preferred_element_type=jnp.float32
-            )
-            up = jnp.dot(
-                x, lp["shared_up_proj_w"], preferred_element_type=jnp.float32
-            )
+            gate = self._linear(lp, "shared_gate_proj_w", x)
+            up = self._linear(lp, "shared_up_proj_w", x)
             act = (jax.nn.silu(gate) * up).astype(x.dtype)
-            out = out + jnp.dot(
-                act, lp["shared_down_proj_w"], preferred_element_type=jnp.float32
-            ).astype(x.dtype)
+            out = out + self._linear(lp, "shared_down_proj_w", act).astype(
+                x.dtype
+            )
         return out.astype(x.dtype)
 
     def _run_stack(

@@ -70,9 +70,13 @@ class MoeDecoderModel(DenseDecoderModel):
         return out
 
     # ------------------------------------------------------------------
+    # set by the runner when EPLB collection is on (reference per-step
+    # load collection, llm_worker_impl.cpp:249-251)
+    collect_expert_loads = False
+
     def _mlp(self, lp: dict, x: jnp.ndarray) -> jnp.ndarray:
         c = self.cfg
-        return moe_mlp(
+        out = moe_mlp(
             x,
             lp["router_w"],
             lp["experts_gate_up"],
@@ -80,4 +84,11 @@ class MoeDecoderModel(DenseDecoderModel):
             c.num_experts_per_tok,
             c.norm_topk_prob,
             placement=lp.get("expert_placement"),
+            return_counts=self.collect_expert_loads,
         )
+        if self.collect_expert_loads:
+            out, counts = out
+            self._scan_aux = counts
+        else:
+            self._scan_aux = None
+        return out

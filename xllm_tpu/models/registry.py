@@ -39,6 +39,9 @@ def get_model_class(model_type: str) -> type:
     from xllm_tpu.models.mla_decoder import MlaDecoderModel
 
     ModelRegistry._registry.setdefault("llama", DenseDecoderModel)
+    # mistral == llama architecture + optional sliding-window attention
+    # (reference registry mistral row, model_registry.h:150-247)
+    ModelRegistry._registry.setdefault("mistral", DenseDecoderModel)
     ModelRegistry._registry.setdefault("glm4", DenseDecoderModel)
     ModelRegistry._registry.setdefault("qwen2", DenseDecoderModel)
     ModelRegistry._registry.setdefault("qwen3", DenseDecoderModel)

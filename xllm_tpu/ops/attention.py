@@ -23,8 +23,11 @@ from xllm_tpu.ops.kv_cache_ops import write_kv
 _FORCE_REF = os.environ.get("XLLM_ATTENTION_BACKEND", "auto") == "ref"
 
 
-def _use_pallas() -> bool:
-    if _FORCE_REF:
+def _use_pallas(head_dim: int = 128) -> bool:
+    """Pallas kernels need lane-aligned head_dim (Mosaic HBM DMA slices
+    must be 128-aligned in the lane dim); production families all use 128.
+    Others fall back to the portable XLA path."""
+    if _FORCE_REF or head_dim % 128 != 0:
         return False
     try:
         return jax.default_backend() == "tpu"
@@ -43,21 +46,97 @@ def decode_attention_write(
     block_tables: jnp.ndarray,  # [B, NBmax] int32
     seq_lens: jnp.ndarray,  # [B] int32 (including current token)
     scale: float,
+    window: int = 0,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Write each sequence's new K/V row, then attend. -> (out, k, v)."""
-    if _use_pallas():
+    if _use_pallas(q.shape[-1]):
+        if os.environ.get("XLLM_DECODE_KERNEL", "v3") == "v1":
+            from xllm_tpu.ops.pallas.decode_attention import (
+                paged_decode_attention_write_tpu,
+            )
+
+            return paged_decode_attention_write_tpu(
+                q, k_new, v_new, k_all, v_all, layer_idx, slot_mapping,
+                block_tables, seq_lens, scale,
+            )  # v1 has no window support; dispatch guards against it
         from xllm_tpu.ops.pallas.decode_attention import (
-            paged_decode_attention_write_tpu,
+            paged_decode_attention_write_v3_tpu,
         )
 
-        return paged_decode_attention_write_tpu(
+        return paged_decode_attention_write_v3_tpu(
             q, k_new, v_new, k_all, v_all, layer_idx, slot_mapping,
-            block_tables, seq_lens, scale,
+            block_tables, seq_lens, scale, window=window,
         )
     k_all, v_all = write_kv(k_all, v_all, layer_idx, k_new, v_new, slot_mapping)
     out = attention_ref.paged_attention_decode_ref(
-        q, k_all, v_all, layer_idx, block_tables, seq_lens, scale
+        q, k_all, v_all, layer_idx, block_tables, seq_lens, scale,
+        window=window,
     )
+    return out, k_all, v_all
+
+
+def prefill_attention_write_batched(
+    q: jnp.ndarray,  # [P, S, Hq, D]
+    k_new: jnp.ndarray,  # [P, S, Hkv, D]
+    v_new: jnp.ndarray,
+    k_all: jnp.ndarray,  # [L, NB, Hkv, bs, D]
+    v_all: jnp.ndarray,
+    layer_idx: jnp.ndarray,  # [] int32
+    slot_mapping: jnp.ndarray,  # [P, S] int32 (portable path)
+    block_tables: jnp.ndarray,  # [P, NBmax] int32
+    q_offsets: jnp.ndarray,  # [P] int32
+    kv_lens: jnp.ndarray,  # [P] int32 (0 = padded row)
+    scale: float,
+    window: int = 0,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """P prompt chunks (one per sequence) written + attended in ONE dispatch.
+
+    Counterpart of the reference's whole-batch prefill ForwardInput
+    (reference xllm/core/framework/batch/batch_input_builder.h:53): the
+    per-sequence loop lives in the kernel grid, not in Python. Page-aligned
+    chunk starts use the full-page writer; small chunks (S <= block_size,
+    e.g. speculative verify rows) use the RMW writer.
+    """
+    p, s, hq, d = q.shape
+    if _use_pallas(d):
+        from xllm_tpu.ops.pallas.kv_write import (
+            kv_write_prefill_batched_tpu,
+            kv_write_rmw_batched_tpu,
+        )
+        from xllm_tpu.ops.pallas.prefill_attention import (
+            paged_attention_prefill_batched_tpu,
+        )
+
+        ntoks = kv_lens - q_offsets
+        block_size = k_all.shape[3]
+        if s <= block_size:
+            # small chunks (speculative verify): may start mid-page -> RMW
+            k_all, v_all = kv_write_rmw_batched_tpu(
+                k_new, v_new, k_all, v_all, layer_idx, block_tables,
+                q_offsets, ntoks,
+            )
+        else:
+            k_all, v_all = kv_write_prefill_batched_tpu(
+                k_new.transpose(0, 2, 1, 3),
+                v_new.transpose(0, 2, 1, 3),
+                k_all, v_all, layer_idx, block_tables, q_offsets, ntoks,
+            )
+        out = paged_attention_prefill_batched_tpu(
+            q, k_all, v_all, layer_idx, block_tables, q_offsets, kv_lens,
+            scale, window=window,
+        )
+        return out, k_all, v_all
+    k_all, v_all = write_kv(
+        k_all, v_all, layer_idx,
+        k_new.reshape(p * s, *k_new.shape[2:]),
+        v_new.reshape(p * s, *v_new.shape[2:]),
+        slot_mapping.reshape(p * s),
+    )
+    out = jax.vmap(
+        attention_ref.paged_attention_prefill_ref,
+        in_axes=(0, None, None, None, 0, 0, 0, None, None),
+    )(q, k_all, v_all, layer_idx, block_tables, q_offsets, kv_lens, scale,
+      window)
     return out, k_all, v_all
 
 
@@ -73,9 +152,10 @@ def prefill_attention_write(
     q_offset: jnp.ndarray,  # [] int32
     kv_len: jnp.ndarray,  # [] int32
     scale: float,
+    window: int = 0,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Write the chunk's K/V into its pages, then flash-attend causally."""
-    if _use_pallas():
+    if _use_pallas(q.shape[-1]):
         from xllm_tpu.ops.pallas.kv_write import (
             kv_write_prefill_tpu,
             kv_write_rmw_tpu,
@@ -101,11 +181,13 @@ def prefill_attention_write(
                 k_all, v_all, layer_idx, block_table, q_offset, ntok,
             )
         out = paged_attention_prefill_tpu(
-            q, k_all, v_all, layer_idx, block_table, q_offset, kv_len, scale
+            q, k_all, v_all, layer_idx, block_table, q_offset, kv_len, scale,
+            window=window,
         )
         return out, k_all, v_all
     k_all, v_all = write_kv(k_all, v_all, layer_idx, k_new, v_new, slot_mapping)
     out = attention_ref.paged_attention_prefill_ref(
-        q, k_all, v_all, layer_idx, block_table, q_offset, kv_len, scale
+        q, k_all, v_all, layer_idx, block_table, q_offset, kv_len, scale,
+        window=window,
     )
     return out, k_all, v_all

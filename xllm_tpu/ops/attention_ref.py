@@ -38,6 +38,7 @@ def paged_attention_decode_ref(
     block_tables: jnp.ndarray,  # [B, NB] int32 (0-padded -> null block)
     seq_lens: jnp.ndarray,  # [B] int32, kv length incl. current token
     scale: float,
+    window: int = 0,  # sliding-window attention (0 = full; mistral/qwen2)
 ) -> jnp.ndarray:  # [B, Hq, D]
     b, hq, d = q.shape
     hkv = k_all.shape[2]
@@ -52,6 +53,8 @@ def paged_attention_decode_ref(
     scores = scores * scale
     kv_idx = jnp.arange(s, dtype=jnp.int32)[None, None, None, :]
     mask = kv_idx < seq_lens[:, None, None, None]
+    if window > 0:
+        mask = mask & (kv_idx >= (seq_lens - window)[:, None, None, None])
     scores = jnp.where(mask, scores, _NEG_INF)
     probs = jnp.exp(scores - scores.max(axis=-1, keepdims=True))
     probs = probs / probs.sum(axis=-1, keepdims=True)
@@ -73,6 +76,7 @@ def paged_attention_prefill_ref(
     q_offset: jnp.ndarray,  # [] int32: absolute position of q token 0
     kv_len: jnp.ndarray,  # [] int32: total kv tokens incl. this chunk
     scale: float,
+    window: int = 0,  # sliding-window attention (0 = full)
 ) -> jnp.ndarray:  # [S, Hq, D]
     s_q, hq, d = q.shape
     hkv = k_all.shape[2]
@@ -88,6 +92,8 @@ def paged_attention_prefill_ref(
     q_pos = q_offset + jnp.arange(s_q, dtype=jnp.int32)  # [S]
     kv_idx = jnp.arange(s_kv, dtype=jnp.int32)
     mask = (kv_idx[None, :] <= q_pos[:, None]) & (kv_idx[None, :] < kv_len)
+    if window > 0:
+        mask = mask & (kv_idx[None, :] > q_pos[:, None] - window)
     scores = jnp.where(mask[None, None, :, :], scores, _NEG_INF)
     probs = jnp.exp(scores - scores.max(axis=-1, keepdims=True))
     probs = probs / probs.sum(axis=-1, keepdims=True)

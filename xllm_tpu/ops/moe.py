@@ -121,6 +121,22 @@ def moe_mlp_gmm(
     return out.astype(x.dtype)
 
 
+def expert_counts(
+    x: jnp.ndarray,
+    router_w: jnp.ndarray,
+    num_experts_per_tok: int,
+    norm_topk_prob: bool,
+) -> jnp.ndarray:
+    """Per-physical-slot routed token counts [E] int32 — the live load
+    signal the reference's EplbManager collects every step
+    (eplb_manager.h:28, worker hook llm_worker_impl.cpp:249-251)."""
+    e = router_w.shape[-1]
+    _, topi = route(x, router_w, num_experts_per_tok, norm_topk_prob)
+    return (
+        jnp.zeros((e,), jnp.int32).at[topi.reshape(-1)].add(1)
+    )
+
+
 def moe_mlp(
     x: jnp.ndarray,
     router_w: jnp.ndarray,
@@ -129,7 +145,8 @@ def moe_mlp(
     num_experts_per_tok: int,
     norm_topk_prob: bool,
     placement: jnp.ndarray | None = None,
-) -> jnp.ndarray:
+    return_counts: bool = False,
+):
     """placement [E] is the EPLB slot map: placement[slot] = the LOGICAL
     expert whose weights live in physical slot `slot` (reference
     EplbExecutor routing remap). Permuting the router columns to slot
@@ -137,9 +154,15 @@ def moe_mlp(
     if placement is not None:
         router_w = router_w[:, placement]
     if jax.default_backend() == "tpu":
-        return moe_mlp_gmm(
+        out = moe_mlp_gmm(
             x, router_w, gate_up, down, num_experts_per_tok, norm_topk_prob
         )
-    return moe_mlp_ref(
-        x, router_w, gate_up, down, num_experts_per_tok, norm_topk_prob
-    )
+    else:
+        out = moe_mlp_ref(
+            x, router_w, gate_up, down, num_experts_per_tok, norm_topk_prob
+        )
+    if return_counts:
+        return out, expert_counts(
+            x, router_w, num_experts_per_tok, norm_topk_prob
+        )
+    return out

@@ -186,6 +186,279 @@ def _decode_kernel(
         o_ref[0] = jnp.zeros_like(o_ref[0])
 
 
+def _decode_kernel_v3(
+    # scalar prefetch
+    layer_ref,  # [1] int32
+    block_tables_ref,  # [B, NB] int32 (tight-bucketed columns)
+    seq_lens_ref,  # [B] int32 (including the current token)
+    slot_ref,  # [B] int32 (current token's slot = block*bs + off)
+    # inputs
+    q_ref,  # [1, Hkv, G, D] VMEM
+    k_new_ref,  # [1, Hkv, D] VMEM
+    v_new_ref,
+    k_page,  # [1, 1, Hkv, bs, D] VMEM — pallas-pipelined cache page
+    v_page,
+    # outputs
+    o_ref,  # [1, Hkv, G, D] VMEM
+    k_out,  # aliased HBM cache [L, NB_total, Hkv, bs, D]
+    v_out,
+    # scratch
+    m_ref,  # [Hkv, G, 1] f32
+    l_ref,
+    acc_ref,  # [Hkv, G, D] f32
+    k_patch,  # [Hkv, bs, D]
+    v_patch,
+    w_sem,  # DMA [2]
+    pend_ref,  # SMEM [1] int32: a write-back DMA is in flight
+    *,
+    scale: float,
+    block_size: int,
+    nb_grid: int,
+    window: int = 0,
+):
+    """Streaming decode kernel: grid (B, NB), pages pipelined BY PALLAS.
+
+    v3 design (vs the per-sequence v1 grid=(B,) kernel, which measured at
+    ~260 GB/s — 1/3 of the chip's streaming bandwidth — because each program
+    restarted its DMA pipeline and serialized its write-back wait):
+
+    - the KV page fetch is a pallas-managed input (index_map walks the
+      block table), so the double-buffered page stream crosses sequence
+      boundaries with no pipeline restart;
+    - the new token's K/V is NOT patched into the page before attention;
+      it joins the online softmax as one extra column read straight from
+      VMEM (the cache holds only seq_len-1 valid rows);
+    - the cache write-back of the new row builds the patched last page in
+      VMEM and DMAs it out, waiting for the PREVIOUS sequence's write at
+      patch time — the write latency hides under the next sequence's
+      compute (sequences never share a partial page, so writes cannot
+      race reads).
+    """
+    b, i = pl.program_id(0), pl.program_id(1)
+
+    # SMEM scratch is NOT zero-initialized: clear the pending-write flag
+    # on the very first grid step or the first wait blocks forever
+    @pl.when((b == 0) & (i == 0))
+    def _():
+        pend_ref[0] = 0
+
+    layer = layer_ref[0]
+    seq_len = seq_lens_ref[b]
+    nblks = pl.cdiv(seq_len, block_size)
+    last = nblks - 1
+    hkv, g, d = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+    n_cached = seq_len - 1
+    win_lo = jnp.maximum(seq_len - window, 0) if window > 0 else 0
+    first_blk = win_lo // block_size if window > 0 else 0  # rows valid in the cache
+
+    @pl.when((i == 0) & (seq_len == 0))
+    def _():
+        o_ref[0] = jnp.zeros_like(o_ref[0])
+
+    @pl.when(i == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when((i < nblks) & (i >= first_blk) & (seq_len > 0))
+    def _():
+        q = q_ref[0]  # [Hkv, G, D]
+        m, l, acc = m_ref[...], l_ref[...], acc_ref[...]
+
+        s = jax.lax.dot_general(
+            q,
+            k_page[0, 0],
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [Hkv, G, bs]
+        kv_idx = i * block_size + jax.lax.broadcasted_iota(
+            jnp.int32, (hkv, g, block_size), 2
+        )
+        keep = kv_idx < n_cached
+        if window > 0:
+            keep = keep & (kv_idx >= win_lo)
+        s = jnp.where(keep, s, _NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v_page.dtype),
+            v_page[0, 0],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc * alpha + pv
+        m, l = m_new, l_new
+
+        @pl.when(i == last)
+        def _():
+            # ---- extra column: the new token attends to itself ----
+            mm, ll, aa = m, l, acc
+            s_new = (
+                jnp.sum(
+                    q.astype(jnp.float32)
+                    * k_new_ref[0].astype(jnp.float32)[:, None, :],
+                    axis=-1,
+                    keepdims=True,
+                )
+                * scale
+            )  # [Hkv, G, 1]
+            m2 = jnp.maximum(mm, s_new)
+            alpha2 = jnp.exp(mm - m2)
+            p2 = jnp.exp(s_new - m2)
+            l2 = ll * alpha2 + p2
+            a2 = aa * alpha2 + p2 * v_new_ref[0].astype(jnp.float32)[:, None, :]
+            o_ref[0] = (a2 / jnp.maximum(l2, 1e-30)).astype(o_ref.dtype)
+
+            # ---- write-back: patched last page -> HBM ----
+            @pl.when(pend_ref[0] == 1)
+            def _():
+                pltpu.make_async_copy(k_patch, k_patch, w_sem.at[0]).wait()
+                pltpu.make_async_copy(v_patch, v_patch, w_sem.at[1]).wait()
+
+            off = jax.lax.rem(slot_ref[b], block_size)
+            row = jax.lax.broadcasted_iota(
+                jnp.int32, (hkv, block_size, d), 1
+            )
+            k_patch[...] = jnp.where(
+                row == off, k_new_ref[0][:, None, :], k_page[0, 0]
+            )
+            v_patch[...] = jnp.where(
+                row == off, v_new_ref[0][:, None, :], v_page[0, 0]
+            )
+            blk = block_tables_ref[b, last]
+            pltpu.make_async_copy(
+                k_patch, k_out.at[layer, blk], w_sem.at[0]
+            ).start()
+            pltpu.make_async_copy(
+                v_patch, v_out.at[layer, blk], w_sem.at[1]
+            ).start()
+            pend_ref[0] = 1
+
+        @pl.when(i < last)
+        def _():
+            m_ref[...] = m
+            l_ref[...] = l
+            acc_ref[...] = acc
+
+    # drain the final in-flight write on the very last grid step
+    @pl.when(
+        (b == pl.num_programs(0) - 1)
+        & (i == nb_grid - 1)
+        & (pend_ref[0] == 1)
+    )
+    def _():
+        pltpu.make_async_copy(k_patch, k_patch, w_sem.at[0]).wait()
+        pltpu.make_async_copy(v_patch, v_patch, w_sem.at[1]).wait()
+        pend_ref[0] = 0
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "window"))
+def paged_decode_attention_write_v3_tpu(
+    q: jnp.ndarray,  # [B, Hq, D]
+    k_new: jnp.ndarray,  # [B, Hkv, D]
+    v_new: jnp.ndarray,
+    k_all: jnp.ndarray,  # [L, NB, Hkv, bs, D]
+    v_all: jnp.ndarray,
+    layer_idx: jnp.ndarray,  # [] int32
+    slot_mapping: jnp.ndarray,  # [B] int32
+    block_tables: jnp.ndarray,  # [B, NB_used] int32 (tight columns)
+    seq_lens: jnp.ndarray,  # [B] int32 (including the current token)
+    scale: float,
+    interpret: bool = False,
+    window: int = 0,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """-> (out [B, Hq, D], k_all, v_all) — caches updated in place."""
+    b, hq, d = q.shape
+    _, _, hkv, bs, _ = k_all.shape
+    g = hq // hkv
+    assert hq == hkv * g
+    nb = block_tables.shape[1]
+
+    def page_index(bi, i, layer_s, bt_s, sl_s, slot_s):
+        # clamp out-of-range steps (beyond the end, or below the sliding
+        # window) to a valid page so the pallas pipeline does not issue
+        # extra copies (same index -> no copy)
+        nblks = jax.lax.div(sl_s[bi] + bs - 1, bs)
+        ii = jnp.minimum(i, jnp.maximum(nblks - 1, 0))
+        if window > 0:
+            lo_blk = jnp.maximum(sl_s[bi] - window, 0) // bs
+            ii = jnp.maximum(ii, jnp.minimum(lo_blk, jnp.maximum(nblks - 1, 0)))
+        return (layer_s[0], bt_s[bi, ii], 0, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b, nb),
+        in_specs=[
+            pl.BlockSpec(
+                (1, hkv, g, d), lambda bi, i, *_: (bi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, hkv, d), lambda bi, i, *_: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, hkv, d), lambda bi, i, *_: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, 1, hkv, bs, d), page_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, hkv, bs, d), page_index, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, hkv, g, d), lambda bi, i, *_: (bi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((hkv, g, 1), jnp.float32),
+            pltpu.VMEM((hkv, g, 1), jnp.float32),
+            pltpu.VMEM((hkv, g, d), jnp.float32),
+            pltpu.VMEM((hkv, bs, d), k_all.dtype),
+            pltpu.VMEM((hkv, bs, d), v_all.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_kernel_v3, scale=scale, block_size=bs, nb_grid=nb,
+        window=window,
+    )
+    # inputs incl. 4 scalar-prefetch args: q=4, k_new=5, v_new=6, k_all=7,
+    # v_all=8; outputs: o=0, k_out=1, v_out=2
+    out, k_all, v_all = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hkv, g, d), q.dtype),
+            jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
+            jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
+        ],
+        input_output_aliases={7: 1, 8: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        layer_idx.reshape(1),
+        block_tables,
+        seq_lens,
+        slot_mapping,
+        q.reshape(b, hkv, g, d),
+        k_new,
+        v_new,
+        k_all,
+        v_all,
+    )
+    return out.reshape(b, hq, d), k_all, v_all
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
 def paged_decode_attention_write_tpu(
     q: jnp.ndarray,  # [B, Hq, D]

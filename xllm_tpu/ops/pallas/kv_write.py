@@ -280,6 +280,268 @@ def kv_write_prefill_tpu(
 
 
 # ----------------------------------------------------------------------
+# batched (multi-chunk) writers: grid (P,), one program per chunk row
+# (counterpart of the reference whole-batch BatchInputBuilder semantics,
+# xllm/core/framework/batch/batch_input_builder.h:53)
+# ----------------------------------------------------------------------
+def _kv_write_batched_kernel(
+    # scalar prefetch
+    layer_ref,  # [1]
+    block_tables_ref,  # [P, NBmax]
+    q_offsets_ref,  # [P] (page-aligned per row)
+    ntoks_ref,  # [P]
+    # inputs
+    kt,  # [P, Hkv, S_pad + bs, D] ANY
+    vt,
+    k_in,
+    v_in,
+    # outputs (aliased)
+    k_out,
+    v_out,
+    # scratch
+    page_sem,  # [2, MAXP]
+    *,
+    block_size: int,
+    max_pages: int,
+):
+    del k_in, v_in
+    p = pl.program_id(0)
+    layer = layer_ref[0]
+    q_offset = q_offsets_ref[p]
+    ntok = ntoks_ref[p]
+    first_page = q_offset // block_size
+
+    def page_dmas(pg):
+        r0 = pg * block_size
+        blk = block_tables_ref[p, first_page + pg]
+        kw = pltpu.make_async_copy(
+            kt.at[p, :, pl.ds(r0, block_size), :],
+            k_out.at[layer, blk],
+            page_sem.at[0, pg],
+        )
+        vw = pltpu.make_async_copy(
+            vt.at[p, :, pl.ds(r0, block_size), :],
+            v_out.at[layer, blk],
+            page_sem.at[1, pg],
+        )
+        return kw, vw
+
+    for pg in range(max_pages):
+
+        @pl.when(pg * block_size < ntok)
+        def _(pg=pg):
+            kw, vw = page_dmas(pg)
+            kw.start()
+            vw.start()
+
+    for pg in range(max_pages):
+
+        @pl.when(pg * block_size < ntok)
+        def _(pg=pg):
+            kw, vw = page_dmas(pg)
+            kw.wait()
+            vw.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def kv_write_prefill_batched_tpu(
+    kt: jnp.ndarray,  # [P, Hkv, S_pad, D] head-major new K per chunk
+    vt: jnp.ndarray,
+    k_all: jnp.ndarray,  # [L, NB, Hkv, bs, D]
+    v_all: jnp.ndarray,
+    layer_idx: jnp.ndarray,  # [] int32
+    block_tables: jnp.ndarray,  # [P, NBmax] int32
+    q_offsets: jnp.ndarray,  # [P] int32 (page-aligned)
+    ntoks: jnp.ndarray,  # [P] int32 (0 = padded row)
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    p, hkv, s_pad, d = kt.shape
+    bs = k_all.shape[3]
+    max_pages = (s_pad + bs - 1) // bs
+    kt = jnp.pad(kt, ((0, 0), (0, 0), (0, bs), (0, 0)))
+    vt = jnp.pad(vt, ((0, 0), (0, 0), (0, bs), (0, 0)))
+
+    kernel = functools.partial(
+        _kv_write_batched_kernel, block_size=bs, max_pages=max_pages
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(p,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((2, max_pages))],
+    )
+    k_all, v_all = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
+            jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
+        ],
+        input_output_aliases={6: 0, 7: 1},
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        layer_idx.reshape(1),
+        block_tables,
+        q_offsets,
+        ntoks,
+        kt,
+        vt,
+        k_all,
+        v_all,
+    )
+    return k_all, v_all
+
+
+def _kv_write_rmw_batched_kernel(
+    # scalar prefetch
+    layer_ref,  # [1]
+    block_tables_ref,  # [P, NBmax]
+    q_offsets_ref,  # [P]
+    ntoks_ref,  # [P]
+    # inputs
+    kt_ref,  # [1, S, Hkv, D] VMEM (this row's chunk, token-major)
+    vt_ref,
+    k_in,
+    v_in,
+    # outputs (aliased)
+    k_out,
+    v_out,
+    # scratch
+    k_pg,  # [Hkv, bs, D]
+    v_pg,
+    sem,  # [2]
+    *,
+    block_size: int,
+    s: int,
+):
+    """Batched RMW writer: one program per verify chunk (distinct seqs,
+    so touched pages are disjoint across programs)."""
+    del k_in, v_in
+    p = pl.program_id(0)
+    layer = layer_ref[0]
+    q_offset = q_offsets_ref[p]
+    ntok = ntoks_ref[p]
+    _, _, hkv, d = kt_ref.shape
+    first_page = q_offset // block_size
+    last_page = (q_offset + jnp.maximum(ntok, 1) - 1) // block_size
+
+    def do_page(page_idx):
+        blk = block_tables_ref[p, page_idx]
+        kr = pltpu.make_async_copy(k_out.at[layer, blk], k_pg, sem.at[0])
+        vr = pltpu.make_async_copy(v_out.at[layer, blk], v_pg, sem.at[1])
+        kr.start()
+        vr.start()
+        kr.wait()
+        vr.wait()
+        row = jax.lax.broadcasted_iota(jnp.int32, (hkv, block_size, d), 1)
+        for j in range(s):
+            pos = q_offset + j
+            hit = (
+                (j < ntok)
+                & (pos // block_size == page_idx)
+                & (row == jax.lax.rem(pos, block_size))
+            )
+            k_pg[...] = jnp.where(hit, kt_ref[0, j][:, None, :], k_pg[...])
+            v_pg[...] = jnp.where(hit, vt_ref[0, j][:, None, :], v_pg[...])
+        kw = pltpu.make_async_copy(k_pg, k_out.at[layer, blk], sem.at[0])
+        vw = pltpu.make_async_copy(v_pg, v_out.at[layer, blk], sem.at[1])
+        kw.start()
+        vw.start()
+        kw.wait()
+        vw.wait()
+
+    @pl.when(ntok > 0)
+    def _():
+        do_page(first_page)
+
+        @pl.when(last_page != first_page)
+        def _():
+            do_page(last_page)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def kv_write_rmw_batched_tpu(
+    kt: jnp.ndarray,  # [P, S, Hkv, D], S <= block_size
+    vt: jnp.ndarray,
+    k_all: jnp.ndarray,
+    v_all: jnp.ndarray,
+    layer_idx: jnp.ndarray,
+    block_tables: jnp.ndarray,  # [P, NBmax]
+    q_offsets: jnp.ndarray,  # [P] any alignment
+    ntoks: jnp.ndarray,  # [P] (0 = padded row)
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    p, s, hkv, d = kt.shape
+    bs = k_all.shape[3]
+    assert s <= bs, "RMW writer covers chunks within two pages"
+    kernel = functools.partial(
+        _kv_write_rmw_batched_kernel, block_size=bs, s=s
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(p,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, s, hkv, d), lambda pi, *_: (pi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, s, hkv, d), lambda pi, *_: (pi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((hkv, bs, d), k_all.dtype),
+            pltpu.VMEM((hkv, bs, d), v_all.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    k_all, v_all = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
+            jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
+        ],
+        input_output_aliases={6: 0, 7: 1},
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        layer_idx.reshape(1),
+        block_tables,
+        q_offsets,
+        ntoks,
+        kt,
+        vt,
+        k_all,
+        v_all,
+    )
+    return k_all, v_all
+
+
+# ----------------------------------------------------------------------
 # single-cache (MLA latent) writers: same schemes, one aliased array
 # ----------------------------------------------------------------------
 def _latent_pages_kernel(

@@ -49,6 +49,7 @@ def _prefill_kernel(
     scale: float,
     block_size: int,
     group: int,
+    window: int = 0,
 ):
     t = pl.program_id(0)
     layer = layer_ref[0]
@@ -154,6 +155,196 @@ def _prefill_kernel(
         o_ref[...] = jnp.zeros_like(o_ref)
 
 
+def _batched_prefill_kernel(
+    # scalar prefetch
+    layer_ref,  # [1] int32
+    block_tables_ref,  # [P, NBmax] int32
+    q_offsets_ref,  # [P] int32
+    kv_lens_ref,  # [P] int32
+    # inputs
+    q_ref,  # [1, Hq, TQ, D] VMEM (this row's query tile)
+    k_hbm,  # [L, NB, Hkv, bs, D] ANY
+    v_hbm,
+    # outputs
+    o_ref,  # [1, Hq, TQ, D] VMEM
+    # scratch
+    k_buf,  # [NSLOTS, Hkv, bs, D]
+    v_buf,
+    sem,  # [2, NSLOTS]
+    *,
+    scale: float,
+    block_size: int,
+    group: int,
+    window: int = 0,
+):
+    """Multi-chunk variant of _prefill_kernel: grid (P, S // TQ).
+
+    Counterpart of the reference's whole-batch BatchInputBuilder semantics
+    (reference xllm/core/framework/batch/batch_input_builder.h:53): P prompt
+    chunks from P different sequences run in ONE dispatch. Each grid step
+    owns one query tile of one chunk; rows with kv_len == 0 are padding.
+    """
+    p, t = pl.program_id(0), pl.program_id(1)
+    layer = layer_ref[0]
+    q_offset = q_offsets_ref[p]
+    kv_len = kv_lens_ref[p]
+    hq, tq, d = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+    hkv = hq // group
+
+    tile_last_pos = q_offset + (t + 1) * tq - 1
+    kv_limit = jnp.minimum(kv_len, tile_last_pos + 1)
+    nblks = pl.cdiv(kv_limit, block_size)
+
+    def k_dma(slot, i):
+        return pltpu.make_async_copy(
+            k_hbm.at[layer, block_tables_ref[p, i]], k_buf.at[slot],
+            sem.at[0, slot],
+        )
+
+    def v_dma(slot, i):
+        return pltpu.make_async_copy(
+            v_hbm.at[layer, block_tables_ref[p, i]], v_buf.at[slot],
+            sem.at[1, slot],
+        )
+
+    @pl.when(nblks > 0)
+    def _():
+        for s in range(_NSLOTS - 1):
+
+            @pl.when(s < nblks)
+            def _(s=s):
+                k_dma(s, s).start()
+                v_dma(s, s).start()
+
+        q = q_ref[0].reshape(hkv, group * tq, d)
+        row_pos = (
+            q_offset
+            + t * tq
+            + jax.lax.rem(
+                jax.lax.broadcasted_iota(jnp.int32, (group * tq, block_size), 0),
+                tq,
+            )
+        )
+
+        def body(i, carry):
+            m, l, acc = carry
+            slot = jax.lax.rem(i, _NSLOTS)
+            nxt = i + _NSLOTS - 1
+
+            @pl.when(nxt < nblks)
+            def _():
+                k_dma(jax.lax.rem(nxt, _NSLOTS), nxt).start()
+                v_dma(jax.lax.rem(nxt, _NSLOTS), nxt).start()
+
+            k_dma(slot, i).wait()
+            s = jax.lax.dot_general(
+                q,
+                k_buf[slot],
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [Hkv, G*TQ, bs]
+            kv_idx = i * block_size + jax.lax.broadcasted_iota(
+                jnp.int32, (group * tq, block_size), 1
+            )
+            mask = (kv_idx <= row_pos) & (kv_idx < kv_len)
+            if window > 0:
+                mask = mask & (kv_idx > row_pos - window)
+            s = jnp.where(mask[None], s, _NEG_INF)
+
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p_ = jnp.exp(s - m_new)
+            l_new = l * alpha + jnp.sum(p_, axis=-1, keepdims=True)
+
+            v_dma(slot, i).wait()
+            pv = jax.lax.dot_general(
+                p_.astype(v_buf.dtype),
+                v_buf[slot],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            acc_new = acc * alpha + pv
+            return m_new, l_new, acc_new
+
+        m0 = jnp.full((hkv, group * tq, 1), _NEG_INF, jnp.float32)
+        l0 = jnp.zeros((hkv, group * tq, 1), jnp.float32)
+        acc0 = jnp.zeros((hkv, group * tq, d), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, nblks, body, (m0, l0, acc0))
+        out = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        o_ref[0] = out.reshape(hq, tq, d)
+
+    @pl.when(nblks == 0)
+    def _():
+        o_ref[0] = jnp.zeros_like(o_ref[0])
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "window"))
+def paged_attention_prefill_batched_tpu(
+    q: jnp.ndarray,  # [P, S, Hq, D]
+    k_all: jnp.ndarray,  # [L, NB, Hkv, bs, D]
+    v_all: jnp.ndarray,
+    layer_idx: jnp.ndarray,  # [] int32
+    block_tables: jnp.ndarray,  # [P, NBmax] int32
+    q_offsets: jnp.ndarray,  # [P] int32
+    kv_lens: jnp.ndarray,  # [P] int32 (0 = padded row)
+    scale: float,
+    interpret: bool = False,
+    window: int = 0,
+) -> jnp.ndarray:
+    """P prompt chunks (each from its own sequence) in one dispatch."""
+    p, s, hq, d = q.shape
+    _, _, hkv, bs, _ = k_all.shape
+    g = hq // hkv
+    tq = _pick_q_tile(s)
+
+    qt = q.transpose(0, 2, 1, 3)  # [P, Hq, S, D]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(p, s // tq),
+        in_specs=[
+            pl.BlockSpec(
+                (1, hq, tq, d),
+                lambda pi, t, *_: (pi, 0, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, hq, tq, d),
+            lambda pi, t, *_: (pi, 0, t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_NSLOTS, hkv, bs, d), k_all.dtype),
+            pltpu.VMEM((_NSLOTS, hkv, bs, d), v_all.dtype),
+            pltpu.SemaphoreType.DMA((2, _NSLOTS)),
+        ],
+    )
+    kernel = functools.partial(
+        _batched_prefill_kernel, scale=scale, block_size=bs, group=g,
+        window=window,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((p, hq, s, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        layer_idx.reshape(1),
+        block_tables,
+        q_offsets,
+        kv_lens,
+        qt,
+        k_all,
+        v_all,
+    )
+    return out.transpose(0, 2, 1, 3)
+
+
 def _pick_q_tile(s: int) -> int:
     # TQ=128 keeps the fp32 accumulator + 4-deep KV pipeline under the
     # 16 MB VMEM budget at Hq=16, D=128 (TQ=256 OOMs the scoped vmem)
@@ -162,7 +353,7 @@ def _pick_q_tile(s: int) -> int:
     return s
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "window"))
 def paged_attention_prefill_tpu(
     q: jnp.ndarray,  # [S, Hq, D]
     k_all: jnp.ndarray,  # [L, NB, Hkv, bs, D]
@@ -173,6 +364,7 @@ def paged_attention_prefill_tpu(
     kv_len: jnp.ndarray,  # [] int32
     scale: float,
     interpret: bool = False,
+    window: int = 0,
 ) -> jnp.ndarray:
     s, hq, d = q.shape
     _, _, hkv, bs, _ = k_all.shape
@@ -202,7 +394,7 @@ def paged_attention_prefill_tpu(
         ],
     )
     kernel = functools.partial(
-        _prefill_kernel, scale=scale, block_size=bs, group=g
+        _prefill_kernel, scale=scale, block_size=bs, group=g, window=window
     )
     out = pl.pallas_call(
         kernel,

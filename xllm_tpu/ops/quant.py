@@ -23,15 +23,34 @@ def quantize_int8(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return w_q, scale.astype(jnp.float32)
 
 
+def quantize_fp8(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """[..., K, N] -> (float8_e4m3 weights, f32 scales [..., N]).
+
+    Weight-only FP8 storage (reference fp8 quant kernels, kernels/cuda fp8
+    path): per-output-channel scale maps absmax to the e4m3 range (448);
+    v5e has no native fp8 MXU, so the matmul upcasts tiles on load.
+    """
+    absmax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-2)
+    scale = jnp.maximum(absmax / 448.0, 1e-8)
+    w_q = (w.astype(jnp.float32) / scale[..., None, :]).astype(
+        jnp.float8_e4m3fn
+    )
+    return w_q, scale.astype(jnp.float32)
+
+
 def quant_matmul(
     x: jnp.ndarray,  # [M, K]
-    w_q: jnp.ndarray,  # [K, N] int8
+    w_q: jnp.ndarray,  # [K, N] int8 or float8_e4m3fn
     scale: jnp.ndarray,  # [N] f32
 ) -> jnp.ndarray:
     """-> [M, N] f32. Pallas fused dequant-matmul on TPU, XLA elsewhere."""
     if jax.default_backend() == "tpu":
-        from xllm_tpu.ops.pallas.quant_matmul import quant_matmul_int8
+        if w_q.dtype == jnp.int8:
+            from xllm_tpu.ops.pallas.quant_matmul import quant_matmul_int8
 
-        return quant_matmul_int8(x, w_q, scale)
+            return quant_matmul_int8(x, w_q, scale)
+        from xllm_tpu.ops.pallas.quant_matmul import quant_matmul_fp8
+
+        return quant_matmul_fp8(x, w_q, scale)
     w = w_q.astype(x.dtype) * scale[None, :].astype(x.dtype)
     return jnp.dot(x, w, preferred_element_type=jnp.float32)

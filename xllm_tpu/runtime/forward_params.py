@@ -38,6 +38,31 @@ class PrefillInput:
 
 @jax.tree_util.register_dataclass
 @dataclass
+class BatchedPrefillInput:
+    """P prompt chunks — one per sequence — in one dispatch.
+
+    Counterpart of the reference's whole-batch ForwardInput built by
+    BatchInputBuilder (reference
+    xllm/core/framework/batch/batch_input_builder.h:53): the per-sequence
+    prefill loop lives in the kernel grid, not in Python. Rows are padded
+    to a (P, S) bucket pair; padded rows carry kv_len == 0.
+    """
+
+    token_ids: jnp.ndarray  # [P, S] int32
+    positions: jnp.ndarray  # [P, S] int32
+    slot_mapping: jnp.ndarray  # [P, S] int32 (pad -> 0 = null block)
+    block_tables: jnp.ndarray  # [P, NB] int32
+    kv_lens: jnp.ndarray  # [P] int32 (incl. chunk; 0 = padded row)
+    q_offsets: jnp.ndarray  # [P] int32 chunk start position
+    logits_idx: jnp.ndarray  # [P] int32 row of last real token in chunk
+    sample_slots: jnp.ndarray  # [P] int32 last_tokens ring slot (pad/mid ->
+    # trash slot: the sampled token is discarded)
+    hist_slots: jnp.ndarray  # [P] int32 token-history ring row (every real
+    # chunk records its tokens, mid-prompt included; pad -> trash row)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
 class DecodeInput:
     """One decode step for a padded batch of sequences (1 token each).
 
@@ -70,3 +95,12 @@ class SamplingInput:
     top_k: jnp.ndarray  # [N] int32 (0 = disabled)
     top_p: jnp.ndarray  # [N] f32 (1.0 = disabled)
     key: jnp.ndarray  # PRNG key
+    # per-request reproducible sampling (reference per-request seed)
+    seeds: jnp.ndarray | None = None  # [N] int32 (-1 = unseeded)
+    steps: jnp.ndarray | None = None  # [N] int32 tokens generated so far
+    # penalties (reference sampler.cpp:29 penalty logits pass); applied on
+    # the pruned candidate set against the device token-history ring
+    repetition_penalty: jnp.ndarray | None = None  # [N] f32 (1.0 = off)
+    frequency_penalty: jnp.ndarray | None = None  # [N] f32
+    presence_penalty: jnp.ndarray | None = None  # [N] f32
+    hist_len: jnp.ndarray | None = None  # [N] int32 valid history length

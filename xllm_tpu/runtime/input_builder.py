@@ -12,7 +12,11 @@ from __future__ import annotations
 import numpy as np
 
 from xllm_tpu.framework.request import Sequence
-from xllm_tpu.runtime.forward_params import DecodeInput, PrefillInput
+from xllm_tpu.runtime.forward_params import (
+    BatchedPrefillInput,
+    DecodeInput,
+    PrefillInput,
+)
 from xllm_tpu.utils import next_bucket
 
 
@@ -63,22 +67,239 @@ def build_prefill_input(
     return inp, end == seq.num_tokens
 
 
+def group_prefill_items(
+    items: list[tuple[Sequence, int]],
+    token_buckets: list[int],
+    row_buckets: list[int],
+    max_tokens_per_dispatch: int,
+) -> list[list[tuple[Sequence, int]]]:
+    """Partition prompt chunks into same-S-bucket groups for one dispatch
+    each (reference BatchInputBuilder packs the whole batch,
+    batch_input_builder.h:53; here groups bound the padded P x S cost)."""
+    by_bucket: dict[int, list[tuple[Sequence, int]]] = {}
+    for seq, n in items:
+        s_b = next_bucket(token_buckets, n)
+        by_bucket.setdefault(s_b, []).append((seq, n))
+    groups = []
+    max_rows = row_buckets[-1]
+    for s_b, members in sorted(by_bucket.items()):
+        cap = max(1, min(max_rows, max_tokens_per_dispatch // s_b))
+        for i in range(0, len(members), cap):
+            groups.append(members[i : i + cap])
+    return groups
+
+
+def _assign_rows(
+    items: list, row_buckets: list[int], dp_size: int
+) -> tuple[list[int], int]:
+    """Rank-major row layout: row = rank * rows_per_rank + j.
+
+    Each DP rank's rows occupy one contiguous shard of the batch dim, so
+    sharding rows over the mesh ``data`` axis puts every sequence on the
+    rank that owns its KV blocks (reference BatchFactory::create_batches,
+    batch_factory.h:30 — one batch per DP rank). dp_size == 1 collapses
+    to the plain bucket layout.
+    """
+    if dp_size <= 1:
+        p_pad = next_bucket(row_buckets, len(items))
+        return list(range(len(items))), p_pad
+    counts = [0] * dp_size
+    for seq in items:
+        rank = max(seq.dp_rank, 0)
+        counts[rank] += 1
+    rows_per_rank = next_bucket(row_buckets, max(max(counts), 1))
+    rows = []
+    fill = [0] * dp_size
+    for seq in items:
+        rank = max(seq.dp_rank, 0)
+        rows.append(rank * rows_per_rank + fill[rank])
+        fill[rank] += 1
+    return rows, rows_per_rank * dp_size
+
+
+def _null_slot(row: int, p_pad: int, dp_size: int, null_blocks, block_size):
+    """Padded rows/tokens write into their own rank's null block."""
+    if not null_blocks or dp_size <= 1:
+        return 0
+    rank = row // (p_pad // dp_size)
+    return null_blocks[rank] * block_size
+
+
+def build_batched_prefill_input(
+    items: list[tuple[Sequence, int]],
+    block_size: int,
+    token_buckets: list[int],
+    row_buckets: list[int],
+    num_block_table_cols: int,
+    trash_slot: int,
+    dp_size: int = 1,
+    null_blocks: list[int] | None = None,
+) -> tuple[BatchedPrefillInput, list[bool], list[int]]:
+    """Build one dispatch's worth of prompt chunks (one row per sequence).
+
+    Returns (input, samples_flags, rows): samples_flags[i] is True when
+    item i's chunk reaches the last known token; rows[i] is item i's row
+    in the padded batch (rank-major under DP).
+    """
+    rows, p_pad = _assign_rows([seq for seq, _ in items], row_buckets, dp_size)
+    s_pad = next_bucket(token_buckets, max(n for _, n in items))
+
+    token_ids = np.zeros((p_pad, s_pad), np.int32)
+    positions = np.zeros((p_pad, s_pad), np.int32)
+    slot_mapping = np.zeros((p_pad, s_pad), np.int32)
+    block_tables = np.zeros((p_pad, num_block_table_cols), np.int32)
+    kv_lens = np.zeros(p_pad, np.int32)
+    q_offsets = np.zeros(p_pad, np.int32)
+    logits_idx = np.zeros(p_pad, np.int32)
+    sample_slots = np.full(p_pad, trash_slot, np.int32)
+    hist_slots = np.full(p_pad, trash_slot, np.int32)
+    if null_blocks and dp_size > 1:
+        for i in range(p_pad):
+            slot_mapping[i, :] = _null_slot(
+                i, p_pad, dp_size, null_blocks, block_size
+            )
+            block_tables[i, :] = null_blocks[i // (p_pad // dp_size)]
+    samples_flags = []
+    for (seq, n), i in zip(items, rows):
+        start = seq.num_computed_tokens
+        end = start + n
+        assert end <= seq.num_tokens
+        token_ids[i, :n] = seq.token_ids[start:end]
+        positions[i, :n] = np.arange(start, end, dtype=np.int32)
+        positions[i, n:] = max(end - 1, 0)
+        for j, pos in enumerate(range(start, end)):
+            slot_mapping[i, j] = seq.block_ids[pos // block_size] * block_size + (
+                pos % block_size
+            )
+        nb = len(seq.block_ids)
+        block_tables[i, :nb] = seq.block_ids
+        kv_lens[i] = end
+        q_offsets[i] = start
+        logits_idx[i] = n - 1
+        hist_slots[i] = seq.slot_id
+        samples = end == seq.num_tokens
+        samples_flags.append(samples)
+        if samples:
+            sample_slots[i] = seq.slot_id
+    inp = BatchedPrefillInput(
+        token_ids=token_ids,
+        positions=positions,
+        slot_mapping=slot_mapping,
+        block_tables=block_tables,
+        kv_lens=kv_lens,
+        q_offsets=q_offsets,
+        logits_idx=logits_idx,
+        sample_slots=sample_slots,
+        hist_slots=hist_slots,
+    )
+    return inp, samples_flags, rows
+
+
+def build_batched_verify_input(
+    pairs: list[tuple[Sequence, list[int]]],
+    spec_k: int,
+    block_size: int,
+    row_buckets: list[int],
+    num_block_table_cols: int,
+    trash_slot: int,
+    dp_size: int = 1,
+    null_blocks: list[int] | None = None,
+) -> tuple[BatchedPrefillInput, np.ndarray, np.ndarray, list[int]]:
+    """Batched speculative-verify chunks: row i = [last_token, drafts_i...].
+
+    All drafts are padded to spec_k by the proposer, so S = spec_k + 1 for
+    every row. Returns (input, draft_tokens [P, k], draft_lens [P], rows).
+    Counterpart of the reference's spec_input_builder packing
+    (reference xllm/core/runtime/spec_input_builder.cpp).
+    """
+    rows, p_pad = _assign_rows([seq for seq, _ in pairs], row_buckets, dp_size)
+    s = spec_k + 1
+
+    token_ids = np.zeros((p_pad, s), np.int32)
+    positions = np.zeros((p_pad, s), np.int32)
+    slot_mapping = np.zeros((p_pad, s), np.int32)
+    block_tables = np.zeros((p_pad, num_block_table_cols), np.int32)
+    kv_lens = np.zeros(p_pad, np.int32)
+    q_offsets = np.zeros(p_pad, np.int32)
+    logits_idx = np.full(p_pad, s - 1, np.int32)
+    sample_slots = np.full(p_pad, trash_slot, np.int32)
+    hist_slots = np.full(p_pad, trash_slot, np.int32)
+    draft_tokens = np.zeros((p_pad, spec_k), np.int32)
+    draft_lens = np.zeros(p_pad, np.int32)
+    if null_blocks and dp_size > 1:
+        for i in range(p_pad):
+            slot_mapping[i, :] = _null_slot(
+                i, p_pad, dp_size, null_blocks, block_size
+            )
+            block_tables[i, :] = null_blocks[i // (p_pad // dp_size)]
+    for (seq, draft), i in zip(pairs, rows):
+        start = seq.num_computed_tokens
+        assert start == seq.num_tokens - 1, "verify needs sample-then-compute"
+        assert len(draft) == spec_k
+        chunk = [seq.token_ids[start], *draft]
+        token_ids[i] = chunk
+        positions[i] = np.arange(start, start + s, dtype=np.int32)
+        for j, pos in enumerate(range(start, start + s)):
+            slot_mapping[i, j] = seq.block_ids[pos // block_size] * block_size + (
+                pos % block_size
+            )
+        nb = len(seq.block_ids)
+        block_tables[i, :nb] = seq.block_ids
+        kv_lens[i] = start + s
+        q_offsets[i] = start
+        sample_slots[i] = seq.slot_id
+        hist_slots[i] = seq.slot_id
+        draft_tokens[i] = draft
+        draft_lens[i] = spec_k
+    inp = BatchedPrefillInput(
+        token_ids=token_ids,
+        positions=positions,
+        slot_mapping=slot_mapping,
+        block_tables=block_tables,
+        kv_lens=kv_lens,
+        q_offsets=q_offsets,
+        logits_idx=logits_idx,
+        sample_slots=sample_slots,
+        hist_slots=hist_slots,
+    )
+    return inp, draft_tokens, draft_lens, rows
+
+
 def build_decode_input(
     seqs: list[Sequence],
     block_size: int,
     batch_buckets: list[int],
     num_block_table_cols: int,
     trash_slot: int,
-) -> DecodeInput:
-    """Padded rows point at the trash slot of the last_tokens ring."""
-    b = len(seqs)
-    b_pad = next_bucket(batch_buckets, b)
+    nb_buckets: list[int] | None = None,
+    dp_size: int = 1,
+    null_blocks: list[int] | None = None,
+) -> tuple[DecodeInput, list[int]]:
+    """Padded rows point at the trash slot of the last_tokens ring.
+    Returns (input, rows): rows[j] is seqs[j]'s row (rank-major under DP).
+
+    Block-table columns are bucketed to the batch's max in-use blocks
+    (``nb_buckets``) so the decode kernel's grid tracks actual context
+    length instead of max_model_len — the column count is part of the jit
+    shape, like the reference's graph-bucket dims
+    (acl_graph_executor_impl.h:172-175).
+    """
+    if nb_buckets:
+        max_nb = max((len(s.block_ids) for s in seqs), default=1)
+        num_block_table_cols = next_bucket(nb_buckets, max_nb)
+    rows, b_pad = _assign_rows(seqs, batch_buckets, dp_size)
     slot_ids = np.full(b_pad, trash_slot, np.int32)
     positions = np.zeros(b_pad, np.int32)
     slot_mapping = np.zeros(b_pad, np.int32)
     block_tables = np.zeros((b_pad, num_block_table_cols), np.int32)
     seq_lens = np.zeros(b_pad, np.int32)
-    for i, seq in enumerate(seqs):
+    if null_blocks and dp_size > 1:
+        for i in range(b_pad):
+            slot_mapping[i] = _null_slot(
+                i, b_pad, dp_size, null_blocks, block_size
+            )
+            block_tables[i, :] = null_blocks[i // (b_pad // dp_size)]
+    for seq, i in zip(seqs, rows):
         pos = seq.num_tokens - 1
         slot_ids[i] = seq.slot_id
         positions[i] = pos
@@ -88,13 +309,14 @@ def build_decode_input(
         nb = len(seq.block_ids)
         block_tables[i, :nb] = seq.block_ids
         seq_lens[i] = seq.num_tokens
-    return DecodeInput(
+    inp = DecodeInput(
         slot_ids=slot_ids,
         positions=positions,
         slot_mapping=slot_mapping,
         block_tables=block_tables,
         seq_lens=seq_lens,
     )
+    return inp, rows
 
 
 def build_verify_input(
@@ -136,15 +358,71 @@ def build_verify_input(
 
 
 def build_sampling_arrays(
-    seqs: list[Sequence], n_pad: int
+    seqs: list[Sequence], n_pad: int, rows: list[int] | None = None
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """-> (temperature, top_k, top_p) padded to n_pad (pad rows = greedy)."""
     temperature = np.zeros(n_pad, np.float32)
     top_k = np.zeros(n_pad, np.int32)
     top_p = np.ones(n_pad, np.float32)
-    for i, seq in enumerate(seqs):
+    if rows is None:
+        rows = range(len(seqs))
+    for seq, i in zip(seqs, rows):
         sp = seq.sampling_params
         temperature[i] = sp.temperature
         top_k[i] = max(sp.top_k, 0)
         top_p[i] = sp.top_p
     return temperature, top_k, top_p
+
+
+def build_sampling_input(
+    seqs: list[Sequence],
+    n_pad: int,
+    rows: list[int] | None,
+    key,
+) -> tuple["SamplingInput", bool]:
+    """Full per-row sampling state -> (SamplingInput, use_penalties).
+
+    Counterpart of the reference's SamplingParameters assembly inside
+    BatchInputBuilder (batch_input_builder.h:53) including the penalty
+    fields the reference Sampler applies (sampler.cpp:29).
+    """
+    from xllm_tpu.runtime.forward_params import SamplingInput
+
+    temperature, top_k, top_p = build_sampling_arrays(seqs, n_pad, rows)
+    seeds = np.full(n_pad, -1, np.int32)
+    steps = np.zeros(n_pad, np.int32)
+    rep = np.ones(n_pad, np.float32)
+    freq = np.zeros(n_pad, np.float32)
+    pres = np.zeros(n_pad, np.float32)
+    hist_len = np.zeros(n_pad, np.int32)
+    use_penalties = False
+    if rows is None:
+        rows = range(len(seqs))
+    for seq, i in zip(seqs, rows):
+        sp = seq.sampling_params
+        if sp.seed is not None:
+            seeds[i] = sp.seed & 0x7FFFFFFF
+            steps[i] = seq.num_generated_tokens
+        rep[i] = sp.repetition_penalty
+        freq[i] = sp.frequency_penalty
+        pres[i] = sp.presence_penalty
+        hist_len[i] = seq.num_tokens
+        if (
+            sp.repetition_penalty != 1.0
+            or sp.frequency_penalty != 0.0
+            or sp.presence_penalty != 0.0
+        ):
+            use_penalties = True
+    si = SamplingInput(
+        temperature=temperature,
+        top_k=top_k,
+        top_p=top_p,
+        key=key,
+        seeds=seeds,
+        steps=steps,
+        repetition_penalty=rep,
+        frequency_penalty=freq,
+        presence_penalty=pres,
+        hist_len=hist_len,
+    )
+    return si, use_penalties

@@ -27,11 +27,19 @@ from xllm_tpu.config import EngineConfig
 from xllm_tpu.framework.request import Sequence
 from xllm_tpu.models.registry import create_model
 from xllm_tpu.parallel.mesh import build_mesh, make_named_shardings, replicated
-from xllm_tpu.runtime.forward_params import DecodeInput, PrefillInput, SamplingInput
+from xllm_tpu.runtime.forward_params import (
+    BatchedPrefillInput,
+    DecodeInput,
+    PrefillInput,
+    SamplingInput,
+)
 from xllm_tpu.runtime.input_builder import (
+    build_batched_prefill_input,
+    build_batched_verify_input,
     build_decode_input,
     build_prefill_input,
     build_sampling_arrays,
+    build_sampling_input,
     build_verify_input,
 )
 from xllm_tpu.runtime.rejection_sampler import rejection_sample
@@ -61,7 +69,47 @@ class ModelRunner:
         # absorbs padded rows.
         self.max_slots = config.scheduler.max_seqs_per_batch
         self.trash_slot = self.max_slots
+        # decode block-table column buckets (tight tables keep the decode
+        # kernel's page grid proportional to live context length)
+        self.nb_buckets = []
+        nb = 4
+        while nb < self.max_blocks_per_seq:
+            self.nb_buckets.append(nb)
+            nb *= 2
+        self.nb_buckets.append(self.max_blocks_per_seq)
+        # attention-DP over the mesh data axis (reference per-DP-rank
+        # batches, batch_factory.h:30): forward-batch rows are rank-major
+        # and sharded over "data"; each rank owns a contiguous KV block
+        # range with its own null block
+        self.dp_size = config.parallel.dp_size
+        self.null_blocks = [0] * max(self.dp_size, 1)
+        # model-based speculative decoding (reference MTP/Eagle3 workers,
+        # mtp_worker_impl.h:34, eagle3_worker_impl.h:23): a draft head
+        # sharing the target's embed/lm_head, its own 1-layer paged KV,
+        # and a device hidden ring feeding the in-jit draft scan
+        self.draft_head = None
+        self.head_params = None
+        self.dk_cache = None
+        self.dv_cache = None
+        self.hidden_ring = None
+        if config.speculative.method in ("mtp", "eagle3"):
+            if not getattr(self.model, "supports_batched_prefill", False):
+                raise NotImplementedError(
+                    "MTP/Eagle3 needs a batched-prefill-capable family"
+                )
+            from xllm_tpu.models.mtp_head import MTPHead
+
+            self.draft_head = MTPHead(config.model, self.model)
         self.last_tokens = None
+        # live expert-load accumulation (EPLB); device-resident, fetched
+        # periodically by the engine (reference eplb data flow,
+        # llm_engine.cpp:994-1008)
+        self.collect_expert_loads = (
+            config.eplb.enable_eplb and config.model.num_experts > 0
+        )
+        if self.collect_expert_loads:
+            self.model.collect_expert_loads = True
+        self._expert_loads_acc = None
         self._key = None
         self._prefill_fn = None
         self._decode_fn = None
@@ -89,34 +137,77 @@ class ModelRunner:
             if shardings is not None:
                 params = jax.tree.map(jax.device_put, params, shardings)
             self.params = params
-        if self.config.quant.method == "int8":
+        if self.config.quant.method in ("int8", "fp8_e4m3"):
             self.params = self._quantize_params(self.params)
         self._key = jax.random.key(self.config.seed)
         self.last_tokens = self._put(jnp.zeros(self.max_slots + 1, jnp.int32))
+        # device-resident token history ring (per-slot rows) feeding the
+        # sampler's penalty pass — no [N, V] histograms, no host round trip
+        # (reference keeps seen-token lists host-side, sampler.cpp:29)
+        hist_cols = -(-self.config.scheduler.max_model_len // 128) * 128
+        self.token_hist = self._put(
+            jnp.zeros((self.max_slots + 1, hist_cols), jnp.int32)
+        )
+        if self.draft_head is not None:
+            shardings = make_named_shardings(
+                self.mesh, self.draft_head.param_shardings()
+            )
+            hp = self.draft_head.init_params(
+                jax.random.key(self.config.seed + 1)
+            )
+            if self.config.speculative.draft_model_path:
+                from xllm_tpu.models.loader import load_mtp_head_params
+
+                hp = load_mtp_head_params(
+                    self.config.speculative.draft_model_path, hp,
+                    dtype=self.model.dtype,
+                )
+            if shardings is not None:
+                hp = jax.tree.map(jax.device_put, hp, shardings)
+            self.head_params = hp
+            self.hidden_ring = self._put(
+                jnp.zeros(
+                    (self.max_slots + 1, self.config.model.hidden_size),
+                    self.model.dtype,
+                )
+            )
         self._build_step_fns()
 
-    _QUANT_WEIGHTS = (
-        "qkv_proj_w", "o_proj_w", "gate_proj_w", "up_proj_w", "down_proj_w",
-    )
+    # matmul weights eligible for weight-only quantization, any layer group
+    # (dense "layers", MLA "dense_layers"/"moe_layers"). Router weights stay
+    # high precision (routing sensitivity); routed expert stacks stay bf16
+    # until the grouped quant GEMM lands (megablox is bf16/f32-only).
+    _QUANT_SKIP = ("router_w", "experts_gate_up", "experts_down")
 
     def _quantize_params(self, params):
-        """Weight-only INT8 on the decoder matmuls (reference quant_args
-        flow, hf_model_loader.h:44). Embed/lm_head/norms stay bf16."""
-        from xllm_tpu.ops.quant import quantize_int8
+        """Weight-only INT8/FP8 on the decoder matmuls (reference
+        quant_args flow, hf_model_loader.h:44 + w8a8/fp8 kernels).
+        Embeddings, lm_head, norms, and routers stay bf16."""
+        from xllm_tpu.ops.quant import quantize_fp8, quantize_int8
 
-        if "layers" not in params:  # MLA stacks: int8 lands in a later round
-            logger.warning("int8 quantization not yet wired for this family")
-            return params
-        layers = dict(params["layers"])
-        for name in self._QUANT_WEIGHTS:
-            if name in layers and layers[name].dtype != jnp.int8:
-                wq, scale = jax.jit(quantize_int8)(layers[name])
-                layers[name] = wq
-                layers[name + "_scale"] = scale
-        logger.info("quantized %s to int8", [
-            n for n in self._QUANT_WEIGHTS if n in layers
-        ])
-        return {**params, "layers": layers}
+        method = self.config.quant.method
+        quantize = quantize_int8 if method == "int8" else quantize_fp8
+        qfn = jax.jit(quantize)
+        count = 0
+        out = dict(params)
+        for group_name, group in params.items():
+            if not isinstance(group, dict):
+                continue
+            new_group = dict(group)
+            for name, w in group.items():
+                if (
+                    not name.endswith("_proj_w")
+                    or name in self._QUANT_SKIP
+                    or w.dtype not in (jnp.bfloat16, jnp.float32)
+                ):
+                    continue
+                wq, scale = qfn(w)
+                new_group[name] = wq
+                new_group[name + "_scale"] = scale
+                count += 1
+            out[group_name] = new_group
+        logger.info("quantized %d weight stacks to %s", count, method)
+        return out
 
     def initialize_kv_cache(self, num_blocks: int | None = None) -> int:
         """Allocate the paged pool; returns num_blocks.
@@ -125,6 +216,11 @@ class ModelRunner:
         (reference xllm/core/distributed_runtime/llm_engine.cpp:382,473).
         """
         self.num_blocks = num_blocks or self._derive_num_blocks()
+        if self.dp_size > 1:
+            # block dim shards over "data": equal per-rank ranges
+            self.num_blocks -= self.num_blocks % self.dp_size
+            per = self.num_blocks // self.dp_size
+            self.null_blocks = [r * per for r in range(self.dp_size)]
         kv_dtype = self.model.dtype
         if self.config.cache.kv_cache_dtype not in ("auto", ""):
             kv_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
@@ -134,9 +230,27 @@ class ModelRunner:
         if self.mesh is not None:
             from jax.sharding import NamedSharding
 
-            sh = NamedSharding(self.mesh, self.model.kv_cache_sharding())
-            k, v = jax.device_put(k, sh), jax.device_put(v, sh)
+            spec = self.model.kv_cache_sharding()
+            sh = NamedSharding(self.mesh, spec)
+            rep = replicated(self.mesh)
+
+            def put(x):  # MLA's latent pair carries a rank-1 placeholder
+                return jax.device_put(x, sh if x.ndim >= len(spec) else rep)
+
+            k, v = put(k), put(v)
         self.k_cache, self.v_cache = k, v
+        if self.draft_head is not None:
+            dk, dv = self.draft_head.new_kv_cache(
+                self.num_blocks, self.block_size
+            )
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding
+
+                dsh = NamedSharding(
+                    self.mesh, self.draft_head.kv_cache_sharding()
+                )
+                dk, dv = jax.device_put(dk, dsh), jax.device_put(dv, dsh)
+            self.dk_cache, self.dv_cache = dk, dv
         logger.info(
             "KV cache: %d blocks x %d tokens (%s)",
             self.num_blocks,
@@ -171,29 +285,48 @@ class ModelRunner:
     def _build_step_fns(self) -> None:
         model = self.model
 
-        @partial(jax.jit, donate_argnums=(1, 2, 5))
+        @partial(jax.jit, donate_argnums=(1, 2, 5, 6))
         def prefill_step(
-            params, k_cache, v_cache, inp: PrefillInput, si, last_tokens, slot
+            params, k_cache, v_cache, inp: PrefillInput, si, last_tokens,
+            token_hist, slot, hist_slot,
         ):
             hidden, k_cache, v_cache = model.prefill(params, k_cache, v_cache, inp)
             logits = model.compute_logits(params, hidden)
+            token_hist = token_hist.at[hist_slot, inp.positions].set(
+                inp.token_ids
+            )
             tokens, logprobs = sample(logits, si)
             # mid-prompt chunks pass slot = trash_slot
             last_tokens = last_tokens.at[slot].set(tokens[0])
-            return k_cache, v_cache, tokens, logprobs, last_tokens
+            return k_cache, v_cache, tokens, logprobs, last_tokens, token_hist
 
-        @partial(jax.jit, donate_argnums=(1, 2, 5))
+        @partial(
+            jax.jit,
+            donate_argnums=(1, 2, 5, 6),
+            static_argnames=("use_penalties",),
+        )
         def decode_step(
-            params, k_cache, v_cache, inp: DecodeInput, si, last_tokens
+            params, k_cache, v_cache, inp: DecodeInput, si, last_tokens,
+            token_hist, use_penalties=False,
         ):
             token_ids = last_tokens[inp.slot_ids]
+            # record each row's input token (the previous sample) so the
+            # device history ring holds every position < num_tokens
+            token_hist = token_hist.at[inp.slot_ids, inp.positions].set(
+                token_ids
+            )
             hidden, k_cache, v_cache = model.decode(
                 params, k_cache, v_cache, inp, token_ids
             )
             logits = model.compute_logits(params, hidden)
-            tokens, logprobs = sample(logits, si)
+            hist = token_hist[inp.slot_ids] if use_penalties else None
+            tokens, logprobs = sample(logits, si, hist)
             last_tokens = last_tokens.at[inp.slot_ids].set(tokens)
-            return k_cache, v_cache, tokens, logprobs, last_tokens
+            counts = getattr(model, "_expert_counts", None)
+            return (
+                k_cache, v_cache, tokens, logprobs, last_tokens, token_hist,
+                counts,
+            )
 
         @partial(
             jax.jit, donate_argnums=(1, 2, 6), static_argnames=("num_logits",)
@@ -216,9 +349,210 @@ class ModelRunner:
             last_tokens = last_tokens.at[slot].set(tokens[0, num_acc[0] - 1])
             return k_cache, v_cache, tokens[0], num_acc[0], last_tokens
 
+        @partial(
+            jax.jit,
+            donate_argnums=(1, 2, 5, 6),
+            static_argnames=("use_penalties",),
+        )
+        def batched_prefill_step(
+            params, k_cache, v_cache, inp: BatchedPrefillInput, si,
+            last_tokens, token_hist, use_penalties=False,
+        ):
+            hidden, k_cache, v_cache = model.prefill_batched(
+                params, k_cache, v_cache, inp
+            )
+            logits = model.compute_logits(params, hidden[:, 0])  # [P, V]
+            token_hist = token_hist.at[
+                inp.hist_slots[:, None], inp.positions
+            ].set(inp.token_ids)
+            hist = token_hist[inp.hist_slots] if use_penalties else None
+            tokens, logprobs = sample(logits, si, hist)
+            last_tokens = last_tokens.at[inp.sample_slots].set(tokens)
+            counts = getattr(model, "_expert_counts", None)
+            return (
+                k_cache, v_cache, tokens, logprobs, last_tokens, token_hist,
+                counts,
+            )
+
+        @partial(
+            jax.jit, donate_argnums=(1, 2, 6, 7), static_argnames=("num_logits",)
+        )
+        def batched_verify_step(
+            params, k_cache, v_cache, inp: BatchedPrefillInput, draft_tokens,
+            draft_lens, last_tokens, token_hist, temperature, key, num_logits,
+        ):
+            hidden, k_cache, v_cache = model.prefill_batched(
+                params, k_cache, v_cache, inp, num_logits=num_logits
+            )
+            p = hidden.shape[0]
+            logits = model.compute_logits(
+                params, hidden.reshape(p * num_logits, -1)
+            ).reshape(p, num_logits, -1)
+            # only the row's first token (the previous sample) is real
+            # history; accepted drafts are recorded by later steps' inputs
+            token_hist = token_hist.at[
+                inp.hist_slots, inp.positions[:, 0]
+            ].set(inp.token_ids[:, 0])
+            tokens, num_acc = rejection_sample(
+                draft_tokens, draft_lens, logits, temperature, key
+            )
+            final = jnp.take_along_axis(
+                tokens, (num_acc - 1)[:, None], axis=1
+            )[:, 0]
+            last_tokens = last_tokens.at[inp.sample_slots].set(final)
+            return k_cache, v_cache, tokens, num_acc, last_tokens, token_hist
+
         self._prefill_fn = prefill_step
         self._decode_fn = decode_step
         self._verify_fn = verify_step
+        self._batched_prefill_fn = batched_prefill_step
+        self._batched_verify_fn = batched_verify_step
+        if self.draft_head is not None:
+            self._build_mtp_step_fns()
+
+    def _build_mtp_step_fns(self) -> None:
+        """Draft-head-aware variants of the step fns (MTP/Eagle3).
+
+        The draft loop, the target verify forward, the rejection sampler,
+        and both head-KV passes run in ONE dispatch per step — draft
+        tokens never reach the host (reference wraps the same pieces in
+        SpeculativeWorkerImpl::step, speculative_worker_impl.h:31,128-130).
+        """
+        model = self.model
+        head = self.draft_head
+
+        @partial(
+            jax.jit,
+            donate_argnums=(2, 3, 4, 5, 7, 8, 9),
+            static_argnames=("use_penalties",),
+        )
+        def mtp_prefill_step(
+            params, head_params, k_cache, v_cache, dk, dv,
+            inp: BatchedPrefillInput, si, last_tokens, token_hist,
+            hidden_ring, use_penalties=False,
+        ):
+            hidden, k_cache, v_cache, pre = model.prefill_batched(
+                params, k_cache, v_cache, inp, return_hidden=True
+            )
+            dk, dv = head.prefill_batched(
+                params, head_params, dk, dv, pre, inp
+            )
+            logits = model.compute_logits(params, hidden[:, 0])
+            token_hist = token_hist.at[
+                inp.hist_slots[:, None], inp.positions
+            ].set(inp.token_ids)
+            hist = token_hist[inp.hist_slots] if use_penalties else None
+            tokens, logprobs = sample(logits, si, hist)
+            last_tokens = last_tokens.at[inp.sample_slots].set(tokens)
+            last_pre = jnp.take_along_axis(
+                pre, inp.logits_idx[:, None, None], axis=1
+            )[:, 0]
+            hidden_ring = hidden_ring.at[inp.sample_slots].set(
+                last_pre.astype(hidden_ring.dtype)
+            )
+            return (
+                k_cache, v_cache, dk, dv, tokens, logprobs, last_tokens,
+                token_hist, hidden_ring,
+            )
+
+        @partial(
+            jax.jit,
+            donate_argnums=(2, 3, 4, 5, 8, 9),
+            static_argnames=("num_logits",),
+        )
+        def mtp_verify_step(
+            params, head_params, k_cache, v_cache, dk, dv,
+            inp: BatchedPrefillInput, temperature, last_tokens, hidden_ring,
+            token_hist, key, num_logits,
+        ):
+            spec_k = num_logits - 1
+            seq_base = inp.kv_lens - spec_k  # N per row (0 pads -> junk)
+            pos0 = inp.positions[:, 0]  # N - 1
+            last_tok = last_tokens[inp.hist_slots]
+            last_hid = hidden_ring[inp.hist_slots]
+            drafts, dk, dv = head.draft_tokens(
+                params, head_params, dk, dv, last_hid, last_tok, pos0,
+                inp.slot_mapping[:, :spec_k], inp.block_tables, seq_base,
+                spec_k,
+            )
+            token_ids = jnp.concatenate([last_tok[:, None], drafts], axis=1)
+            inp = BatchedPrefillInput(
+                token_ids=token_ids,
+                positions=inp.positions,
+                slot_mapping=inp.slot_mapping,
+                block_tables=inp.block_tables,
+                kv_lens=inp.kv_lens,
+                q_offsets=inp.q_offsets,
+                logits_idx=inp.logits_idx,
+                sample_slots=inp.sample_slots,
+                hist_slots=inp.hist_slots,
+            )
+            hidden, k_cache, v_cache, pre = model.prefill_batched(
+                params, k_cache, v_cache, inp, num_logits=num_logits,
+                return_hidden=True,
+            )
+            p = hidden.shape[0]
+            logits = model.compute_logits(
+                params, hidden.reshape(p * num_logits, -1)
+            ).reshape(p, num_logits, -1)
+            draft_lens = jnp.where(inp.kv_lens > 0, spec_k, 0)
+            tokens, num_acc = rejection_sample(
+                drafts, draft_lens, logits, temperature, key
+            )
+            # head-KV rewrite with the true (hidden_t, token_{t+1}) stream
+            dk, dv = head.prefill_batched(
+                params, head_params, dk, dv, pre, inp, tokens_next=tokens
+            )
+            final = jnp.take_along_axis(
+                tokens, (num_acc - 1)[:, None], axis=1
+            )[:, 0]
+            last_tokens = last_tokens.at[inp.sample_slots].set(final)
+            final_hid = jnp.take_along_axis(
+                pre, (num_acc - 1)[:, None, None], axis=1
+            )[:, 0]
+            hidden_ring = hidden_ring.at[inp.sample_slots].set(
+                final_hid.astype(hidden_ring.dtype)
+            )
+            token_hist = token_hist.at[
+                inp.hist_slots, inp.positions[:, 0]
+            ].set(inp.token_ids[:, 0])
+            return (
+                k_cache, v_cache, dk, dv, tokens, num_acc, last_tokens,
+                hidden_ring, token_hist,
+            )
+
+        @partial(
+            jax.jit,
+            donate_argnums=(2, 3, 5, 6, 7),
+            static_argnames=("use_penalties",),
+        )
+        def mtp_decode_step(
+            params, head_params, k_cache, v_cache, inp: DecodeInput, si,
+            last_tokens, token_hist, hidden_ring, use_penalties=False,
+        ):
+            token_ids = last_tokens[inp.slot_ids]
+            token_hist = token_hist.at[inp.slot_ids, inp.positions].set(
+                token_ids
+            )
+            hidden, k_cache, v_cache = model.decode(
+                params, k_cache, v_cache, inp, token_ids
+            )
+            logits = model.compute_logits(params, hidden)
+            hist = token_hist[inp.slot_ids] if use_penalties else None
+            tokens, logprobs = sample(logits, si, hist)
+            last_tokens = last_tokens.at[inp.slot_ids].set(tokens)
+            pre = model._prenorm_hidden
+            hidden_ring = hidden_ring.at[inp.slot_ids].set(
+                pre.astype(hidden_ring.dtype)
+            )
+            return (
+                k_cache, v_cache, tokens, logprobs, last_tokens, token_hist,
+                hidden_ring,
+            )
+
+        self._mtp_prefill_fn = mtp_prefill_step
+        self._mtp_verify_fn = mtp_verify_step
+        self._mtp_decode_fn = mtp_decode_step
 
     def _next_key(self) -> jax.Array:
         self._key, sub = jax.random.split(self._key)
@@ -229,6 +563,28 @@ class ModelRunner:
             return tree
         rep = replicated(self.mesh)
         return jax.tree.map(lambda x: jax.device_put(x, rep), tree)
+
+    def _put_rows(self, tree, rows: int):
+        """Shard leaves whose leading dim == rows over the mesh ``data``
+        axis (attention-DP); everything else replicates. Collapses to
+        _put on a single-device or dp=1 mesh."""
+        if self.mesh is None:
+            return tree
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        dp = self.mesh.shape.get("data", 1)
+        if dp <= 1 or rows % dp != 0:
+            return self._put(tree)
+        rep = replicated(self.mesh)
+
+        def put(x):
+            if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == rows:
+                spec = P("data", *([None] * (x.ndim - 1)))
+                return jax.device_put(x, NamedSharding(self.mesh, spec))
+            return jax.device_put(x, rep)
+
+        return jax.tree.map(put, tree)
 
     # ------------------------------------------------------------------
     # public step API (host numpy in/out)
@@ -256,18 +612,177 @@ class ModelRunner:
             temperature=temperature, top_k=top_k, top_p=top_p, key=self._next_key()
         )
         slot = seq.slot_id if samples_token else self.trash_slot
-        self.k_cache, self.v_cache, tokens, logprobs, self.last_tokens = (
-            self._prefill_fn(
-                self.params,
-                self.k_cache,
-                self.v_cache,
-                self._put(inp),
-                self._put(si),
-                self.last_tokens,
-                np.int32(slot),
-            )
+        (
+            self.k_cache, self.v_cache, tokens, logprobs, self.last_tokens,
+            self.token_hist,
+        ) = self._prefill_fn(
+            self.params,
+            self.k_cache,
+            self.v_cache,
+            self._put(inp),
+            self._put(si),
+            self.last_tokens,
+            self.token_hist,
+            np.int32(slot),
+            np.int32(seq.slot_id),
         )
         return tokens, logprobs, samples_token
+
+    @property
+    def supports_batched_prefill(self) -> bool:
+        return getattr(self.model, "supports_batched_prefill", False)
+
+    def run_prefill_batched(
+        self, items: list[tuple[Sequence, int]]
+    ) -> tuple[jax.Array, jax.Array, list[bool]]:
+        """Run P prompt chunks in ONE dispatch (async, device out).
+
+        Counterpart of the reference's whole-batch prefill
+        (reference batch_input_builder.h:53 + llm_engine.cpp:923). Returns
+        (tokens [P_pad], logprobs [P_pad], samples_flags) — device arrays
+        for the lagged fixup; row i samples a real token iff
+        samples_flags[i].
+        """
+        sc = self.config.scheduler
+        inp, samples_flags, rows = build_batched_prefill_input(
+            items,
+            self.block_size,
+            sc.prefill_token_buckets,
+            sc.prefill_row_buckets,
+            self.max_blocks_per_seq,
+            self.trash_slot,
+            self.dp_size,
+            self.null_blocks,
+        )
+        p_pad = inp.kv_lens.shape[0]
+        si, use_penalties = build_sampling_input(
+            [seq for seq, _ in items], p_pad, rows, self._next_key()
+        )
+        if self.draft_head is not None:
+            (
+                self.k_cache, self.v_cache, self.dk_cache, self.dv_cache,
+                tokens, logprobs, self.last_tokens, self.token_hist,
+                self.hidden_ring,
+            ) = self._mtp_prefill_fn(
+                self.params,
+                self.head_params,
+                self.k_cache,
+                self.v_cache,
+                self.dk_cache,
+                self.dv_cache,
+                self._put_rows(inp, p_pad),
+                self._put_rows(si, p_pad),
+                self.last_tokens,
+                self.token_hist,
+                self.hidden_ring,
+                use_penalties=use_penalties,
+            )
+            return tokens, logprobs, samples_flags, rows
+        (
+            self.k_cache, self.v_cache, tokens, logprobs, self.last_tokens,
+            self.token_hist, counts,
+        ) = self._batched_prefill_fn(
+            self.params,
+            self.k_cache,
+            self.v_cache,
+            self._put_rows(inp, p_pad),
+            self._put_rows(si, p_pad),
+            self.last_tokens,
+            self.token_hist,
+            use_penalties=use_penalties,
+        )
+        self._accumulate_loads(counts)
+        return tokens, logprobs, samples_flags, rows
+
+    def run_verify_batched(
+        self, pairs: list[tuple[Sequence, list[int]]], spec_k: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched speculative verify: ONE dispatch for all sequences.
+
+        SYNCHRONOUS (fetches the result): multi-token yield per step is
+        the fetch-latency amortizer (reference SpeculativeEngine step,
+        speculative_engine.cpp:41-70). Returns (tokens [P, k+1],
+        num_accepted [P]) as host arrays.
+        """
+        sc = self.config.scheduler
+        inp, draft_tokens, draft_lens, rows = build_batched_verify_input(
+            pairs,
+            spec_k,
+            self.block_size,
+            sc.prefill_row_buckets,
+            self.max_blocks_per_seq,
+            self.trash_slot,
+            self.dp_size,
+            self.null_blocks,
+        )
+        p_pad = inp.kv_lens.shape[0]
+        temperature = np.zeros(p_pad, np.float32)
+        for (seq, _), i in zip(pairs, rows):
+            temperature[i] = seq.sampling_params.temperature
+        (
+            self.k_cache, self.v_cache, tokens, num_acc, self.last_tokens,
+            self.token_hist,
+        ) = self._batched_verify_fn(
+            self.params,
+            self.k_cache,
+            self.v_cache,
+            self._put_rows(inp, p_pad),
+            self._put_rows(jnp.asarray(draft_tokens), p_pad),
+            self._put_rows(jnp.asarray(draft_lens), p_pad),
+            self.last_tokens,
+            self.token_hist,
+            self._put_rows(jnp.asarray(temperature), p_pad),
+            self._next_key(),
+            num_logits=spec_k + 1,
+        )
+        return np.asarray(tokens), np.asarray(num_acc), rows
+
+    def run_verify_mtp(
+        self, seqs: list[Sequence], spec_k: int
+    ) -> tuple[np.ndarray, np.ndarray, list[int]]:
+        """Draft (MTP head) + verify + accept in ONE dispatch.
+
+        Draft tokens are generated on device from the hidden/token rings
+        (reference SpeculativeWorkerImpl draft->validate flow,
+        speculative_worker_impl.h:31,128-130); only (tokens, num_accepted)
+        come back to the host. Returns (tokens [P, k+1], num_acc [P], rows).
+        """
+        sc = self.config.scheduler
+        pairs = [(seq, [0] * spec_k) for seq in seqs]  # token values unused
+        inp, _dummy, _lens, rows = build_batched_verify_input(
+            pairs,
+            spec_k,
+            self.block_size,
+            sc.prefill_row_buckets,
+            self.max_blocks_per_seq,
+            self.trash_slot,
+            self.dp_size,
+            self.null_blocks,
+        )
+        p_pad = inp.kv_lens.shape[0]
+        temperature = np.zeros(p_pad, np.float32)
+        for seq, i in zip(seqs, rows):
+            temperature[i] = seq.sampling_params.temperature
+        (
+            self.k_cache, self.v_cache, self.dk_cache, self.dv_cache,
+            tokens, num_acc, self.last_tokens, self.hidden_ring,
+            self.token_hist,
+        ) = self._mtp_verify_fn(
+            self.params,
+            self.head_params,
+            self.k_cache,
+            self.v_cache,
+            self.dk_cache,
+            self.dv_cache,
+            self._put_rows(inp, p_pad),
+            self._put_rows(jnp.asarray(temperature), p_pad),
+            self.last_tokens,
+            self.hidden_ring,
+            self.token_hist,
+            self._next_key(),
+            num_logits=spec_k + 1,
+        )
+        return np.asarray(tokens), np.asarray(num_acc), rows
 
     def run_prefill_embed(self, seq: Sequence, num_new_tokens: int) -> np.ndarray:
         """Final prompt chunk of an embed request -> pooled hidden state.
@@ -342,33 +857,76 @@ class ModelRunner:
         Input tokens come from the last_tokens ring on device; returned
         arrays are un-fetched device arrays for lagged fixup.
         """
-        inp = build_decode_input(
+        inp, rows = build_decode_input(
             seqs,
             self.block_size,
             self.config.scheduler.decode_batch_buckets,
             self.max_blocks_per_seq,
             self.trash_slot,
+            self.nb_buckets,
+            self.dp_size,
+            self.null_blocks,
         )
         b_pad = inp.slot_ids.shape[0]
-        temperature, top_k, top_p = build_sampling_arrays(seqs, b_pad)
-        si = SamplingInput(
-            temperature=temperature, top_k=top_k, top_p=top_p, key=self._next_key()
+        si, use_penalties = build_sampling_input(
+            seqs, b_pad, rows, self._next_key()
         )
-        self.k_cache, self.v_cache, tokens, logprobs, self.last_tokens = (
-            self._decode_fn(
+        if self.draft_head is not None:
+            (
+                self.k_cache, self.v_cache, tokens, logprobs,
+                self.last_tokens, self.token_hist, self.hidden_ring,
+            ) = self._mtp_decode_fn(
                 self.params,
+                self.head_params,
                 self.k_cache,
                 self.v_cache,
-                self._put(inp),
-                self._put(si),
+                self._put_rows(inp, b_pad),
+                self._put_rows(si, b_pad),
                 self.last_tokens,
+                self.token_hist,
+                self.hidden_ring,
+                use_penalties=use_penalties,
             )
+            return tokens, logprobs, rows
+        (
+            self.k_cache, self.v_cache, tokens, logprobs, self.last_tokens,
+            self.token_hist, counts,
+        ) = self._decode_fn(
+            self.params,
+            self.k_cache,
+            self.v_cache,
+            self._put_rows(inp, b_pad),
+            self._put_rows(si, b_pad),
+            self.last_tokens,
+            self.token_hist,
+            use_penalties=use_penalties,
         )
-        return tokens, logprobs
+        self._accumulate_loads(counts)
+        return tokens, logprobs, rows
 
     # ------------------------------------------------------------------
-    # EPLB weight shuffling (reference EplbExecutor, eplb_executor.h:29)
+    # EPLB: live load collection + weight shuffling
+    # (reference EplbManager data flow llm_engine.cpp:994-1008 and
+    # EplbExecutor, eplb_executor.h:29)
     # ------------------------------------------------------------------
+    def _accumulate_loads(self, counts) -> None:
+        if counts is None:
+            return
+        if self._expert_loads_acc is None:
+            self._expert_loads_acc = counts
+        else:
+            self._expert_loads_acc = self._expert_loads_acc + counts
+
+    def fetch_expert_loads(self):
+        """-> accumulated per-layer PHYSICAL-slot loads [L, E] (host), or
+        None; resets the window."""
+        if self._expert_loads_acc is None:
+            return None
+        loads = np.asarray(self._expert_loads_acc)
+        self._expert_loads_acc = None
+        return loads
+
+
     def apply_expert_placement(
         self, placement: np.ndarray, group: str = "layers"
     ) -> None:
@@ -383,11 +941,17 @@ class ModelRunner:
         @partial(jax.jit, donate_argnums=(0,))
         def permute(layers, perm):
             out = dict(layers)
+            # stacks currently hold `cur` (logical expert at each slot);
+            # gather with the RELATIVE permutation so repeated rebalances
+            # compose: rel[s] = slot currently holding perm[s]
+            cur = layers["expert_placement"]
+            inv = jnp.argsort(cur, axis=1)  # inv[l, logical] = slot
+            rel = jnp.take_along_axis(inv, perm, axis=1)
             out["experts_gate_up"] = jnp.take_along_axis(
-                layers["experts_gate_up"], perm[:, :, None, None], axis=1
+                layers["experts_gate_up"], rel[:, :, None, None], axis=1
             )
             out["experts_down"] = jnp.take_along_axis(
-                layers["experts_down"], perm[:, :, None, None], axis=1
+                layers["experts_down"], rel[:, :, None, None], axis=1
             )
             out["expert_placement"] = perm
             return out
@@ -530,7 +1094,7 @@ class ModelRunner:
         self.params = load_params(
             self.config.model, shardings, dtype=self.model.dtype
         )
-        if self.config.quant.method == "int8":
+        if self.config.quant.method in ("int8", "fp8_e4m3"):
             self.params = self._quantize_params(self.params)
         logger.info("weights updated from %s", self.config.model.model_path)
 
@@ -548,6 +1112,33 @@ class ModelRunner:
         nb = self.max_blocks_per_seq
         key = jax.random.key(0)
         for s_pad in sc.prefill_token_buckets:
+            if self.supports_batched_prefill:
+                binp = BatchedPrefillInput(
+                    token_ids=np.zeros((1, s_pad), np.int32),
+                    positions=np.zeros((1, s_pad), np.int32),
+                    slot_mapping=np.zeros((1, s_pad), np.int32),
+                    block_tables=np.zeros((1, nb), np.int32),
+                    kv_lens=np.zeros(1, np.int32),
+                    q_offsets=np.zeros(1, np.int32),
+                    logits_idx=np.zeros(1, np.int32),
+                    sample_slots=np.full(1, self.trash_slot, np.int32),
+                    hist_slots=np.full(1, self.trash_slot, np.int32),
+                )
+                si = SamplingInput(
+                    temperature=np.zeros(1, np.float32),
+                    top_k=np.zeros(1, np.int32),
+                    top_p=np.ones(1, np.float32),
+                    key=key,
+                )
+                (
+                    self.k_cache, self.v_cache, tokens, _,
+                    self.last_tokens, self.token_hist, _counts,
+                ) = self._batched_prefill_fn(
+                    self.params, self.k_cache, self.v_cache,
+                    self._put(binp), self._put(si), self.last_tokens,
+                    self.token_hist,
+                )
+                continue
             inp = PrefillInput(
                 token_ids=np.zeros(s_pad, np.int32),
                 positions=np.zeros(s_pad, np.int32),
@@ -563,11 +1154,13 @@ class ModelRunner:
                 top_p=np.ones(1, np.float32),
                 key=key,
             )
-            self.k_cache, self.v_cache, tokens, _, self.last_tokens = (
-                self._prefill_fn(
-                    self.params, self.k_cache, self.v_cache, self._put(inp),
-                    self._put(si), self.last_tokens, np.int32(self.trash_slot),
-                )
+            (
+                self.k_cache, self.v_cache, tokens, _, self.last_tokens,
+                self.token_hist,
+            ) = self._prefill_fn(
+                self.params, self.k_cache, self.v_cache, self._put(inp),
+                self._put(si), self.last_tokens, self.token_hist,
+                np.int32(self.trash_slot), np.int32(self.trash_slot),
             )
         for b_pad in sc.decode_batch_buckets:
             inp = DecodeInput(
@@ -583,11 +1176,12 @@ class ModelRunner:
                 top_p=np.ones(b_pad, np.float32),
                 key=key,
             )
-            self.k_cache, self.v_cache, tokens, _, self.last_tokens = (
-                self._decode_fn(
-                    self.params, self.k_cache, self.v_cache, self._put(inp),
-                    self._put(si), self.last_tokens,
-                )
+            (
+                self.k_cache, self.v_cache, tokens, _, self.last_tokens,
+                self.token_hist, _counts,
+            ) = self._decode_fn(
+                self.params, self.k_cache, self.v_cache, self._put(inp),
+                self._put(si), self.last_tokens, self.token_hist,
             )
         jax.block_until_ready(tokens)
         dt = time.perf_counter() - t0

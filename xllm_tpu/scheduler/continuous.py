@@ -107,6 +107,12 @@ class ContinuousScheduler:
             if cap is not None:
                 budget = min(budget, max(cap, self.block_manager.block_size))
 
+        # admission anti-starvation: when requests are waiting, reserve one
+        # page of budget so a stream of long running prefills cannot starve
+        # admissions forever (reference bounds this with per-step handling
+        # budgets, continuous_scheduler.cpp:390 prefill loop)
+        reserve = self.block_manager.block_size if self.waiting else 0
+
         # 1. continue chunked prefills of already-running sequences
         #    (reference handle_prefill_requests, continuous_scheduler.cpp:390)
         for req in self.running:
@@ -115,9 +121,9 @@ class ContinuousScheduler:
                     continue
                 if seq.has_unfixed_tokens:
                     continue  # resumed-preempted seq awaiting async fixup
-                if budget <= 0:
+                if budget - reserve <= 0:
                     break
-                n = self._chunk_tokens(seq, budget)
+                n = self._chunk_tokens(seq, budget - reserve)
                 if n <= 0:
                     continue
                 if not self.block_manager.allocate(seq, n):
