@@ -83,7 +83,7 @@ def _make_engine(quant: str = "") -> LLMEngine:
         model=MODEL,
         # explicit block count: the tunnel hides memory_stats, and the
         # fallback pool would be too small for this batch
-        cache=CacheConfig(block_size=64, num_blocks=1800),
+        cache=CacheConfig(block_size=64, num_blocks=1100),
         scheduler=SchedulerConfig(
             max_seqs_per_batch=BATCH,
             max_tokens_per_batch=8192,
@@ -166,7 +166,9 @@ def main() -> None:
     bf16 = _decode_phase(engine, "bf16")
     prefill_tok_s = _prefill_phase(engine)
 
-    # int8 weight-only engine (new compile set)
+    # int8 weight-only engine (new compile set); release the bf16
+    # engine's HBM first (weights + KV pool)
+    engine.runner.sleep(2)
     del engine
     engine8 = _make_engine("int8")
     int8 = _decode_phase(engine8, "int8")

@@ -73,9 +73,11 @@ def main() -> None:
     from xllm_tpu.ops.pallas.decode_attention import (
         paged_decode_attention_write_tpu,
         paged_decode_attention_write_v3_tpu,
+        paged_decode_attention_write_v4_tpu,
     )
 
     for name, fn in (
+        ("attn_v4", paged_decode_attention_write_v4_tpu),
         ("attn_v3", paged_decode_attention_write_v3_tpu),
         ("attn_v1", paged_decode_attention_write_tpu),
     ):

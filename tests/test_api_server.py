@@ -308,3 +308,171 @@ def test_chat_stream_reasoning_split(tmp_path_factory):
     loop.run_until_complete(go())
     loop.run_until_complete(client.close())
     loop.close()
+
+
+def test_rerank_endpoint(server_client):
+    client, loop = server_client
+
+    async def go():
+        r = await client.post(
+            "/v1/rerank",
+            json={
+                "query": "w3 w4 w5",
+                "documents": ["w3 w4 w5 w6", "w90 w91 w92", "w3 w4"],
+                "top_n": 2,
+                "return_documents": True,
+            },
+        )
+        assert r.status == 200, await r.text()
+        data = await r.json()
+        assert len(data["results"]) == 2
+        assert all("relevance_score" in x for x in data["results"])
+        assert data["results"][0]["relevance_score"] >= data["results"][1][
+            "relevance_score"
+        ]
+        assert "document" in data["results"][0]
+
+        r = await client.post("/v1/rerank", json={"query": "w1"})
+        assert r.status == 400
+
+    loop.run_until_complete(go())
+
+
+def test_anthropic_messages(server_client):
+    client, loop = server_client
+
+    async def go():
+        # the ChatML fallback template kicks in for templateless models
+        r = await client.post(
+            "/v1/messages",
+            json={
+                "model": "tiny",
+                "max_tokens": 8,
+                "messages": [{"role": "user", "content": "w3 w4"}],
+            },
+        )
+        assert r.status == 200, await r.text()
+        data = await r.json()
+        assert data["type"] == "message"
+        assert data["role"] == "assistant"
+        assert data["content"][0]["type"] == "text"
+
+    loop.run_until_complete(go())
+
+
+def test_anthropic_messages_with_template(tmp_path_factory):
+    """Full anthropic flow against a fixture WITH a ChatML template."""
+    import asyncio as aio
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from xllm_tpu.server.api import APIServer
+
+    model_dir = _make_tokenizer_dir(tmp_path_factory.mktemp("amodel"))
+    with open(os.path.join(model_dir, "tokenizer_config.json"), "w") as f:
+        json.dump(
+            {
+                "eos_token": "w0",
+                "chat_template": (
+                    "{% for m in messages %}{{ m['content'] }} "
+                    "{% endfor %}"
+                ),
+            },
+            f,
+        )
+    api = APIServer(_config(model_dir), served_model_name="tiny")
+    loop = aio.new_event_loop()
+    client = TestClient(TestServer(api.app()), loop=loop)
+    loop.run_until_complete(client.start_server())
+    try:
+
+        async def go():
+            r = await client.post(
+                "/v1/messages",
+                json={
+                    "model": "tiny",
+                    "max_tokens": 6,
+                    "system": "w9 w9",
+                    "messages": [
+                        {"role": "user", "content": [
+                            {"type": "text", "text": "w3 w4 w5"}
+                        ]}
+                    ],
+                    "ignore_eos": True,
+                },
+            )
+            assert r.status == 200, await r.text()
+            data = await r.json()
+            assert data["type"] == "message"
+            assert data["content"][0]["type"] == "text"
+            assert data["stop_reason"] in ("end_turn", "max_tokens")
+
+            # streaming
+            r = await client.post(
+                "/v1/messages",
+                json={
+                    "model": "tiny",
+                    "max_tokens": 5,
+                    "stream": True,
+                    "messages": [{"role": "user", "content": "w3 w4"}],
+                },
+            )
+            assert r.status == 200
+            body = (await r.read()).decode()
+            assert "message_start" in body
+            assert "content_block_delta" in body
+            assert "message_stop" in body
+
+        loop.run_until_complete(go())
+    finally:
+        loop.run_until_complete(client.close())
+        loop.close()
+
+
+def test_chat_image_url_extraction():
+    """OpenAI multi-part image_url content: base64 data URLs decode to
+    numpy images and are replaced by vision placeholder markup; non-data
+    URLs are rejected (zero-egress server)."""
+    import base64
+    import io
+    import types
+
+    import numpy as np
+    import pytest
+    from PIL import Image
+
+    from xllm_tpu.server.api import APIServer
+
+    buf = io.BytesIO()
+    Image.fromarray(
+        np.zeros((28, 28, 3), np.uint8)
+    ).save(buf, format="PNG")
+    url = "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
+
+    srv = types.SimpleNamespace(
+        config=types.SimpleNamespace(
+            model=types.SimpleNamespace(
+                image_token_id=-1, vision_start_token_id=-1
+            )
+        ),
+        engine=types.SimpleNamespace(tokenizer=None),
+    )
+    srv._image_placeholder = lambda: APIServer._image_placeholder(srv)
+    messages = [
+        {"role": "user", "content": [
+            {"type": "text", "text": "look: "},
+            {"type": "image_url", "image_url": {"url": url}},
+            {"type": "text", "text": " ok?"},
+        ]},
+    ]
+    norm, images = APIServer._extract_images(srv, messages)
+    assert len(images) == 1 and images[0].shape == (28, 28, 3)
+    assert norm[0]["content"] == "look: <|vision_start|><|image_pad|> ok?"
+
+    with pytest.raises(ValueError, match="data"):
+        APIServer._extract_images(srv, [
+            {"role": "user", "content": [
+                {"type": "image_url",
+                 "image_url": {"url": "http://example.com/x.png"}},
+            ]},
+        ])

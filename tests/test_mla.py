@@ -175,3 +175,117 @@ def test_deepseek_chunked_equals_single_shot():
         eng.add_request(prompt_token_ids=list(prompt), sampling_params=sp)
         outs.append(eng.generate_all()[0].outputs[0].token_ids)
     assert outs[0] == outs[1]
+
+
+def test_mla_batched_prefill_kernel_matches_ref():
+    """Interpret-mode: batched latent prefill kernel + writers == vmap'd
+    oracle (the dense batched kernels' MLA twin)."""
+    import jax
+    import jax.numpy as jnp
+
+    from xllm_tpu.ops import mla_ref
+    from xllm_tpu.ops.mla import _write_latent_scatter
+    from xllm_tpu.ops.pallas.kv_write import (
+        latent_write_prefill_batched_tpu,
+        latent_write_rmw_batched_tpu,
+    )
+    from xllm_tpu.ops.pallas.mla_attention import (
+        mla_prefill_attention_batched_tpu,
+    )
+
+    rng = np.random.default_rng(7)
+    L, NB, bs, Dk, DV, H = 2, 32, 16, 64, 48, 4
+    s = 32
+    specs = [(0, 32), (16, 48), (0, 9), (0, 0)]  # incl. padded row
+    p = len(specs)
+    cache = jnp.asarray(rng.standard_normal((L, NB, 1, bs, Dk)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((p, s, H, Dk)), jnp.float32)
+    lat = jnp.asarray(rng.standard_normal((p, s, Dk)), jnp.float32)
+    bt = np.zeros((p, 8), np.int32)
+    nxt = 1
+    for i, (qo, kl) in enumerate(specs):
+        for j in range((max(kl, 1) + bs - 1) // bs):
+            bt[i, j] = nxt
+            nxt += 1
+    q_offsets = jnp.asarray([qo for qo, _ in specs], jnp.int32)
+    kv_lens = jnp.asarray([kl for _, kl in specs], jnp.int32)
+    ntoks = kv_lens - q_offsets
+    layer_idx = jnp.int32(1)
+    scale = Dk**-0.5
+
+    # oracle: scatter writes + per-row ref
+    slots = np.zeros((p, s), np.int32)
+    for i, (qo, kl) in enumerate(specs):
+        for j in range(kl - qo):
+            pos = qo + j
+            slots[i, j] = bt[i, pos // bs] * bs + pos % bs
+    valid_rows = [(i, kl - qo) for i, (qo, kl) in enumerate(specs) if kl > 0]
+    c_ref = cache
+    for i, n in valid_rows:
+        c_ref = _write_latent_scatter(
+            c_ref, layer_idx, lat[i, :n], jnp.asarray(slots[i, :n])
+        )
+
+    c_out = latent_write_prefill_batched_tpu(
+        lat, cache, layer_idx, jnp.asarray(bt), q_offsets, ntoks,
+        interpret=True,
+    )
+    for i, n in valid_rows:
+        qo = specs[i][0]
+        for j in range(n):
+            pos = qo + j
+            blk, off = int(bt[i, pos // bs]), pos % bs
+            np.testing.assert_allclose(
+                np.asarray(c_out[1, blk, 0, off]),
+                np.asarray(c_ref[1, blk, 0, off]),
+                rtol=1e-6, err_msg=f"row {i} tok {j}",
+            )
+
+    out = mla_prefill_attention_batched_tpu(
+        q, c_ref, layer_idx, jnp.asarray(bt), q_offsets, kv_lens, scale,
+        DV, interpret=True,
+    )
+    for i, (qo, kl) in enumerate(specs):
+        if kl == 0:
+            continue
+        ref = mla_ref.mla_prefill_ref(
+            q[i], c_ref, layer_idx, jnp.asarray(bt[i]), jnp.int32(qo),
+            jnp.int32(kl), scale, DV,
+        )
+        valid = min(s, kl - qo)
+        np.testing.assert_allclose(
+            np.asarray(out[i])[:valid], np.asarray(ref)[:valid],
+            rtol=2e-5, atol=2e-5, err_msg=f"row {i}",
+        )
+
+    # RMW batched writer on small chunks
+    s2 = 5
+    lat2 = jnp.asarray(rng.standard_normal((p, s2, Dk)), jnp.float32)
+    specs2 = [(13, 18), (3, 8), (30, 33), (0, 0)]
+    bt2 = np.zeros((p, 8), np.int32)
+    nxt = 1
+    for i, (qo, kl) in enumerate(specs2):
+        for j in range((max(kl, 1) + bs - 1) // bs):
+            bt2[i, j] = nxt
+            nxt += 1
+    qo2 = jnp.asarray([a for a, _ in specs2], jnp.int32)
+    kl2 = jnp.asarray([b for _, b in specs2], jnp.int32)
+    c_ref2 = cache
+    for i, (a, b) in enumerate(specs2):
+        n = b - a
+        if n <= 0:
+            continue
+        sl = np.asarray(
+            [int(bt2[i, (a + j) // bs]) * bs + (a + j) % bs for j in range(n)],
+            np.int32,
+        )
+        c_ref2 = _write_latent_scatter(
+            c_ref2, layer_idx, lat2[i, :n], jnp.asarray(sl)
+        )
+    c_out2 = latent_write_rmw_batched_tpu(
+        lat2, cache, layer_idx, jnp.asarray(bt2), qo2, kl2 - qo2,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(c_out2), np.asarray(c_ref2), rtol=1e-6
+    )

@@ -122,3 +122,45 @@ def test_mtp_head_unit_draft_shapes():
     )
     assert drafts.shape == (b, k)
     assert drafts.dtype == jnp.int32
+
+
+def test_mtp_on_mla_family_greedy_equals_baseline():
+    """DeepSeek-style MTP: MLA target + draft head, spec on == spec off
+    (the reference's flagship pairing, mtp_worker_impl.h:34 +
+    deepseek v3 MTP weights)."""
+    from xllm_tpu.config import (
+        CacheConfig,
+        EngineConfig,
+        ModelConfig,
+        SchedulerConfig,
+        SpeculativeConfig,
+    )
+
+    def cfg(spec):
+        return EngineConfig(
+            model=ModelConfig(
+                model_type="deepseek_v2", dtype="float32", vocab_size=211,
+                hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+                num_attention_heads=4, num_key_value_heads=4, head_dim=16,
+                q_lora_rank=32, kv_lora_rank=32, qk_nope_head_dim=16,
+                qk_rope_head_dim=8, v_head_dim=16,
+                max_position_embeddings=256,
+            ),
+            cache=CacheConfig(num_blocks=64, block_size=8),
+            scheduler=SchedulerConfig(
+                max_seqs_per_batch=2, max_tokens_per_chunk_for_prefill=32,
+                max_model_len=256, decode_batch_buckets=[2],
+                prefill_token_buckets=[8, 32], prefill_row_buckets=[1, 2],
+            ),
+            speculative=(
+                SpeculativeConfig(method="mtp", num_speculative_tokens=2)
+                if spec
+                else SpeculativeConfig()
+            ),
+        )
+
+    rng = np.random.default_rng(17)
+    prompts = [rng.integers(1, 200, size=n).tolist() for n in (11, 23)]
+    _, base = _generate(cfg(False), prompts, max_tokens=14)
+    _, spec = _generate(cfg(True), prompts, max_tokens=14)
+    assert spec == base

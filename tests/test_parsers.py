@@ -131,3 +131,56 @@ def test_partial_json_property_random_prefixes():
         assert v is None or isinstance(v, (dict, list, str, int, float))
     v, _ = parse_partial_json(doc)
     assert v == json.loads(doc)
+
+
+def test_deepseek_v3_detector():
+    from xllm_tpu.parser.function_call import get_detector
+
+    text = (
+        "let me check｜x"  # noise
+        "<｜tool▁calls▁begin｜>"
+        "<｜tool▁call▁begin｜>function"
+        "<｜tool▁sep｜>get_weather\n"
+        '```json\n{"city": "Beijing"}\n```'
+        "<｜tool▁call▁end｜>"
+        "<｜tool▁calls▁end｜>"
+    )
+    res = get_detector("deepseek_v3").parse(text)
+    assert len(res.tool_calls) == 1
+    assert res.tool_calls[0].name == "get_weather"
+    import json as _json
+
+    assert _json.loads(res.tool_calls[0].arguments) == {"city": "Beijing"}
+    assert "tool" not in res.content
+
+
+def test_glm45_detector():
+    from xllm_tpu.parser.function_call import get_detector
+
+    text = (
+        "<tool_call>get_weather\n"
+        "<arg_key>city</arg_key>\n<arg_value>Beijing</arg_value>\n"
+        "<arg_key>days</arg_key>\n<arg_value>3</arg_value>\n"
+        "</tool_call>"
+    )
+    res = get_detector("glm45").parse(text)
+    assert len(res.tool_calls) == 1
+    import json as _json
+
+    args = _json.loads(res.tool_calls[0].arguments)
+    assert args == {"city": "Beijing", "days": 3}
+
+
+def test_kimi_k2_detector():
+    from xllm_tpu.parser.function_call import get_detector
+
+    text = (
+        "thinking...<|tool_calls_section_begin|>"
+        "<|tool_call_begin|>functions.search:0"
+        '<|tool_call_argument_begin|>{"q": "tpu"}<|tool_call_end|>'
+        "<|tool_calls_section_end|>done"
+    )
+    res = get_detector("kimi_k2").parse(text)
+    assert len(res.tool_calls) == 1
+    assert res.tool_calls[0].name == "search"
+    assert "thinking" in res.content

@@ -151,3 +151,83 @@ def test_quantized_logits_error_bound(method, family):
     rel = np.abs(lb - lq).mean() / (np.abs(lb).mean() + 1e-9)
     bound = 0.08 if method == "int8" else 0.05
     assert rel < bound, f"{family}/{method}: rel logit err {rel:.4f}"
+
+
+def test_fp8_kv_cache_greedy_close_to_bf16():
+    """Quantized (fp8_e4m3) KV cache: engine runs end-to-end and greedy
+    outputs stay close to the full-precision cache (reference quantized
+    KV variants, kv_cache_impl.h:29)."""
+    import numpy as np
+
+    from xllm_tpu.config import (
+        CacheConfig,
+        EngineConfig,
+        ModelConfig,
+        SchedulerConfig,
+    )
+    from xllm_tpu.engine import LLMEngine
+    from xllm_tpu.framework.sampling_params import SamplingParams
+
+    mc = ModelConfig(
+        model_type="qwen3", dtype="float32", vocab_size=256,
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        qk_norm=True, max_position_embeddings=128,
+    )
+
+    def run(kv_dtype):
+        cfg = EngineConfig(
+            model=mc,
+            cache=CacheConfig(num_blocks=32, block_size=8,
+                              kv_cache_dtype=kv_dtype),
+            scheduler=SchedulerConfig(
+                max_seqs_per_batch=2, max_model_len=128,
+                decode_batch_buckets=[2], prefill_token_buckets=[16],
+                prefill_row_buckets=[1, 2],
+            ),
+        )
+        eng = LLMEngine(cfg)
+        rng = np.random.default_rng(4)
+        eng.add_request(
+            prompt_token_ids=rng.integers(1, 255, size=11).tolist(),
+            sampling_params=SamplingParams(
+                temperature=0.0, max_tokens=12, ignore_eos=True
+            ),
+            request_id="r0",
+        )
+        return eng.generate_all(timeout_s=120)[0].outputs[0].token_ids
+
+    base = run("auto")
+    fp8 = run("fp8_e4m3")
+    assert len(fp8) == 12
+    # early tokens should agree before tiny quant errors compound
+    agree = sum(a == b for a, b in zip(base[:6], fp8[:6]))
+    assert agree >= 4, (base, fp8)
+
+
+@pytest.mark.parametrize("m,k,n", [(8, 64, 256), (128, 128, 512)])
+def test_quant_matmul_v2_matches_reference(m, k, n):
+    """Split-DMA streaming matmul (v2) == dequantized XLA matmul."""
+    from xllm_tpu.ops.pallas.quant_matmul import (
+        quant_matmul_fp8_v2,
+        quant_matmul_int8_v2,
+    )
+    from xllm_tpu.ops.quant import quantize_fp8, quantize_int8
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((m, k)) * 0.3, jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, n)) * 0.05, jnp.float32)
+
+    wq, s = quantize_int8(w)
+    ref = jnp.dot(x, wq.astype(jnp.float32) * s[None, :])
+    out = quant_matmul_int8_v2(x, wq, s, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=5e-2, atol=5e-2
+    )
+
+    wq8, s8 = quantize_fp8(w)
+    ref8 = jnp.dot(x, wq8.astype(jnp.float32) * s8[None, :])
+    out8 = quant_matmul_fp8_v2(x, wq8, s8, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out8), np.asarray(ref8), rtol=5e-2, atol=5e-2
+    )

@@ -195,3 +195,57 @@ def test_admission_not_starved_by_long_prefills():
             admitted = True
             break
     assert admitted, "short request starved behind long running prefill"
+
+
+def test_priority_and_online_offline_queue():
+    """Reference RequestPriorityQueue + online/offline split
+    (request_priority_queue.h, continuous_scheduler.cpp:390-612):
+    online requests are admitted before earlier-arrived offline ones,
+    higher priority first, and offline running requests are the first
+    preemption victims under decode OOM."""
+    from xllm_tpu.framework.request import Request
+    from xllm_tpu.framework.sampling_params import SamplingParams
+
+    sched, _bm = make_scheduler(num_blocks=16, block_size=4, chunk=24, max_seqs=2)
+
+    def req(rid, n, priority=0, offline=False):
+        r = Request(
+            request_id=rid,
+            prompt_token_ids=list(range(1, n + 1)),
+            sampling_params=SamplingParams(max_tokens=16, ignore_eos=True),
+            max_model_len=64,
+            priority=priority,
+            offline=offline,
+        )
+        return r
+
+    # arrival order: offline first, then online, then high-priority online
+    sched.add_request(req("off-1", 8, offline=True))
+    sched.add_request(req("on-1", 8))
+    sched.add_request(req("hi-1", 8, priority=5))
+    order = [r.request_id for r in sched.waiting]
+    assert order == ["hi-1", "on-1", "off-1"]
+
+    # max_seqs=2: the two online requests are admitted, offline waits
+    out = sched.schedule()
+    admitted = {s.request_id for s, _ in out.prefill_items}
+    assert admitted == {"hi-1", "on-1"}
+    complete_prefill(out)
+
+    # finish hi-1 quickly so offline can be admitted next step
+    for r in list(sched.running):
+        if r.request_id == "hi-1":
+            for s in r.sequences:
+                from xllm_tpu.framework.request import FinishReason
+
+                s.finish(FinishReason.LENGTH)
+    sched.free_finished()
+    out = sched.schedule()
+    assert {s.request_id for s, _ in out.prefill_items} == {"off-1"}
+    complete_prefill(out)
+
+    # decode OOM with both running: the OFFLINE request is the victim even
+    # though it arrived first
+    sched.block_manager.free_lru.clear()  # exhaust the pool artificially
+    out = sched.schedule()
+    assert [r.request_id for r in out.preempted_requests] == ["off-1"]

@@ -12,3 +12,18 @@ Brand-new implementation of the capabilities of jd-opensource/xllm
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("XLLM_JIT_CACHE", "1") == "1":
+    # Persistent XLA compilation cache: TPU compiles are remote and slow
+    # (20-60s/shape); caching serialized executables across processes makes
+    # engine restarts / benches / verify drives near-instant on warm shapes.
+    # (Counterpart of the reference's on-disk graph/executable reuse.)
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("XLLM_JIT_CACHE_DIR", "/tmp/xllm_jit_cache"),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

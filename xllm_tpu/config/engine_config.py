@@ -80,6 +80,12 @@ class ModelConfig:
     n_shared_experts: int = 0
     routed_scaling_factor: float = 1.0
     eos_token_ids: list[int] = field(default_factory=list)
+    # VLM (qwen2-vl family): vision tower config dict + M-RoPE sections
+    # and the image placeholder token (reference vlm model registry rows)
+    vision: dict | None = None
+    mrope_section: list[int] = field(default_factory=list)
+    image_token_id: int = -1
+    vision_start_token_id: int = -1
 
     def __post_init__(self) -> None:
         if self.head_dim == 0:
@@ -179,6 +185,11 @@ class ParallelConfig:
     tp_size: int = 1
     ep_size: int = 1
     cp_size: int = 1
+    # multi-host (reference DistManager multi-node world,
+    # dist_manager.cpp:145; jax.distributed is the rendezvous)
+    num_nodes: int = 1
+    node_rank: int = 0
+    coordinator_address: str = ""  # host:port of process 0
 
     @property
     def world_size(self) -> int:

@@ -124,6 +124,75 @@ class PrefillInstance:
         return handoff
 
 
+class AsyncPrefillInstance:
+    """Non-blocking prefill node: a queue of in-flight prompts sharing the
+    continuous-batching engine, each handed off as soon as its first token
+    lands (reference DisaggPDScheduler dispatch queues,
+    disagg_pd_scheduler.h:37-100 — the engine loop never stalls on one
+    request, and KV extraction overlaps serving via the async gather).
+    """
+
+    def __init__(self, engine: LLMEngine):
+        self.engine = engine
+        self.engine.overlap_depth = 0  # first token must land promptly
+        # request_id -> (Request, on_ready callback)
+        self._inflight: dict[str, tuple] = {}
+        # request_id -> (handle_k, handle_v, n, meta) awaiting host copy
+        self._extracting: dict[str, tuple] = {}
+
+    def submit(
+        self,
+        prompt_token_ids: list[int],
+        sampling_params: SamplingParams,
+        on_ready,
+        request_id: str | None = None,
+    ) -> str:
+        request_id = request_id or f"pd-{uuid.uuid4().hex[:16]}"
+        req = self.engine.add_request(
+            prompt_token_ids=list(prompt_token_ids),
+            sampling_params=sampling_params,
+            request_id=request_id,
+        )
+        self._inflight[request_id] = (req, on_ready)
+        return request_id
+
+    @property
+    def busy(self) -> bool:
+        return bool(self._inflight) or bool(self._extracting)
+
+    def pump(self) -> None:
+        """One engine step + handoff any requests whose first token landed."""
+        eng = self.engine
+        if eng.has_unfinished():
+            eng.step()
+        for rid in list(self._inflight):
+            req, cb = self._inflight[rid]
+            seq = req.sequences[0]
+            if seq.num_fixed_tokens <= seq.num_prompt_tokens:
+                continue
+            # first token fixed: start the overlapped KV extraction
+            k, v, n = eng.runner.extract_blocks_async(seq.block_ids)
+            first = seq.token_ids[seq.num_prompt_tokens]
+            meta = (list(seq.prompt_token_ids), int(first),
+                    seq.sampling_params, cb)
+            self._extracting[rid] = (k, v, n, meta)
+            del self._inflight[rid]
+            eng.abort_request(rid)  # prefill-side blocks free after gather
+        for rid in list(self._extracting):
+            k, v, n, (prompt, first, sp, cb) = self._extracting[rid]
+            # materialize (the async copy has been landing during serving)
+            k_np, v_np = np.asarray(k)[:n], np.asarray(v)[:n]
+            del self._extracting[rid]
+            cb(PrefillHandoff(
+                request_id=rid,
+                prompt_token_ids=prompt,
+                first_token=first,
+                sampling_params=sp,
+                k_blocks=k_np,
+                v_blocks=v_np,
+            ))
+
+
 class DecodeInstance:
     """Decode-role engine: accepts handoffs and continues generation."""
 

@@ -52,6 +52,8 @@ class _Pending:
     tokens: jax.Array  # int32 device
     logprobs: jax.Array  # f32 device
     rows: list[int] | None = None  # seqs[j] <- tokens[rows[j]] (None = 1:1)
+    top_ids: jax.Array | None = None  # [N, K] alternatives (top_logprobs)
+    top_lps: jax.Array | None = None
 
 
 class LLMEngine:
@@ -78,6 +80,8 @@ class LLMEngine:
         self.scheduler = ContinuousScheduler(config.scheduler, self.block_manager)
         self._decoders: dict[int, IncrementalDecoder] = {}
         self._active_requests: dict[str, Request] = {}
+        self._image_processor = None
+        self._encoder_cache = None
         # async schedule-overlap state
         self._pending: deque[_Pending] = deque()
         self.overlap_depth = (
@@ -103,6 +107,9 @@ class LLMEngine:
             self.spec_model_based = True
             self.overlap_depth = 0
         self._proposers: dict[int, object] = {}
+        from xllm_tpu.framework.beam import BeamRunner
+
+        self._beam = BeamRunner(self)
         # EPLB: engine-driven load window + rebalance trigger (reference
         # EplbManager hooks, llm_engine.cpp:942-945)
         self._eplb = None
@@ -184,6 +191,9 @@ class LLMEngine:
         sampling_params: SamplingParams | None = None,
         request_id: str | None = None,
         embed: bool = False,
+        priority: int = 0,
+        offline: bool = False,
+        images: list | None = None,
     ) -> Request:
         if prompt_token_ids is None:
             if prompt is None or self.tokenizer is None:
@@ -191,6 +201,13 @@ class LLMEngine:
             prompt_token_ids = self.tokenizer.encode(prompt)
         if not prompt_token_ids:
             raise ValueError("prompt must contain at least one token")
+        mm_state = None
+        if images:
+            if not getattr(self.runner.model, "is_vlm", False):
+                raise ValueError("this model does not accept images")
+            prompt_token_ids, mm_state = self._process_images(
+                prompt_token_ids, images
+            )
         max_len = self.config.scheduler.max_model_len
         if len(prompt_token_ids) + 1 > max_len:
             # reference rejects over-context prompts at intake
@@ -200,10 +217,12 @@ class LLMEngine:
                 f"{max_len} (need room for at least one generated token)"
             )
         sampling_params = sampling_params or SamplingParams()
-        if sampling_params.use_beam_search:
-            # explicit rejection beats silently-ignored params (VERDICT r1
-            # weak #4); beam search lands as an engine-level feature
-            raise ValueError("use_beam_search is not supported yet")
+        if sampling_params.use_beam_search and (
+            sampling_params.repetition_penalty != 1.0
+            or sampling_params.frequency_penalty != 0.0
+            or sampling_params.presence_penalty != 0.0
+        ):
+            raise ValueError("beam search with penalties is not supported")
         if embed:
             sampling_params = SamplingParams(max_tokens=1)
         request_id = request_id or f"req-{uuid.uuid4().hex[:16]}"
@@ -215,7 +234,23 @@ class LLMEngine:
             max_model_len=self.config.scheduler.max_model_len,
             prompt=prompt or "",
             embed=embed,
+            priority=priority,
+            offline=offline,
         )
+        if mm_state is not None:
+            embeds, positions, mrope, offset = mm_state
+            for seq in req.sequences:
+                seq.mm_embeds = embeds
+                seq.mm_positions = positions
+                seq.mrope_positions = mrope
+                seq.rope_offset = offset
+        if sampling_params.use_beam_search:
+            # beam requests: only sequences[0] prefills; the rest are a
+            # fork pool driven by the BeamRunner (beam_searcher.cpp:21)
+            for seq in req.sequences:
+                seq.beam_request = True
+            for seq in req.sequences[1:]:
+                seq.on_hold = True
         self.scheduler.add_request(req)
         self._active_requests[request_id] = req
         if self.tokenizer is not None:
@@ -224,6 +259,73 @@ class LLMEngine:
                     self.tokenizer, seq.num_prompt_tokens
                 )
         return req
+
+    def _process_images(self, prompt_token_ids, images):
+        """Vision intake (reference VLM master prompt processing +
+        encoder path, vlm_master.h:44): preprocess each image, encode
+        through the tower (with the content-hash EncoderCache), expand
+        the image placeholder tokens, compute M-RoPE positions."""
+        import numpy as np
+
+        from xllm_tpu.processors.image import ImageProcessor
+
+        model = self.runner.model
+        if self._image_processor is None:
+            vc = model.vision_cfg
+            self._image_processor = ImageProcessor(
+                patch_size=vc.patch_size,
+                merge_size=vc.spatial_merge_size,
+                temporal_patch_size=vc.temporal_patch_size,
+            )
+            from xllm_tpu.framework.encoder_cache import EncoderCache
+
+            self._encoder_cache = EncoderCache()
+        proc = self._image_processor
+        img_tok = model.image_token_id
+        if img_tok < 0:
+            raise ValueError("model config lacks image_token_id")
+        placeholders = [
+            i for i, t in enumerate(prompt_token_ids) if t == img_tok
+        ]
+        if len(placeholders) != len(images):
+            raise ValueError(
+                f"{len(images)} images but {len(placeholders)} image tokens"
+            )
+        grids, all_embeds = [], []
+        for img in images:
+            img = np.asarray(img)
+            patches, grid = proc(img)
+            key = proc.content_hash(patches)
+            emb = self._encoder_cache.get(key)
+            if emb is None:
+                emb = self.runner.encode_image(patches, grid)
+                self._encoder_cache.put(key, emb)
+            grids.append(grid)
+            all_embeds.append(emb)
+        # expand each placeholder to its image's LLM-token count
+        out_tokens: list[int] = []
+        mm_positions: list[int] = []
+        img_i = 0
+        for t in prompt_token_ids:
+            if t == img_tok:
+                n = proc.num_llm_tokens(grids[img_i])
+                mm_positions.extend(
+                    range(len(out_tokens), len(out_tokens) + n)
+                )
+                out_tokens.extend([img_tok] * n)
+                img_i += 1
+            else:
+                out_tokens.append(t)
+        from xllm_tpu.models.qwen2_vl import get_rope_index
+
+        mrope, offset = get_rope_index(
+            out_tokens, img_tok, grids,
+            merge_size=model.vision_cfg.spatial_merge_size,
+        )
+        embeds = np.concatenate(all_embeds, axis=0)
+        return out_tokens, (
+            embeds, np.asarray(mm_positions, np.int64), mrope, offset
+        )
 
     def abort_request(self, request_id: str) -> None:
         req = self._active_requests.pop(request_id, None)
@@ -296,8 +398,8 @@ class LLMEngine:
                 sc.prefill_row_buckets,
                 sc.max_tokens_per_batch,
             ):
-                tokens, logprobs, flags, rows = self.runner.run_prefill_batched(
-                    group
+                tokens, logprobs, flags, rows, tops = (
+                    self.runner.run_prefill_batched(group)
                 )
                 sampling_seqs, sample_rows = [], []
                 for i, (seq, n) in enumerate(group):
@@ -310,7 +412,8 @@ class LLMEngine:
                     tokens.copy_to_host_async()
                     logprobs.copy_to_host_async()
                     self._pending.append(
-                        _Pending(sampling_seqs, tokens, logprobs, sample_rows)
+                        _Pending(sampling_seqs, tokens, logprobs, sample_rows,
+                                 tops[0], tops[1])
                     )
 
         decode_seqs = out.decode_seqs
@@ -359,20 +462,36 @@ class LLMEngine:
         if decode_seqs:
             for seq in decode_seqs:
                 self._assign_slot(seq)
-            tokens, logprobs, rows = self.runner.run_decode(decode_seqs)
+            tokens, logprobs, rows, tops = self.runner.run_decode(decode_seqs)
             for seq in decode_seqs:
                 seq.num_computed_tokens += 1
                 seq.append_placeholder()
             tokens.copy_to_host_async()
             logprobs.copy_to_host_async()
             self._pending.append(
-                _Pending(list(decode_seqs), tokens, logprobs, rows)
+                _Pending(list(decode_seqs), tokens, logprobs, rows,
+                         tops[0], tops[1])
             )
 
         touched: list[Sequence] = list(verified) + embed_done
         depth = self.overlap_depth if not out.is_empty else 0
         while len(self._pending) > depth:
             touched.extend(self._process_pending(self._pending.popleft()))
+
+        # beam search: activate ready requests, advance active ones
+        # (reference BeamSearcher forward, beam_searcher.cpp:21)
+        for req in self.scheduler.running:
+            seq0 = req.sequences[0]
+            if (
+                getattr(seq0, "beam_request", False)
+                and req.request_id not in self._beam.states
+                and not seq0.is_finished
+                and seq0.num_generated_tokens >= 1
+                and not seq0.has_unfixed_tokens
+            ):
+                self._beam.start(req)
+        for req in self._beam.step_all():
+            touched.extend(req.sequences)
 
         for req in self.scheduler.free_finished():
             for seq in req.sequences:
@@ -490,17 +609,33 @@ class LLMEngine:
         """Fix up placeholders with arrived device tokens; run stop logic."""
         tokens = np.asarray(entry.tokens)
         logprobs = np.asarray(entry.logprobs)
+        top_ids = (
+            np.asarray(entry.top_ids) if entry.top_ids is not None else None
+        )
+        top_lps = (
+            np.asarray(entry.top_lps) if entry.top_lps is not None else None
+        )
         rows = entry.rows if entry.rows is not None else range(len(entry.seqs))
         touched = []
         for seq, row in zip(entry.seqs, rows):
             if seq.is_finished and not seq.has_unfixed_tokens:
                 continue  # overrun step of an already-stopped sequence
+            if top_ids is not None and seq.sampling_params.logprobs:
+                k = seq.sampling_params.logprobs
+                seq.output_top_logprobs.append(
+                    {
+                        int(t): float(lp)
+                        for t, lp in zip(top_ids[row][:k], top_lps[row][:k])
+                    }
+                )
             self._fixup_token(seq, int(tokens[row]), float(logprobs[row]))
             touched.append(seq)
         return touched
 
     def _fixup_token(self, seq: Sequence, token: int, logprob: float) -> None:
         seq.fixup_token(token, logprob)
+        if getattr(seq, "beam_request", False):
+            return  # the BeamRunner owns stopping + KV bookkeeping
         if not seq.is_finished:
             seq.maybe_finish(token, self.config.scheduler.max_model_len)
             # detokenize + stop-string scan (reference async_response_processor)
@@ -549,6 +684,11 @@ class LLMEngine:
                         logprobs=(
                             seq.output_logprobs
                             if seq.sampling_params.logprobs is not None
+                            else None
+                        ),
+                        top_logprobs=(
+                            seq.output_top_logprobs
+                            if seq.sampling_params.logprobs
                             else None
                         ),
                     )

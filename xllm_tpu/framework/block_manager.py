@@ -221,6 +221,17 @@ class BlockManager:
         bs = self.block_size
         return seq.block_ids[token_idx // bs] * bs + token_idx % bs
 
+    # ---- beam-search forking (reference beam_searcher.cpp:21) ----
+    def ref_blocks(self, global_ids: list[int]) -> None:
+        for b in global_ids:
+            self._ref_block(b - self.base)
+
+    def alloc_raw_block(self) -> int:
+        return self.base + self._pop_free_block()
+
+    def fork_blocks(self, parent: Sequence, child: Sequence):
+        return _fork_blocks_impl(self, parent.block_ids, child)
+
 
 class BlockManagerPool:
     """Per-DP-rank block pools behind the single-manager interface.
@@ -307,3 +318,35 @@ class BlockManagerPool:
     def slot_for_token(self, seq: Sequence, token_idx: int) -> int:
         bs = self.block_size
         return seq.block_ids[token_idx // bs] * bs + token_idx % bs
+
+    def fork_blocks(self, parent: Sequence, child: Sequence):
+        child.dp_rank = parent.dp_rank
+        return self.managers[parent.dp_rank].fork_blocks(parent, child)
+
+
+def _fork_blocks_impl(mgr, parent_ids: list[int], child) -> tuple[int, int] | None:
+    """Shared fork logic: child shares the parent's blocks (ref++), except
+    a partial tail block which is copied into a fresh block. Returns the
+    (src, dst) GLOBAL block pair to copy on device, or None.
+
+    Counterpart of the reference BeamSearcher's block-copy step
+    (beam_searcher.cpp:21 + its device block-copy kernel): full blocks are
+    immutable once written, so sharing them is safe; only the tail can
+    still be written.
+    """
+    num_tokens = child.num_tokens
+    bs = mgr.block_size
+    tail_partial = num_tokens % bs != 0
+    shared = parent_ids[:-1] if tail_partial and parent_ids else parent_ids
+    copy_pair = None
+    if tail_partial and parent_ids:
+        if not mgr.has_capacity(1):
+            return None
+        mgr.ref_blocks(shared)
+        fresh = mgr.alloc_raw_block()
+        copy_pair = (parent_ids[-1], fresh)
+        child.block_ids = list(shared) + [fresh]
+    else:
+        mgr.ref_blocks(shared)
+        child.block_ids = list(shared)
+    return copy_pair

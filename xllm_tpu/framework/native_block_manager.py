@@ -158,3 +158,20 @@ class NativeBlockManager:
     def slot_for_token(self, seq: Sequence, token_idx: int) -> int:
         bs = self.block_size
         return seq.block_ids[token_idx // bs] * bs + token_idx % bs
+
+    # ---- beam-search forking (reference beam_searcher.cpp:21) ----
+    def ref_blocks(self, global_ids: list[int]) -> None:
+        for b in global_ids:
+            self._lib.bc_ref_block(self._h, int(b) - self.base)
+
+    def alloc_raw_block(self) -> int:
+        out = np.zeros(1, np.int32)
+        if self._lib.bc_allocate(self._h, 1, out) != 0:
+            raise RuntimeError("out of blocks")
+        self._drain_evictions()
+        return self.base + int(out[0])
+
+    def fork_blocks(self, parent: Sequence, child: Sequence):
+        from xllm_tpu.framework.block_manager import _fork_blocks_impl
+
+        return _fork_blocks_impl(self, parent.block_ids, child)

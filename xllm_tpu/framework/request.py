@@ -110,6 +110,17 @@ class Sequence:
         # as placeholders at dispatch and given their real value at fixup
         # once the device tokens arrive on host.
         self.slot_id = -1  # index into the runner's last_tokens ring
+        # beam search: held sequences are invisible to the scheduler until
+        # the BeamRunner activates them (reference SequencesGroup beams)
+        self.on_hold = False
+        self.beam_score = 0.0
+        # VLM state (reference MMData plumbing, mm_handler.h:31): merged
+        # vision embeddings + their token positions, M-RoPE position ids
+        # for the prompt, and the rope offset for generated tokens
+        self.mm_embeds = None  # np [n_mm, D]
+        self.mm_positions = None  # np [n_mm] ascending prompt positions
+        self.mrope_positions = None  # np [3, num_prompt_tokens]
+        self.rope_offset = 0
         # attention-DP rank owning this sequence's KV blocks (reference
         # per-DP-rank BlockManagerPool, block_manager_pool.h:27); assigned
         # by the pool on first allocation, -1 = unassigned
@@ -285,3 +296,4 @@ class SequenceOutput:
     token_ids: list[int]
     finish_reason: str | None = None
     logprobs: list[float] | None = None
+    top_logprobs: list[dict[int, float]] | None = None

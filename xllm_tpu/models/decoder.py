@@ -307,6 +307,10 @@ class DenseDecoderModel:
     # whether prefill_batched is available (MLA overrides to False until
     # its latent kernels grow a chunk-batched grid)
     supports_batched_prefill = True
+    # context parallel shards + permutes the prefill token dim — the XLA
+    # attention path handles arbitrary order and GSPMD's allgather-KV;
+    # the runner sets this when cp_size > 1 (parallel/cp.py)
+    force_ref_attention = False
 
     def prefill_batched(
         self,
@@ -337,12 +341,25 @@ class DenseDecoderModel:
                 q4, k4, v4, k_all, v_all, layer_idx, inp.slot_mapping,
                 inp.block_tables, inp.q_offsets, inp.kv_lens, self.scale,
                 window=self.window,
+                force_ref=self.force_ref_attention,
+                positions=inp.positions,
             )
             return out.reshape(p * s, *out.shape[2:]), k_all, v_all
 
         x = params["embed_tokens"][inp.token_ids.reshape(-1)]
+        if inp.extra_embeds is not None:
+            # VLM: image rows take the vision tower's merged embeddings
+            x = jnp.where(
+                inp.extra_mask.reshape(p * s)[:, None],
+                inp.extra_embeds.reshape(p * s, -1).astype(x.dtype),
+                x,
+            )
+        if inp.mrope_positions is not None:
+            pos = inp.mrope_positions.transpose(1, 0, 2).reshape(3, p * s)
+        else:
+            pos = inp.positions.reshape(-1)
         x, k_all, v_all = self._run_layers(
-            params, k_all, v_all, x, inp.positions.reshape(-1),
+            params, k_all, v_all, x, pos,
             inp.slot_mapping.reshape(-1), attn_fn,
         )
         x = x.reshape(p, s, -1)

@@ -115,7 +115,83 @@ def load_params(
     """Family-dispatching checkpoint loader (reference ModelRegistry loaders)."""
     if cfg.kv_lora_rank > 0:
         return load_mla_params(cfg, shardings, dtype)
-    return load_dense_params(cfg, shardings, dtype)
+    params = load_dense_params(cfg, shardings, dtype)
+    if cfg.vision is not None:
+        params["visual"] = load_vision_params(cfg, shardings, dtype)
+    return params
+
+
+def load_vision_params(
+    cfg: ModelConfig, shardings: dict | None = None, dtype=None
+) -> dict:
+    """qwen2-vl vision-tower weights (HF ``visual.*`` keys) into the
+    VisionEncoder stacked-block tree (models/vision.py init_params layout).
+
+    Counterpart of the reference's VLM checkpoint loading
+    (reference xllm/models/vlm/qwen2_vl.h weight mapping).
+    """
+    import jax.numpy as jnp
+
+    dt = dtype or jnp.bfloat16
+    reader = SafetensorsReader(cfg.model_path)
+    depth = int((cfg.vision or {}).get("depth", 32))
+
+    def put(name: str, arr: np.ndarray):
+        if arr.dtype != dt:
+            arr = arr.astype(dt)
+        sh = None
+        if shardings is not None:
+            sh = shardings["visual"]
+            for part in name.split("."):
+                sh = sh[part]
+        return jax.device_put(arr, sh)
+
+    def g(name):
+        return reader.get("visual." + name).astype(np.float32)
+
+    blocks: dict[str, list] = {}
+
+    def blk(pname, hf, transpose=False):
+        ts = []
+        for i in range(depth):
+            t = g(f"blocks.{i}.{hf}")
+            ts.append(np.ascontiguousarray(t.T) if transpose else t)
+        blocks[pname] = np.stack(ts, axis=0)
+
+    blk("norm1_w", "norm1.weight")
+    blk("norm1_b", "norm1.bias")
+    blk("norm2_w", "norm2.weight")
+    blk("norm2_b", "norm2.bias")
+    blk("qkv_w", "attn.qkv.weight", transpose=True)
+    blk("qkv_b", "attn.qkv.bias")
+    blk("proj_w", "attn.proj.weight", transpose=True)
+    blk("proj_b", "attn.proj.bias")
+    blk("fc1_w", "mlp.fc1.weight", transpose=True)
+    blk("fc1_b", "mlp.fc1.bias")
+    blk("fc2_w", "mlp.fc2.weight", transpose=True)
+    blk("fc2_b", "mlp.fc2.bias")
+
+    pe = g("patch_embed.proj.weight")  # [dim, C, Tp, ph, pw]
+    params = {
+        "patch_embed_w": put(
+            "patch_embed_w",
+            np.ascontiguousarray(pe.reshape(pe.shape[0], -1).T),
+        ),
+        "blocks": {k: put(f"blocks.{k}", v) for k, v in blocks.items()},
+        "merger_ln_w": put("merger_ln_w", g("merger.ln_q.weight")),
+        "merger_ln_b": put("merger_ln_b", g("merger.ln_q.bias")),
+        "merger_fc1_w": put(
+            "merger_fc1_w", np.ascontiguousarray(g("merger.mlp.0.weight").T)
+        ),
+        "merger_fc1_b": put("merger_fc1_b", g("merger.mlp.0.bias")),
+        "merger_fc2_w": put(
+            "merger_fc2_w", np.ascontiguousarray(g("merger.mlp.2.weight").T)
+        ),
+        "merger_fc2_b": put("merger_fc2_b", g("merger.mlp.2.bias")),
+    }
+    logger.info("loaded vision tower (%d blocks)", depth)
+    reader.close()
+    return params
 
 
 def load_mla_params(

@@ -29,6 +29,7 @@ from xllm_tpu.models.decoder import TP_AXIS, DenseDecoderModel
 from xllm_tpu.ops.mla import (
     mla_decode_attention_write,
     mla_prefill_attention_write,
+    mla_prefill_attention_write_batched,
 )
 from xllm_tpu.ops.moe import moe_mlp
 from xllm_tpu.ops.norms import rms_norm
@@ -37,9 +38,9 @@ from xllm_tpu.runtime.forward_params import DecodeInput, PrefillInput
 
 
 class MlaDecoderModel(DenseDecoderModel):
-    # latent kernels are single-chunk for now; engine falls back to the
-    # per-sequence prefill/verify dispatch path
-    supports_batched_prefill = False
+    # chunk-batched latent kernels: the engine's whole-batch prefill /
+    # batched-verify path applies to MLA families too
+    supports_batched_prefill = True
 
     def __init__(self, cfg: ModelConfig):
         super().__init__(cfg)
@@ -293,6 +294,7 @@ class MlaDecoderModel(DenseDecoderModel):
                 params["moe_layers"], self.n_dense, x, cache, positions,
                 attn_fn, lambda lp, h: self._moe_block(lp, h),
             )
+        self._prenorm_hidden = x  # pre-final-norm states (MTP head input)
         x = rms_norm(x, params["norm"], self.cfg.rms_norm_eps)
         return x, cache
 
@@ -309,6 +311,39 @@ class MlaDecoderModel(DenseDecoderModel):
         hidden = jax.lax.dynamic_slice_in_dim(
             x, inp.logits_idx - (num_logits - 1), num_logits, axis=0
         )
+        return hidden, k_all, v_all
+
+    def prefill_batched(self, params, k_all, v_all, inp, num_logits=1,
+                        return_hidden=False):
+        """P latent chunks in one dispatch (dense twin:
+        DenseDecoderModel.prefill_batched; reference whole-batch
+        BatchInputBuilder, batch_input_builder.h:53)."""
+        p, s = inp.token_ids.shape
+
+        def attn_fn(q_eff, lat_new, cache, li):
+            q4 = q_eff.reshape(p, s, *q_eff.shape[1:])
+            l3 = lat_new.reshape(p, s, lat_new.shape[-1])
+            out, cache = mla_prefill_attention_write_batched(
+                q4, l3, cache, li, inp.slot_mapping, inp.block_tables,
+                inp.q_offsets, inp.kv_lens, self.scale, self.dv,
+            )
+            return out.reshape(p * s, *out.shape[2:]), cache
+
+        x = params["embed_tokens"][inp.token_ids.reshape(-1)]
+        x, k_all = self._forward(
+            params, k_all, x, inp.positions.reshape(-1), attn_fn
+        )
+        x = x.reshape(p, s, -1)
+        idx = (
+            inp.logits_idx[:, None]
+            - (num_logits - 1)
+            + jnp.arange(num_logits, dtype=jnp.int32)[None, :]
+        ).clip(0)
+        hidden = jnp.take_along_axis(x, idx[..., None], axis=1)
+        if return_hidden:
+            # pre-final-norm states (the MTP head applies its own hnorm)
+            pre = self._prenorm_hidden.reshape(p, s, -1)
+            return hidden, k_all, v_all, pre
         return hidden, k_all, v_all
 
     def decode(self, params, k_all, v_all, inp: DecodeInput, token_ids):

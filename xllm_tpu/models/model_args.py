@@ -22,6 +22,8 @@ _ARCH_MAP = {
     "DeepseekV2ForCausalLM": "deepseek_v2",
     "DeepseekV3ForCausalLM": "deepseek_v2",
     "Glm4ForCausalLM": "glm4",
+    "Qwen2VLForConditionalGeneration": "qwen2_vl",
+    "Qwen2_5_VLForConditionalGeneration": "qwen2_5_vl",
 }
 
 
@@ -78,6 +80,17 @@ def model_config_from_hf_dict(cfg: dict, model_path: str = "") -> ModelConfig:
         routed_scaling_factor=cfg.get("routed_scaling_factor") or 1.0,
         eos_token_ids=eos,
     )
+    if model_type in ("qwen2_vl", "qwen2_5_vl"):
+        # VLM extras: vision tower config + M-RoPE sections + marker tokens.
+        # HF nests the tower under "vision_config"; mrope sections live in
+        # rope_scaling.mrope_section (qwen2-vl convention).
+        vc = dict(cfg.get("vision_config", {}) or {})
+        mc.vision = vc
+        mc.attention_bias = True  # qwen2 LM backbone
+        rs = cfg.get("rope_scaling") or {}
+        mc.mrope_section = list(rs.get("mrope_section", []) or [])
+        mc.image_token_id = cfg.get("image_token_id", -1)
+        mc.vision_start_token_id = cfg.get("vision_start_token_id", -1)
     return mc
 
 

@@ -50,7 +50,17 @@ def decode_attention_write(
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Write each sequence's new K/V row, then attend. -> (out, k, v)."""
     if _use_pallas(q.shape[-1]):
-        if os.environ.get("XLLM_DECODE_KERNEL", "v3") == "v1":
+        kver = os.environ.get("XLLM_DECODE_KERNEL", "v4")
+        if kver == "v4":
+            from xllm_tpu.ops.pallas.decode_attention import (
+                paged_decode_attention_write_v4_tpu,
+            )
+
+            return paged_decode_attention_write_v4_tpu(
+                q, k_new, v_new, k_all, v_all, layer_idx, slot_mapping,
+                block_tables, seq_lens, scale, window=window,
+            )
+        if kver == "v1":
             from xllm_tpu.ops.pallas.decode_attention import (
                 paged_decode_attention_write_tpu,
             )
@@ -88,6 +98,8 @@ def prefill_attention_write_batched(
     kv_lens: jnp.ndarray,  # [P] int32 (0 = padded row)
     scale: float,
     window: int = 0,
+    force_ref: bool = False,
+    positions: jnp.ndarray | None = None,  # [P, S] (CP zigzag layouts)
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """P prompt chunks (one per sequence) written + attended in ONE dispatch.
 
@@ -98,7 +110,7 @@ def prefill_attention_write_batched(
     e.g. speculative verify rows) use the RMW writer.
     """
     p, s, hq, d = q.shape
-    if _use_pallas(d):
+    if _use_pallas(d) and not force_ref:
         from xllm_tpu.ops.pallas.kv_write import (
             kv_write_prefill_batched_tpu,
             kv_write_rmw_batched_tpu,
@@ -109,16 +121,20 @@ def prefill_attention_write_batched(
 
         ntoks = kv_lens - q_offsets
         block_size = k_all.shape[3]
+        # quantized KV: DMA cannot convert dtypes — cast the new rows to
+        # the cache dtype before the writers
+        k_w = k_new.astype(k_all.dtype)
+        v_w = v_new.astype(v_all.dtype)
         if s <= block_size:
             # small chunks (speculative verify): may start mid-page -> RMW
             k_all, v_all = kv_write_rmw_batched_tpu(
-                k_new, v_new, k_all, v_all, layer_idx, block_tables,
+                k_w, v_w, k_all, v_all, layer_idx, block_tables,
                 q_offsets, ntoks,
             )
         else:
             k_all, v_all = kv_write_prefill_batched_tpu(
-                k_new.transpose(0, 2, 1, 3),
-                v_new.transpose(0, 2, 1, 3),
+                k_w.transpose(0, 2, 1, 3),
+                v_w.transpose(0, 2, 1, 3),
                 k_all, v_all, layer_idx, block_tables, q_offsets, ntoks,
             )
         out = paged_attention_prefill_batched_tpu(
@@ -134,9 +150,9 @@ def prefill_attention_write_batched(
     )
     out = jax.vmap(
         attention_ref.paged_attention_prefill_ref,
-        in_axes=(0, None, None, None, 0, 0, 0, None, None),
+        in_axes=(0, None, None, None, 0, 0, 0, None, None, 0),
     )(q, k_all, v_all, layer_idx, block_tables, q_offsets, kv_lens, scale,
-      window)
+      window, positions)
     return out, k_all, v_all
 
 
@@ -166,18 +182,20 @@ def prefill_attention_write(
 
         ntok = kv_len - q_offset
         block_size = k_all.shape[3]
+        k_w = k_new.astype(k_all.dtype)
+        v_w = v_new.astype(v_all.dtype)
         if k_new.shape[0] <= block_size:
             # small chunk (speculative verify): may start mid-page -> RMW
             # (token-major input, no transpose)
             k_all, v_all = kv_write_rmw_tpu(
-                k_new, v_new, k_all, v_all, layer_idx, block_table,
+                k_w, v_w, k_all, v_all, layer_idx, block_table,
                 q_offset, ntok,
             )
         else:
             # large chunk: page-aligned start (scheduler contract) -> full-page
             k_all, v_all = kv_write_prefill_tpu(
-                k_new.transpose(1, 0, 2),
-                v_new.transpose(1, 0, 2),
+                k_w.transpose(1, 0, 2),
+                v_w.transpose(1, 0, 2),
                 k_all, v_all, layer_idx, block_table, q_offset, ntok,
             )
         out = paged_attention_prefill_tpu(

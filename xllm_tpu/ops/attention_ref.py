@@ -26,6 +26,8 @@ def _gather_kv(
 ) -> jnp.ndarray:
     """-> [B, Hkv, NB*bs, D]."""
     pages = cache_all[layer_idx, block_tables]  # [B, NB, Hkv, bs, D]
+    if pages.dtype == jnp.float8_e4m3fn:  # quantized KV: upcast for math
+        pages = pages.astype(jnp.bfloat16)
     b, nb, hkv, bs, d = pages.shape
     return pages.transpose(0, 2, 1, 3, 4).reshape(b, hkv, nb * bs, d)
 
@@ -77,6 +79,9 @@ def paged_attention_prefill_ref(
     kv_len: jnp.ndarray,  # [] int32: total kv tokens incl. this chunk
     scale: float,
     window: int = 0,  # sliding-window attention (0 = full)
+    q_positions: jnp.ndarray | None = None,  # [S] explicit row positions
+    # (CP zigzag layouts permute the chunk; reference o/kv recover index
+    # plumbing, npu_cp_prepare.cpp:196-290)
 ) -> jnp.ndarray:  # [S, Hq, D]
     s_q, hq, d = q.shape
     hkv = k_all.shape[2]
@@ -89,7 +94,10 @@ def paged_attention_prefill_ref(
         "qkgd,ksd->kgqs", qg, k, preferred_element_type=jnp.float32
     )
     scores = scores * scale
-    q_pos = q_offset + jnp.arange(s_q, dtype=jnp.int32)  # [S]
+    if q_positions is not None:
+        q_pos = q_positions
+    else:
+        q_pos = q_offset + jnp.arange(s_q, dtype=jnp.int32)  # [S]
     kv_idx = jnp.arange(s_kv, dtype=jnp.int32)
     mask = (kv_idx[None, :] <= q_pos[:, None]) & (kv_idx[None, :] < kv_len)
     if window > 0:

@@ -33,6 +33,12 @@ _NEG_INF = -1e30
 _NSLOTS = 4  # DMA pipeline depth
 
 
+def _mxu(x):
+    """fp8 cache tiles upcast to bf16 for the MXU/VPU (quantized KV,
+    reference kv_cache_impl.h:29 quantized variants)."""
+    return x.astype(jnp.bfloat16) if x.dtype == jnp.float8_e4m3fn else x
+
+
 def _decode_kernel(
     # scalar prefetch
     layer_ref,  # [1] int32
@@ -111,7 +117,9 @@ def _decode_kernel(
                     jnp.int32, (hkv, block_size, d), 1
                 )
                 k_buf[slot] = jnp.where(
-                    row == off, k_new_ref[0][:, None, :], k_buf[slot]
+                    row == off,
+                    k_new_ref[0][:, None, :].astype(k_buf.dtype),
+                    k_buf[slot],
                 )
 
             s_parts = []
@@ -119,7 +127,7 @@ def _decode_kernel(
                 s_parts.append(
                     jax.lax.dot_general(
                         q[h],
-                        k_buf[slot, h],
+                        _mxu(k_buf[slot, h]),
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
@@ -143,16 +151,18 @@ def _decode_kernel(
                     jnp.int32, (hkv, block_size, d), 1
                 )
                 v_buf[slot] = jnp.where(
-                    row == off, v_new_ref[0][:, None, :], v_buf[slot]
+                    row == off,
+                    v_new_ref[0][:, None, :].astype(v_buf.dtype),
+                    v_buf[slot],
                 )
 
-            p_cast = p.astype(v_buf.dtype)
+            p_cast = p.astype(_mxu(v_buf[slot]).dtype)
             pv_parts = []
             for h in range(hkv):
                 pv_parts.append(
                     jax.lax.dot_general(
                         p_cast[h],
-                        v_buf[slot, h],
+                        _mxu(v_buf[slot, h]),
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
@@ -268,7 +278,7 @@ def _decode_kernel_v3(
 
         s = jax.lax.dot_general(
             q,
-            k_page[0, 0],
+            _mxu(k_page[0, 0]),
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale  # [Hkv, G, bs]
@@ -285,8 +295,8 @@ def _decode_kernel_v3(
         p = jnp.exp(s - m_new)
         l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
-            p.astype(v_page.dtype),
-            v_page[0, 0],
+            p.astype(_mxu(v_page[0, 0]).dtype),
+            _mxu(v_page[0, 0]),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
@@ -324,10 +334,14 @@ def _decode_kernel_v3(
                 jnp.int32, (hkv, block_size, d), 1
             )
             k_patch[...] = jnp.where(
-                row == off, k_new_ref[0][:, None, :], k_page[0, 0]
+                row == off,
+                k_new_ref[0][:, None, :].astype(k_patch.dtype),
+                k_page[0, 0],
             )
             v_patch[...] = jnp.where(
-                row == off, v_new_ref[0][:, None, :], v_page[0, 0]
+                row == off,
+                v_new_ref[0][:, None, :].astype(v_patch.dtype),
+                v_page[0, 0],
             )
             blk = block_tables_ref[b, last]
             pltpu.make_async_copy(
@@ -530,6 +544,334 @@ def paged_decode_attention_write_tpu(
         block_tables,
         seq_lens,
         slot_mapping,
+        q.reshape(b, hkv, g, d),
+        k_new,
+        v_new,
+        k_all,
+        v_all,
+    )
+    return out.reshape(b, hq, d), k_all, v_all
+
+
+_V4_SPLIT = 4  # sub-page DMA split: single-stream DMA saturates ~250 GB/s
+# on v5e; 4 parallel sub-copies per page measured 694 GB/s (probe_streams)
+
+
+def _decode_kernel_v4(
+    # scalar prefetch
+    layer_ref,  # [1] int32
+    block_tables_ref,  # [B, NB] int32 (tight columns)
+    seq_lens_ref,  # [B] int32 (incl. current token)
+    slot_ref,  # [B] int32 (current token's slot)
+    cum_ref,  # [B+1] int32 cumulative page counts (global slot ring)
+    # inputs
+    q_ref,  # [1, Hkv, G, D] VMEM
+    k_new_ref,  # [1, Hkv, D] VMEM
+    v_new_ref,
+    k_in,  # [L, NB, Hkv, bs, D] ANY (aliased)
+    v_in,
+    # outputs
+    o_ref,  # [1, Hkv, G, D] VMEM
+    k_out,
+    v_out,
+    # scratch
+    k_buf,  # [NSLOTS, Hkv, bs, D]
+    v_buf,
+    sem,  # DMA [2, NSLOTS, SPLIT]
+    k_patch,
+    v_patch,
+    w_sem,  # DMA [2]
+    pend_ref,  # SMEM [1]
+    cursor_ref,  # SMEM [2]: shared global issue cursor
+    *,
+    scale: float,
+    block_size: int,
+    window: int = 0,
+):
+    """v4: manual split-DMA streaming decode kernel, grid (B,).
+
+    Fixes the measured bandwidth ceilings (scripts/probe_streams.py):
+    - every page copy is SPLIT sub-copies on separate semaphores so the
+      DMA engines run in parallel (1 stream ~250 GB/s, 4 ~694 GB/s);
+    - the VMEM slot ring is indexed by GLOBAL page number (cum_ref), so a
+      program's trailing issue slots flow seamlessly into the next
+      program's first pages — the pipeline never drains at sequence
+      boundaries;
+    - the new token joins the softmax as an extra column (no patch before
+      attend) and the patched tail page is written back with the wait
+      deferred into the next program's compute.
+    """
+    del k_in, v_in
+    b = pl.program_id(0)
+    nprog = pl.num_programs(0)
+
+    layer = layer_ref[0]
+    seq_len = seq_lens_ref[b]
+    nblks = pl.cdiv(seq_len, block_size)
+    last = nblks - 1
+    hkv, g, d = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+    n_cached = seq_len - 1
+    base = cum_ref[b]  # global page index of this program's page 0
+    total_pages = cum_ref[nprog]
+    split = sem.shape[2]
+    rows = hkv // split
+    nslots = k_buf.shape[0]
+
+    # shared issue cursor: cursor_ref = [next global page to issue,
+    # sequence owning it]; persists across programs so the DMA pipeline
+    # never drains at sequence boundaries
+    @pl.when(b == 0)
+    def _():
+        pend_ref[0] = 0
+        cursor_ref[0] = 0
+        cursor_ref[1] = 0
+
+    def issue_global(gp, iseq):
+        """Start global page gp owned by sequence iseq."""
+        j = gp - cum_ref[iseq]
+        blk = block_tables_ref[iseq, j]
+        slot = jax.lax.rem(gp, nslots)
+        for si in range(split):
+            pltpu.make_async_copy(
+                k_out.at[layer, blk, pl.ds(si * rows, rows)],
+                k_buf.at[slot, pl.ds(si * rows, rows)],
+                sem.at[0, slot, si],
+            ).start()
+            pltpu.make_async_copy(
+                v_out.at[layer, blk, pl.ds(si * rows, rows)],
+                v_buf.at[slot, pl.ds(si * rows, rows)],
+                sem.at[1, slot, si],
+            ).start()
+
+    def drain_to(target):
+        """Issue global pages until the cursor reaches min(target, total).
+
+        The cursor is carried through the loop explicitly (ref reads
+        inside a while cond are staged once by tracing) and written back
+        after.
+        """
+        tgt = jnp.minimum(target, total_pages)
+
+        def cond(c):
+            return c[0] < tgt
+
+        def step(c):
+            gp, iseq = c
+
+            def adv_cond(s):  # skip empty/finished sequences
+                return gp >= cum_ref[s + 1]
+
+            iseq = jax.lax.while_loop(adv_cond, lambda s: s + 1, iseq)
+            issue_global(gp, iseq)
+            return (gp + 1, iseq)
+
+        gp, iseq = jax.lax.while_loop(
+            cond, step, (cursor_ref[0], cursor_ref[1])
+        )
+        cursor_ref[0] = gp
+        cursor_ref[1] = iseq
+
+    def wait_page(slot):
+        for si in range(split):
+            for which in (0, 1):
+                pltpu.make_async_copy(
+                    k_buf.at[slot, pl.ds(si * rows, rows)],
+                    k_buf.at[slot, pl.ds(si * rows, rows)],
+                    sem.at[which, slot, si],
+                ).wait()
+
+    @pl.when(seq_len > 0)
+    def _():
+        q = q_ref[0]  # [Hkv, G, D]
+
+        def body(i, carry):
+            m, l, acc = carry
+            # keep nslots pages in flight ahead of the consume point
+            drain_to(base + i + nslots)
+            slot = jax.lax.rem(base + i, nslots)
+            wait_page(slot)
+
+            s = jax.lax.dot_general(
+                q,
+                _mxu(k_buf[slot]),
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [Hkv, G, bs]
+            kv_idx = i * block_size + jax.lax.broadcasted_iota(
+                jnp.int32, (hkv, g, block_size), 2
+            )
+            keep = kv_idx < n_cached
+            if window > 0:
+                keep = keep & (kv_idx >= jnp.maximum(seq_len - window, 0))
+            s = jnp.where(keep, s, _NEG_INF)
+
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(_mxu(v_buf[slot]).dtype),
+                _mxu(v_buf[slot]),
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            acc = acc * alpha + pv
+
+            # tail page: patch the new row and write back (deferred wait)
+            @pl.when(i == last)
+            def _():
+                @pl.when(pend_ref[0] == 1)
+                def _():
+                    pltpu.make_async_copy(k_patch, k_patch, w_sem.at[0]).wait()
+                    pltpu.make_async_copy(v_patch, v_patch, w_sem.at[1]).wait()
+
+                off = jax.lax.rem(slot_ref[b], block_size)
+                row = jax.lax.broadcasted_iota(
+                    jnp.int32, (hkv, block_size, d), 1
+                )
+                k_patch[...] = jnp.where(
+                    row == off,
+                    k_new_ref[0][:, None, :].astype(k_patch.dtype),
+                    k_buf[slot],
+                )
+                v_patch[...] = jnp.where(
+                    row == off,
+                    v_new_ref[0][:, None, :].astype(v_patch.dtype),
+                    v_buf[slot],
+                )
+                blk = block_tables_ref[b, last]
+                pltpu.make_async_copy(
+                    k_patch, k_out.at[layer, blk], w_sem.at[0]
+                ).start()
+                pltpu.make_async_copy(
+                    v_patch, v_out.at[layer, blk], w_sem.at[1]
+                ).start()
+                pend_ref[0] = 1
+
+            return m_new, l_new, acc
+
+        m0 = jnp.full((hkv, g, 1), _NEG_INF, jnp.float32)
+        l0 = jnp.zeros((hkv, g, 1), jnp.float32)
+        acc0 = jnp.zeros((hkv, g, d), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, nblks, body, (m0, l0, acc0))
+
+        # extra column: the new token attends to itself
+        s_new = (
+            jnp.sum(
+                q_ref[0].astype(jnp.float32)
+                * k_new_ref[0].astype(jnp.float32)[:, None, :],
+                axis=-1,
+                keepdims=True,
+            )
+            * scale
+        )
+        m2 = jnp.maximum(m, s_new)
+        alpha2 = jnp.exp(m - m2)
+        p2 = jnp.exp(s_new - m2)
+        l2 = l * alpha2 + p2
+        a2 = acc * alpha2 + p2 * v_new_ref[0].astype(jnp.float32)[:, None, :]
+        o_ref[0] = (a2 / jnp.maximum(l2, 1e-30)).astype(o_ref.dtype)
+
+    @pl.when(seq_len == 0)
+    def _():
+        o_ref[0] = jnp.zeros_like(o_ref[0])
+
+    # drain the final in-flight write on the last program
+    @pl.when((b == nprog - 1) & (pend_ref[0] == 1))
+    def _():
+        pltpu.make_async_copy(k_patch, k_patch, w_sem.at[0]).wait()
+        pltpu.make_async_copy(v_patch, v_patch, w_sem.at[1]).wait()
+        pend_ref[0] = 0
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "window"))
+def paged_decode_attention_write_v4_tpu(
+    q: jnp.ndarray,  # [B, Hq, D]
+    k_new: jnp.ndarray,  # [B, Hkv, D]
+    v_new: jnp.ndarray,
+    k_all: jnp.ndarray,  # [L, NB, Hkv, bs, D]
+    v_all: jnp.ndarray,
+    layer_idx: jnp.ndarray,  # [] int32
+    slot_mapping: jnp.ndarray,  # [B] int32
+    block_tables: jnp.ndarray,  # [B, NB_used] int32
+    seq_lens: jnp.ndarray,  # [B] int32 (incl. current token)
+    scale: float,
+    interpret: bool = False,
+    window: int = 0,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """-> (out [B, Hq, D], k_all, v_all) — caches updated in place."""
+    b, hq, d = q.shape
+    _, _, hkv, bs, _ = k_all.shape
+    g = hq // hkv
+    assert hq == hkv * g
+    nslots = 8
+    split = _V4_SPLIT if hkv % _V4_SPLIT == 0 else (2 if hkv % 2 == 0 else 1)
+
+    pages = jax.lax.div(seq_lens + bs - 1, bs)
+    cum = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(pages).astype(jnp.int32)]
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, hkv, g, d), lambda i, *_: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, hkv, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, hkv, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, hkv, g, d), lambda i, *_: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nslots, hkv, bs, d), k_all.dtype),
+            pltpu.VMEM((nslots, hkv, bs, d), v_all.dtype),
+            pltpu.SemaphoreType.DMA((2, nslots, split)),
+            pltpu.VMEM((hkv, bs, d), k_all.dtype),
+            pltpu.VMEM((hkv, bs, d), v_all.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_kernel_v4, scale=scale, block_size=bs, window=window
+    )
+    # inputs incl. 5 scalar-prefetch args: q=5, k_new=6, v_new=7, k_all=8,
+    # v_all=9; outputs: o=0, k_out=1, v_out=2
+    out, k_all, v_all = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hkv, g, d), q.dtype),
+            jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
+            jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
+        ],
+        input_output_aliases={8: 1, 9: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        layer_idx.reshape(1),
+        block_tables,
+        seq_lens,
+        slot_mapping,
+        cum,
         q.reshape(b, hkv, g, d),
         k_new,
         v_new,

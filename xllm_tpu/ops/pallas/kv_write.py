@@ -141,8 +141,12 @@ def _kv_write_rmw_kernel(
                 & (pos // block_size == page_idx)
                 & (row == jax.lax.rem(pos, block_size))
             )
-            k_pg[...] = jnp.where(hit, kt[j][:, None, :], k_pg[...])
-            v_pg[...] = jnp.where(hit, vt[j][:, None, :], v_pg[...])
+            k_pg[...] = jnp.where(
+                hit, kt[j][:, None, :].astype(k_pg.dtype), k_pg[...]
+            )
+            v_pg[...] = jnp.where(
+                hit, vt[j][:, None, :].astype(v_pg.dtype), v_pg[...]
+            )
         kw = pltpu.make_async_copy(k_pg, k_out.at[layer, blk], sem.at[0])
         vw = pltpu.make_async_copy(v_pg, v_out.at[layer, blk], sem.at[1])
         kw.start()
@@ -311,36 +315,40 @@ def _kv_write_batched_kernel(
     ntok = ntoks_ref[p]
     first_page = q_offset // block_size
 
+    split = page_sem.shape[2]
+    hkv_total = k_out.shape[2]
+    rows = hkv_total // split
+
     def page_dmas(pg):
         r0 = pg * block_size
         blk = block_tables_ref[p, first_page + pg]
-        kw = pltpu.make_async_copy(
-            kt.at[p, :, pl.ds(r0, block_size), :],
-            k_out.at[layer, blk],
-            page_sem.at[0, pg],
-        )
-        vw = pltpu.make_async_copy(
-            vt.at[p, :, pl.ds(r0, block_size), :],
-            v_out.at[layer, blk],
-            page_sem.at[1, pg],
-        )
-        return kw, vw
+        copies = []
+        for si in range(split):
+            copies.append(pltpu.make_async_copy(
+                kt.at[p, pl.ds(si * rows, rows), pl.ds(r0, block_size), :],
+                k_out.at[layer, blk, pl.ds(si * rows, rows)],
+                page_sem.at[0, pg, si],
+            ))
+            copies.append(pltpu.make_async_copy(
+                vt.at[p, pl.ds(si * rows, rows), pl.ds(r0, block_size), :],
+                v_out.at[layer, blk, pl.ds(si * rows, rows)],
+                page_sem.at[1, pg, si],
+            ))
+        return copies
 
     for pg in range(max_pages):
 
         @pl.when(pg * block_size < ntok)
         def _(pg=pg):
-            kw, vw = page_dmas(pg)
-            kw.start()
-            vw.start()
+            for c in page_dmas(pg):
+                c.start()
 
     for pg in range(max_pages):
 
         @pl.when(pg * block_size < ntok)
         def _(pg=pg):
-            kw, vw = page_dmas(pg)
-            kw.wait()
-            vw.wait()
+            for c in page_dmas(pg):
+                c.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -377,7 +385,9 @@ def kv_write_prefill_batched_tpu(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        scratch_shapes=[pltpu.SemaphoreType.DMA((2, max_pages))],
+        scratch_shapes=[pltpu.SemaphoreType.DMA(
+            (2, max_pages, 4 if hkv % 4 == 0 else (2 if hkv % 2 == 0 else 1))
+        )],
     )
     k_all, v_all = pl.pallas_call(
         kernel,
@@ -454,8 +464,12 @@ def _kv_write_rmw_batched_kernel(
                 & (pos // block_size == page_idx)
                 & (row == jax.lax.rem(pos, block_size))
             )
-            k_pg[...] = jnp.where(hit, kt_ref[0, j][:, None, :], k_pg[...])
-            v_pg[...] = jnp.where(hit, vt_ref[0, j][:, None, :], v_pg[...])
+            k_pg[...] = jnp.where(
+                hit, kt_ref[0, j][:, None, :].astype(k_pg.dtype), k_pg[...]
+            )
+            v_pg[...] = jnp.where(
+                hit, vt_ref[0, j][:, None, :].astype(v_pg.dtype), v_pg[...]
+            )
         kw = pltpu.make_async_copy(k_pg, k_out.at[layer, blk], sem.at[0])
         vw = pltpu.make_async_copy(v_pg, v_out.at[layer, blk], sem.at[1])
         kw.start()
@@ -694,5 +708,183 @@ def latent_write_rmw_tpu(
     )(
         layer_idx.reshape(1), block_table, q_offset.reshape(1),
         ntok.reshape(1), lt, cache,
+    )
+    return cache
+
+
+# ----------------------------------------------------------------------
+# batched latent (MLA) writers: grid (P,), one program per chunk row
+# ----------------------------------------------------------------------
+def _latent_pages_batched_kernel(
+    layer_ref, block_tables_ref, q_offsets_ref, ntoks_ref,
+    lt, c_in, c_out, page_sem, *, block_size: int, max_pages: int,
+):
+    del c_in
+    p = pl.program_id(0)
+    layer = layer_ref[0]
+    q_offset = q_offsets_ref[p]
+    ntok = ntoks_ref[p]
+    first_page = q_offset // block_size
+    split = page_sem.shape[1]
+    rows = block_size // split
+
+    def page_dmas(pg):
+        r0 = pg * block_size
+        blk = block_tables_ref[p, first_page + pg]
+        return [
+            pltpu.make_async_copy(
+                lt.at[p, pl.ds(r0 + si * rows, rows), :],
+                c_out.at[layer, blk, 0, pl.ds(si * rows, rows)],
+                page_sem.at[pg, si],
+            )
+            for si in range(split)
+        ]
+
+    for pg in range(max_pages):
+
+        @pl.when(pg * block_size < ntok)
+        def _(pg=pg):
+            for c in page_dmas(pg):
+                c.start()
+
+    for pg in range(max_pages):
+
+        @pl.when(pg * block_size < ntok)
+        def _(pg=pg):
+            for c in page_dmas(pg):
+                c.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def latent_write_prefill_batched_tpu(
+    lt: jnp.ndarray,  # [P, S_pad, Dk] latent rows (token-major)
+    cache: jnp.ndarray,  # [L, NB, 1, bs, Dk]
+    layer_idx: jnp.ndarray,
+    block_tables: jnp.ndarray,  # [P, NBmax]
+    q_offsets: jnp.ndarray,  # [P] page-aligned
+    ntoks: jnp.ndarray,  # [P] (0 = padded row)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    p, s_pad, dk = lt.shape
+    bs = cache.shape[3]
+    max_pages = (s_pad + bs - 1) // bs
+    lt = jnp.pad(lt, ((0, 0), (0, bs), (0, 0)))
+    split = 4 if bs % 4 == 0 and bs // 4 >= 8 else 1
+    kernel = functools.partial(
+        _latent_pages_batched_kernel, block_size=bs, max_pages=max_pages
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(p,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((max_pages, split))],
+    )
+    (cache,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(cache.shape, cache.dtype)],
+        input_output_aliases={5: 0},
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        layer_idx.reshape(1), block_tables, q_offsets, ntoks, lt, cache,
+    )
+    return cache
+
+
+def _latent_rmw_batched_kernel(
+    layer_ref, block_tables_ref, q_offsets_ref, ntoks_ref,
+    lt_ref,  # [1, S, Dk] VMEM (this row's chunk)
+    c_in, c_out, pg, sem, *, block_size: int, s: int,
+):
+    del c_in
+    p = pl.program_id(0)
+    layer = layer_ref[0]
+    q_offset = q_offsets_ref[p]
+    ntok = ntoks_ref[p]
+    dk = lt_ref.shape[2]
+    first_page = q_offset // block_size
+    last_page = (q_offset + jnp.maximum(ntok, 1) - 1) // block_size
+
+    def do_page(page_idx):
+        blk = block_tables_ref[p, page_idx]
+        rd = pltpu.make_async_copy(c_out.at[layer, blk, 0], pg, sem.at[0])
+        rd.start()
+        rd.wait()
+        row = jax.lax.broadcasted_iota(jnp.int32, (block_size, dk), 0)
+        for j in range(s):
+            pos = q_offset + j
+            hit = (
+                (j < ntok)
+                & (pos // block_size == page_idx)
+                & (row == jax.lax.rem(pos, block_size))
+            )
+            pg[...] = jnp.where(
+                hit, lt_ref[0, j][None, :].astype(pg.dtype), pg[...]
+            )
+        wr = pltpu.make_async_copy(pg, c_out.at[layer, blk, 0], sem.at[0])
+        wr.start()
+        wr.wait()
+
+    @pl.when(ntok > 0)
+    def _():
+        do_page(first_page)
+
+        @pl.when(last_page != first_page)
+        def _():
+            do_page(last_page)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def latent_write_rmw_batched_tpu(
+    lt: jnp.ndarray,  # [P, S, Dk], S <= block_size
+    cache: jnp.ndarray,
+    layer_idx: jnp.ndarray,
+    block_tables: jnp.ndarray,  # [P, NBmax]
+    q_offsets: jnp.ndarray,  # [P] any alignment
+    ntoks: jnp.ndarray,  # [P] (0 = padded row)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    p, s, dk = lt.shape
+    bs = cache.shape[3]
+    assert s <= bs
+    kernel = functools.partial(
+        _latent_rmw_batched_kernel, block_size=bs, s=s
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(p,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, s, dk), lambda pi, *_: (pi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((bs, dk), cache.dtype),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+    )
+    (cache,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(cache.shape, cache.dtype)],
+        input_output_aliases={5: 0},
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        layer_idx.reshape(1), block_tables, q_offsets, ntoks, lt, cache,
     )
     return cache

@@ -372,3 +372,181 @@ def mla_prefill_attention_tpu(
         cache,
     )
     return out.transpose(1, 0, 2)
+
+
+def _mla_prefill_batched_kernel(
+    # scalar prefetch
+    layer_ref,
+    block_tables_ref,  # [P, NBmax]
+    q_offsets_ref,  # [P]
+    kv_lens_ref,  # [P]
+    # inputs
+    q_ref,  # [1, HG, TQ, Dk] VMEM
+    c_hbm,  # ANY
+    # outputs
+    o_ref,  # [1, HG, TQ, dv]
+    # scratch
+    buf,  # [NSLOTS, bs, Dk]
+    sem,  # [NSLOTS, SPLIT]
+    *,
+    scale: float,
+    block_size: int,
+    dv: int,
+):
+    """Multi-chunk MLA prefill: grid (P, H//HG, S//TQ) — the latent-cache
+    twin of the dense batched kernel (one dispatch for the whole prefill
+    group; reference batch_input_builder.h:53). Page fetches are 4-way
+    split sub-copies (single-stream DMA caps ~250 GB/s on v5e,
+    scripts/probe_streams.py)."""
+    p, t = pl.program_id(0), pl.program_id(2)
+    layer = layer_ref[0]
+    q_offset = q_offsets_ref[p]
+    kv_len = kv_lens_ref[p]
+    hg, tq, dk = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+    split = sem.shape[1]
+    rows = block_size // split
+
+    tile_last_pos = q_offset + (t + 1) * tq - 1
+    kv_limit = jnp.minimum(kv_len, tile_last_pos + 1)
+    nblks = pl.cdiv(kv_limit, block_size)
+
+    def page_dmas(slot, i):
+        blk = block_tables_ref[p, i]
+        return [
+            pltpu.make_async_copy(
+                c_hbm.at[layer, blk, 0, pl.ds(si * rows, rows)],
+                buf.at[slot, pl.ds(si * rows, rows)],
+                sem.at[slot, si],
+            )
+            for si in range(split)
+        ]
+
+    @pl.when(nblks > 0)
+    def _():
+        for s in range(_NSLOTS - 1):
+
+            @pl.when(s < nblks)
+            def _(s=s):
+                for c in page_dmas(s, s):
+                    c.start()
+
+        q = q_ref[0].reshape(hg * tq, dk)
+        row_pos = (
+            q_offset
+            + t * tq
+            + jax.lax.rem(
+                jax.lax.broadcasted_iota(
+                    jnp.int32, (hg * tq, block_size), 0
+                ),
+                tq,
+            )
+        )
+
+        def body(i, carry):
+            m, l, acc = carry
+            slot = jax.lax.rem(i, _NSLOTS)
+            nxt = i + _NSLOTS - 1
+
+            @pl.when(nxt < nblks)
+            def _():
+                for c in page_dmas(jax.lax.rem(nxt, _NSLOTS), nxt):
+                    c.start()
+
+            for c in page_dmas(slot, i):
+                c.wait()
+            s_ = jax.lax.dot_general(
+                q,
+                buf[slot],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            kv_idx = i * block_size + jax.lax.broadcasted_iota(
+                jnp.int32, (hg * tq, block_size), 1
+            )
+            mask = (kv_idx <= row_pos) & (kv_idx < kv_len)
+            s_ = jnp.where(mask, s_, _NEG_INF)
+
+            m_new = jnp.maximum(m, jnp.max(s_, axis=-1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            pr = jnp.exp(s_ - m_new)
+            l_new = l * alpha + jnp.sum(pr, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                pr.astype(buf.dtype),
+                buf[slot, :, :dv],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_new = acc * alpha + pv
+            return m_new, l_new, acc_new
+
+        m0 = jnp.full((hg * tq, 1), _NEG_INF, jnp.float32)
+        l0 = jnp.zeros((hg * tq, 1), jnp.float32)
+        acc0 = jnp.zeros((hg * tq, dv), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, nblks, body, (m0, l0, acc0))
+        o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype).reshape(
+            hg, tq, dv
+        )
+
+    @pl.when(nblks == 0)
+    def _():
+        o_ref[0] = jnp.zeros_like(o_ref[0])
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "dv", "interpret"))
+def mla_prefill_attention_batched_tpu(
+    q_eff: jnp.ndarray,  # [P, S, H, Dk]
+    cache: jnp.ndarray,  # [L, NB, 1, bs, Dk]
+    layer_idx: jnp.ndarray,
+    block_tables: jnp.ndarray,  # [P, NBmax]
+    q_offsets: jnp.ndarray,  # [P]
+    kv_lens: jnp.ndarray,  # [P] (0 = padded row)
+    scale: float,
+    dv: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    p, s, h, dk = q_eff.shape
+    bs = cache.shape[3]
+    hg, tq = _mla_tiles(h, s, dk)
+    split = 4 if bs % 4 == 0 and bs // 4 >= 8 else 1
+    qt = q_eff.transpose(0, 2, 1, 3)  # [P, H, S, Dk]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(p, h // hg, s // tq),
+        in_specs=[
+            pl.BlockSpec(
+                (1, hg, tq, dk),
+                lambda pi, g, t, *_: (pi, g, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, hg, tq, dv),
+            lambda pi, g, t, *_: (pi, g, t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_NSLOTS, bs, dk), cache.dtype),
+            pltpu.SemaphoreType.DMA((_NSLOTS, split)),
+        ],
+    )
+    kernel = functools.partial(
+        _mla_prefill_batched_kernel, scale=scale, block_size=bs, dv=dv
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((p, h, s, dv), q_eff.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        layer_idx.reshape(1),
+        block_tables,
+        q_offsets,
+        kv_lens,
+        qt,
+        cache,
+    )
+    return out.transpose(0, 2, 1, 3)

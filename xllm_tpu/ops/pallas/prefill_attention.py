@@ -29,6 +29,11 @@ _NEG_INF = -1e30
 _NSLOTS = 4
 
 
+def _mxu(x):
+    """fp8 cache tiles upcast to bf16 for the MXU (quantized KV)."""
+    return x.astype(jnp.bfloat16) if x.dtype == jnp.float8_e4m3fn else x
+
+
 def _prefill_kernel(
     # scalar prefetch
     layer_ref,  # [1] int32
@@ -110,7 +115,7 @@ def _prefill_kernel(
                 s_parts.append(
                     jax.lax.dot_general(
                         q[h],
-                        k_buf[slot, h],
+                        _mxu(k_buf[slot, h]),
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
@@ -128,13 +133,13 @@ def _prefill_kernel(
             l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
 
             v_dma(slot, i).wait()
-            p_cast = p.astype(v_buf.dtype)
+            p_cast = p.astype(_mxu(v_buf[slot]).dtype)
             pv_parts = []
             for h in range(hkv):
                 pv_parts.append(
                     jax.lax.dot_general(
                         p_cast[h],
-                        v_buf[slot, h],
+                        _mxu(v_buf[slot, h]),
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
@@ -195,17 +200,24 @@ def _batched_prefill_kernel(
     kv_limit = jnp.minimum(kv_len, tile_last_pos + 1)
     nblks = pl.cdiv(kv_limit, block_size)
 
+    split = sem.shape[2]
+    rows = hkv // split
+
+    def _dmas(arr, buf, which, slot, i, bt_blk):
+        return [
+            pltpu.make_async_copy(
+                arr.at[layer, bt_blk, pl.ds(si * rows, rows)],
+                buf.at[slot, pl.ds(si * rows, rows)],
+                sem.at[which, slot, si],
+            )
+            for si in range(split)
+        ]
+
     def k_dma(slot, i):
-        return pltpu.make_async_copy(
-            k_hbm.at[layer, block_tables_ref[p, i]], k_buf.at[slot],
-            sem.at[0, slot],
-        )
+        return _dmas(k_hbm, k_buf, 0, slot, i, block_tables_ref[p, i])
 
     def v_dma(slot, i):
-        return pltpu.make_async_copy(
-            v_hbm.at[layer, block_tables_ref[p, i]], v_buf.at[slot],
-            sem.at[1, slot],
-        )
+        return _dmas(v_hbm, v_buf, 1, slot, i, block_tables_ref[p, i])
 
     @pl.when(nblks > 0)
     def _():
@@ -213,8 +225,8 @@ def _batched_prefill_kernel(
 
             @pl.when(s < nblks)
             def _(s=s):
-                k_dma(s, s).start()
-                v_dma(s, s).start()
+                for c in k_dma(s, s) + v_dma(s, s):
+                    c.start()
 
         q = q_ref[0].reshape(hkv, group * tq, d)
         row_pos = (
@@ -233,13 +245,16 @@ def _batched_prefill_kernel(
 
             @pl.when(nxt < nblks)
             def _():
-                k_dma(jax.lax.rem(nxt, _NSLOTS), nxt).start()
-                v_dma(jax.lax.rem(nxt, _NSLOTS), nxt).start()
+                for c in k_dma(jax.lax.rem(nxt, _NSLOTS), nxt) + v_dma(
+                    jax.lax.rem(nxt, _NSLOTS), nxt
+                ):
+                    c.start()
 
-            k_dma(slot, i).wait()
+            for c in k_dma(slot, i):
+                c.wait()
             s = jax.lax.dot_general(
                 q,
-                k_buf[slot],
+                _mxu(k_buf[slot]),
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             ) * scale  # [Hkv, G*TQ, bs]
@@ -256,10 +271,11 @@ def _batched_prefill_kernel(
             p_ = jnp.exp(s - m_new)
             l_new = l * alpha + jnp.sum(p_, axis=-1, keepdims=True)
 
-            v_dma(slot, i).wait()
+            for c in v_dma(slot, i):
+                c.wait()
             pv = jax.lax.dot_general(
-                p_.astype(v_buf.dtype),
-                v_buf[slot],
+                p_.astype(_mxu(v_buf[slot]).dtype),
+                _mxu(v_buf[slot]),
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
@@ -318,7 +334,9 @@ def paged_attention_prefill_batched_tpu(
         scratch_shapes=[
             pltpu.VMEM((_NSLOTS, hkv, bs, d), k_all.dtype),
             pltpu.VMEM((_NSLOTS, hkv, bs, d), v_all.dtype),
-            pltpu.SemaphoreType.DMA((2, _NSLOTS)),
+            pltpu.SemaphoreType.DMA(
+                (2, _NSLOTS, 4 if hkv % 4 == 0 else (2 if hkv % 2 == 0 else 1))
+            ),
         ],
     )
     kernel = functools.partial(

@@ -144,3 +144,147 @@ def quant_matmul_fp8(
         ),
         interpret=interpret,
     )(x, w_q, scale.reshape(1, n))
+
+
+# ----------------------------------------------------------------------
+# v2: manual split-DMA weight streaming. A single pallas-managed block
+# fetch streams at ~250 GB/s on v5e (scripts/probe_streams.py); 4 parallel
+# sub-copies reach ~700 GB/s — and the weight stream IS the whole cost of
+# a decode-shape quantized matmul.
+# ----------------------------------------------------------------------
+_QMM_SPLIT = 4
+
+
+def _qmm_v2_kernel(
+    xq_ref,  # [TM, K] int8/bf16 (pallas-managed)
+    sx_ref,  # [TM, 1] f32 or dummy
+    w_hbm,  # [K, N] int8/f8 ANY
+    sw_ref,  # [1, TN] f32 (pallas-managed per-N-tile)
+    o_ref,  # [TM, TN]
+    w_buf,  # [2, K, TN] scratch
+    sem,  # [2, SPLIT]
+    *,
+    out_dtype,
+    tn: int,
+    n_tiles: int,
+    act_quant: bool,
+):
+    i, j = pl.program_id(0), pl.program_id(1)
+    k = w_buf.shape[1]
+    split = sem.shape[1]
+    rows = k // split
+
+    def issue(tile_j, slot):
+        for si in range(split):
+            pltpu.make_async_copy(
+                w_hbm.at[pl.ds(si * rows, rows), pl.ds(tile_j * tn, tn)],
+                w_buf.at[slot, pl.ds(si * rows, rows)],
+                sem.at[slot, si],
+            ).start()
+
+    def wait(slot):
+        for si in range(split):
+            pltpu.make_async_copy(
+                w_buf.at[slot, pl.ds(si * rows, rows)],
+                w_buf.at[slot, pl.ds(si * rows, rows)],
+                sem.at[slot, si],
+            ).wait()
+
+    step = i * n_tiles + j
+
+    @pl.when(step == 0)
+    def _():
+        issue(0, 0)
+
+    slot = jax.lax.rem(step, 2)
+    # prefetch the next weight tile (wraps to column 0 for the next M tile)
+    nxt = jax.lax.rem(step + 1, n_tiles * pl.num_programs(0))
+
+    @pl.when(step + 1 < n_tiles * pl.num_programs(0))
+    def _():
+        issue(jax.lax.rem(nxt, n_tiles), jax.lax.rem(step + 1, 2))
+
+    wait(slot)
+    w = w_buf[slot]
+    if w.dtype == jnp.int8 and act_quant:
+        acc = jax.lax.dot(
+            xq_ref[...], w, preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+        o_ref[...] = (acc * sx_ref[...] * sw_ref[...]).astype(out_dtype)
+    else:
+        acc = jax.lax.dot(
+            xq_ref[...].astype(jnp.bfloat16),
+            w.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[...] = (acc * sw_ref[...]).astype(out_dtype)
+
+
+def _qmm_v2(x, w_q, scale, out_dtype, interpret, act_quant):
+    m, k = x.shape
+    _, n = w_q.shape
+    tm = _pick_tile(m, 256)
+    # bound VMEM: 2 weight buffers + x + out under ~10 MB
+    tn_cap = 2048
+    wb = 1 if w_q.dtype != jnp.bfloat16 else 2
+    while tn_cap > 128 and 2 * k * tn_cap * wb + tm * k + tm * tn_cap * 4 > 10 * 1024 * 1024:
+        tn_cap //= 2
+    tn = _pick_tile(n, tn_cap)
+    n_tiles = n // tn
+    split = _QMM_SPLIT if k % (32 * _QMM_SPLIT) == 0 else 1
+
+    if act_quant:
+        sx = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=1, keepdims=True) / 127.0
+        sx = jnp.maximum(sx, 1e-10)
+        xin = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127).astype(
+            jnp.int8
+        )
+    else:
+        sx = jnp.zeros((m, 1), jnp.float32)
+        xin = x
+
+    kernel = functools.partial(
+        _qmm_v2_kernel, out_dtype=out_dtype, tn=tn, n_tiles=n_tiles,
+        act_quant=act_quant,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(m // tm, n_tiles),
+        in_specs=[
+            pl.BlockSpec((tm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tm, tn), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, k, tn), w_q.dtype),
+            pltpu.SemaphoreType.DMA((2, split)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n,
+            bytes_accessed=k * n + m * k + m * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xin, sx, w_q, scale.reshape(1, n))
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def quant_matmul_int8_v2(
+    x, w_q, scale, out_dtype=jnp.float32, interpret: bool = False
+):
+    return _qmm_v2(x, w_q, scale, out_dtype, interpret, act_quant=True)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def quant_matmul_fp8_v2(
+    x, w_q, scale, out_dtype=jnp.float32, interpret: bool = False
+):
+    return _qmm_v2(x, w_q, scale, out_dtype, interpret, act_quant=False)

@@ -45,12 +45,25 @@ def quant_matmul(
 ) -> jnp.ndarray:
     """-> [M, N] f32. Pallas fused dequant-matmul on TPU, XLA elsewhere."""
     if jax.default_backend() == "tpu":
+        import os
+
+        v2 = os.environ.get("XLLM_QMM_KERNEL", "v2") == "v2"
         if w_q.dtype == jnp.int8:
-            from xllm_tpu.ops.pallas.quant_matmul import quant_matmul_int8
+            from xllm_tpu.ops.pallas.quant_matmul import (
+                quant_matmul_int8,
+                quant_matmul_int8_v2,
+            )
 
-            return quant_matmul_int8(x, w_q, scale)
-        from xllm_tpu.ops.pallas.quant_matmul import quant_matmul_fp8
+            return (quant_matmul_int8_v2 if v2 else quant_matmul_int8)(
+                x, w_q, scale
+            )
+        from xllm_tpu.ops.pallas.quant_matmul import (
+            quant_matmul_fp8,
+            quant_matmul_fp8_v2,
+        )
 
-        return quant_matmul_fp8(x, w_q, scale)
+        return (quant_matmul_fp8_v2 if v2 else quant_matmul_fp8)(
+            x, w_q, scale
+        )
     w = w_q.astype(x.dtype) * scale[None, :].astype(x.dtype)
     return jnp.dot(x, w, preferred_element_type=jnp.float32)

@@ -24,13 +24,16 @@ from jax.sharding import PartitionSpec as P
 from xllm_tpu.config import ParallelConfig
 
 DATA_AXIS = "data"
+CP_AXIS = "cp"
 TP_AXIS = "tp"
 
 
 def build_mesh(
     parallel: ParallelConfig, devices: list | None = None
 ) -> Mesh | None:
-    """Build the (data, tp) mesh; None for the trivial single-device case."""
+    """Build the (data, cp, tp) mesh; None for the trivial single-device
+    case. The context axis shards prefill tokens (parallel/cp.py); decode
+    keeps it trivial (reference cp_input_partition.h:44-48)."""
     if devices is None:
         devices = jax.devices()
     world = parallel.world_size
@@ -40,8 +43,10 @@ def build_mesh(
         raise ValueError(
             f"parallel config needs {world} devices, have {len(devices)}"
         )
-    dev = np.array(devices[:world]).reshape(parallel.dp_size, parallel.tp_size)
-    return Mesh(dev, (DATA_AXIS, TP_AXIS))
+    dev = np.array(devices[:world]).reshape(
+        parallel.dp_size, parallel.cp_size, parallel.tp_size
+    )
+    return Mesh(dev, (DATA_AXIS, CP_AXIS, TP_AXIS))
 
 
 def replicated(mesh: Mesh | None):

@@ -159,12 +159,118 @@ class LlamaJsonDetector(BaseDetector):
         return ParseResult(content=text, tool_calls=[])
 
 
+class DeepseekV3Detector(BaseDetector):
+    """DeepSeek-V3/R1 tool-call markup (reference deepseek_v3_detector):
+
+    ``<tool_calls_begin><tool_call_begin>function<tool_sep>NAME
+    ```json\n{...}\n```<tool_call_end>...<tool_calls_end>`` with the
+    unicode bar-delimited token spellings.
+    """
+
+    _CALL = re.compile(
+        r"<\uFF5Ctool\u2581call\u2581begin\uFF5C>function"
+        r"<\uFF5Ctool\u2581sep\uFF5C>([\w\-.]+)\s*```json\s*(.*?)\s*```"
+        r"\s*<\uFF5Ctool\u2581call\u2581end\uFF5C>",
+        re.DOTALL,
+    )
+    _SECTION = re.compile(
+        r"<\uFF5Ctool\u2581calls\u2581begin\uFF5C>.*?"
+        r"(<\uFF5Ctool\u2581calls\u2581end\uFF5C>|$)",
+        re.DOTALL,
+    )
+
+    def parse(self, text: str) -> ParseResult:
+        calls = []
+        for m in self._CALL.finditer(text):
+            raw = m.group(2)
+            try:
+                args = json.loads(raw)
+            except json.JSONDecodeError:
+                args, _ = parse_partial_json(raw)
+                if args is None:
+                    continue
+            calls.append(ToolCall(name=m.group(1), arguments=json.dumps(args)))
+        content = self._SECTION.sub("", text).strip()
+        return ParseResult(content=content, tool_calls=calls)
+
+
+class Glm45Detector(BaseDetector):
+    """GLM-4.5 arg_key/arg_value markup (reference glm45_detector):
+
+    ``<tool_call>NAME\n<arg_key>K</arg_key>\n<arg_value>V</arg_value>...
+    </tool_call>``
+    """
+
+    _BLOCK = re.compile(r"<tool_call>\s*(.*?)\s*</tool_call>", re.DOTALL)
+    _KV = re.compile(
+        r"<arg_key>\s*(.*?)\s*</arg_key>\s*<arg_value>\s*(.*?)\s*</arg_value>",
+        re.DOTALL,
+    )
+
+    def parse(self, text: str) -> ParseResult:
+        calls = []
+        for m in self._BLOCK.finditer(text):
+            body = m.group(1)
+            name = body.split("\n", 1)[0].split("<arg_key>", 1)[0].strip()
+            if not name:
+                continue
+            args = {}
+            for km in self._KV.finditer(body):
+                val = km.group(2)
+                try:
+                    args[km.group(1)] = json.loads(val)
+                except json.JSONDecodeError:
+                    args[km.group(1)] = val
+            calls.append(ToolCall(name=name, arguments=json.dumps(args)))
+        content = self._BLOCK.sub("", text).strip()
+        return ParseResult(content=content, tool_calls=calls)
+
+
+class KimiK2Detector(BaseDetector):
+    """Kimi-K2 sectioned tool calls (reference kimi_k2_detector):
+
+    ``<|tool_calls_section_begin|><|tool_call_begin|>functions.NAME:IDX
+    <|tool_call_argument_begin|>{json}<|tool_call_end|>...
+    <|tool_calls_section_end|>``
+    """
+
+    _CALL = re.compile(
+        r"<\|tool_call_begin\|>\s*functions\.([\w\-.]+):\d+\s*"
+        r"<\|tool_call_argument_begin\|>\s*(.*?)\s*<\|tool_call_end\|>",
+        re.DOTALL,
+    )
+    _SECTION = re.compile(
+        r"<\|tool_calls_section_begin\|>.*?"
+        r"(<\|tool_calls_section_end\|>|$)",
+        re.DOTALL,
+    )
+
+    def parse(self, text: str) -> ParseResult:
+        calls = []
+        for m in self._CALL.finditer(text):
+            raw = m.group(2)
+            try:
+                args = json.loads(raw)
+            except json.JSONDecodeError:
+                args, _ = parse_partial_json(raw)
+                if args is None:
+                    continue
+            calls.append(ToolCall(name=m.group(1), arguments=json.dumps(args)))
+        content = self._SECTION.sub("", text).strip()
+        return ParseResult(content=content, tool_calls=calls)
+
+
 _DETECTORS = {
     "hermes": HermesDetector,
     "qwen25": HermesDetector,
     "qwen3": HermesDetector,
     "qwen3_coder": QwenCoderXMLDetector,
     "llama3_json": LlamaJsonDetector,
+    "deepseek_v3": DeepseekV3Detector,
+    "deepseek_r1": DeepseekV3Detector,
+    "glm45": Glm45Detector,
+    "glm47": Glm45Detector,
+    "kimi_k2": KimiK2Detector,
 }
 
 

@@ -59,6 +59,13 @@ class BatchedPrefillInput:
     # trash slot: the sampled token is discarded)
     hist_slots: jnp.ndarray  # [P] int32 token-history ring row (every real
     # chunk records its tokens, mid-prompt included; pad -> trash row)
+    # VLM embedding-override path (reference mm-embedding splicing,
+    # mm_handler.h:31,104): rows where extra_mask is set take their input
+    # embedding from extra_embeds instead of the token embedding table
+    extra_embeds: jnp.ndarray | None = None  # [P, S, D]
+    extra_mask: jnp.ndarray | None = None  # [P, S] bool
+    # M-RoPE explicit (t, h, w) position ids (qwen2-vl prefill rows)
+    mrope_positions: jnp.ndarray | None = None  # [P, 3, S] int32
 
 
 @jax.tree_util.register_dataclass

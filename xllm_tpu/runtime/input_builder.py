@@ -134,12 +134,17 @@ def build_batched_prefill_input(
     trash_slot: int,
     dp_size: int = 1,
     null_blocks: list[int] | None = None,
+    cp_size: int = 1,
+    hidden_size: int = 0,
 ) -> tuple[BatchedPrefillInput, list[bool], list[int]]:
     """Build one dispatch's worth of prompt chunks (one row per sequence).
 
     Returns (input, samples_flags, rows): samples_flags[i] is True when
     item i's chunk reaches the last known token; rows[i] is item i's row
-    in the padded batch (rank-major under DP).
+    in the padded batch (rank-major under DP). With cp_size > 1 the token
+    columns are laid out in zigzag order so block-sharding the S dim over
+    the ``cp`` axis load-balances causal attention
+    (reference npu_cp_prepare.cpp:26-120; parallel/cp.py).
     """
     rows, p_pad = _assign_rows([seq for seq, _ in items], row_buckets, dp_size)
     s_pad = next_bucket(token_buckets, max(n for _, n in items))
@@ -159,6 +164,15 @@ def build_batched_prefill_input(
                 i, p_pad, dp_size, null_blocks, block_size
             )
             block_tables[i, :] = null_blocks[i // (p_pad // dp_size)]
+    vlm = any(
+        seq.mm_embeds is not None or seq.mrope_positions is not None
+        for seq, _ in items
+    )
+    extra_embeds = extra_mask = mrope_positions = None
+    if vlm:
+        extra_embeds = np.zeros((p_pad, s_pad, hidden_size), np.float32)
+        extra_mask = np.zeros((p_pad, s_pad), bool)
+        mrope_positions = np.zeros((p_pad, 3, s_pad), np.int32)
     samples_flags = []
     for (seq, n), i in zip(items, rows):
         start = seq.num_computed_tokens
@@ -167,6 +181,23 @@ def build_batched_prefill_input(
         token_ids[i, :n] = seq.token_ids[start:end]
         positions[i, :n] = np.arange(start, end, dtype=np.int32)
         positions[i, n:] = max(end - 1, 0)
+        if vlm:
+            # explicit (t, h, w) rope positions for this chunk's rows
+            np_ = seq.num_prompt_tokens
+            for j in range(n):
+                pa = start + j
+                if seq.mrope_positions is not None and pa < np_:
+                    mrope_positions[i, :, j] = seq.mrope_positions[:, pa]
+                else:
+                    mrope_positions[i, :, j] = pa + seq.rope_offset
+            mrope_positions[i, :, n:] = mrope_positions[i, 0, max(n - 1, 0)]
+            if seq.mm_embeds is not None:
+                lo = np.searchsorted(seq.mm_positions, start)
+                hi = np.searchsorted(seq.mm_positions, end)
+                for r in range(lo, hi):
+                    col = int(seq.mm_positions[r]) - start
+                    extra_embeds[i, col] = seq.mm_embeds[r]
+                    extra_mask[i, col] = True
         for j, pos in enumerate(range(start, end)):
             slot_mapping[i, j] = seq.block_ids[pos // block_size] * block_size + (
                 pos % block_size
@@ -191,7 +222,37 @@ def build_batched_prefill_input(
         logits_idx=logits_idx,
         sample_slots=sample_slots,
         hist_slots=hist_slots,
+        extra_embeds=extra_embeds,
+        extra_mask=extra_mask,
+        mrope_positions=mrope_positions,
     )
+    if cp_size > 1 and s_pad % (2 * cp_size) == 0:
+        from xllm_tpu.parallel.cp import inverse_order, zigzag_order
+
+        perm = zigzag_order(s_pad, cp_size)
+        inv = inverse_order(perm)
+        inp = BatchedPrefillInput(
+            token_ids=token_ids[:, perm],
+            positions=positions[:, perm],
+            slot_mapping=slot_mapping[:, perm],
+            block_tables=block_tables,
+            kv_lens=kv_lens,
+            q_offsets=q_offsets,
+            logits_idx=np.asarray(inv[logits_idx], np.int32),
+            sample_slots=sample_slots,
+            hist_slots=hist_slots,
+            extra_embeds=(
+                extra_embeds[:, perm] if extra_embeds is not None else None
+            ),
+            extra_mask=(
+                extra_mask[:, perm] if extra_mask is not None else None
+            ),
+            mrope_positions=(
+                mrope_positions[:, :, perm]
+                if mrope_positions is not None
+                else None
+            ),
+        )
     return inp, samples_flags, rows
 
 
@@ -302,7 +363,8 @@ def build_decode_input(
     for seq, i in zip(seqs, rows):
         pos = seq.num_tokens - 1
         slot_ids[i] = seq.slot_id
-        positions[i] = pos
+        positions[i] = pos + seq.rope_offset  # M-RoPE text-continuation
+        # offset (0 for text-only sequences)
         slot_mapping[i] = seq.block_ids[pos // block_size] * block_size + (
             pos % block_size
         )

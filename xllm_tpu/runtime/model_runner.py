@@ -116,6 +116,22 @@ class ModelRunner:
         self._embed_fn = None
         self._inject_fn = None
         self._seed_fn = None
+        self._copy_blocks_fn = None
+        self._beam_decode_fn = None
+        self._gather_blocks_fn = None
+        self._encode_image_fn = None
+        # multi-host: the driver announces each dispatch so follower
+        # processes issue identical jit calls (parallel/multihost.py)
+        from xllm_tpu.parallel.multihost import StepBroadcaster
+
+        self.broadcaster = StepBroadcaster()
+        # context parallel (reference cp_input_partition.h:70): prefill
+        # token dim shards over the mesh "cp" axis with a zigzag layout;
+        # the XLA attention path does the allgather-KV (pallas stays for
+        # cp == 1)
+        self.cp_size = config.parallel.cp_size
+        if self.cp_size > 1:
+            self.model.force_ref_attention = True
 
     # ------------------------------------------------------------------
     # init
@@ -223,9 +239,14 @@ class ModelRunner:
             self.null_blocks = [r * per for r in range(self.dp_size)]
         kv_dtype = self.model.dtype
         if self.config.cache.kv_cache_dtype not in ("auto", ""):
-            kv_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
-                self.config.cache.kv_cache_dtype
-            ]
+            # quantized KV (reference kv_cache_impl.h:29 quantized variants):
+            # fp8_e4m3 stores post-norm K/V raw (range |x| <= 448 covers
+            # attention K/V); kernels upcast tiles on load
+            kv_dtype = {
+                "bfloat16": jnp.bfloat16,
+                "float32": jnp.float32,
+                "fp8_e4m3": jnp.float8_e4m3fn,
+            }[self.config.cache.kv_cache_dtype]
         k, v = self.model.new_kv_cache(self.num_blocks, self.block_size, kv_dtype)
         if self.mesh is not None:
             from jax.sharding import NamedSharding
@@ -303,11 +324,11 @@ class ModelRunner:
         @partial(
             jax.jit,
             donate_argnums=(1, 2, 5, 6),
-            static_argnames=("use_penalties",),
+            static_argnames=("use_penalties", "num_top"),
         )
         def decode_step(
             params, k_cache, v_cache, inp: DecodeInput, si, last_tokens,
-            token_hist, use_penalties=False,
+            token_hist, use_penalties=False, num_top=0,
         ):
             token_ids = last_tokens[inp.slot_ids]
             # record each row's input token (the previous sample) so the
@@ -320,12 +341,14 @@ class ModelRunner:
             )
             logits = model.compute_logits(params, hidden)
             hist = token_hist[inp.slot_ids] if use_penalties else None
-            tokens, logprobs = sample(logits, si, hist)
+            out = sample(logits, si, hist, num_top)
+            tokens, logprobs = out[0], out[1]
+            tops = out[2:] if num_top else (None, None)
             last_tokens = last_tokens.at[inp.slot_ids].set(tokens)
             counts = getattr(model, "_expert_counts", None)
             return (
                 k_cache, v_cache, tokens, logprobs, last_tokens, token_hist,
-                counts,
+                counts, tops,
             )
 
         @partial(
@@ -352,11 +375,11 @@ class ModelRunner:
         @partial(
             jax.jit,
             donate_argnums=(1, 2, 5, 6),
-            static_argnames=("use_penalties",),
+            static_argnames=("use_penalties", "num_top"),
         )
         def batched_prefill_step(
             params, k_cache, v_cache, inp: BatchedPrefillInput, si,
-            last_tokens, token_hist, use_penalties=False,
+            last_tokens, token_hist, use_penalties=False, num_top=0,
         ):
             hidden, k_cache, v_cache = model.prefill_batched(
                 params, k_cache, v_cache, inp
@@ -366,12 +389,14 @@ class ModelRunner:
                 inp.hist_slots[:, None], inp.positions
             ].set(inp.token_ids)
             hist = token_hist[inp.hist_slots] if use_penalties else None
-            tokens, logprobs = sample(logits, si, hist)
+            out = sample(logits, si, hist, num_top)
+            tokens, logprobs = out[0], out[1]
+            tops = out[2:] if num_top else (None, None)
             last_tokens = last_tokens.at[inp.sample_slots].set(tokens)
             counts = getattr(model, "_expert_counts", None)
             return (
                 k_cache, v_cache, tokens, logprobs, last_tokens, token_hist,
-                counts,
+                counts, tops,
             )
 
         @partial(
@@ -564,6 +589,38 @@ class ModelRunner:
         rep = replicated(self.mesh)
         return jax.tree.map(lambda x: jax.device_put(x, rep), tree)
 
+    def _put_prefill(self, inp, si, rows: int):
+        """Prefill-input placement: rows over ``data``; with CP, the
+        token dim of [P, S] arrays over ``cp`` (allgather-KV attention)."""
+        if self.mesh is None or self.cp_size <= 1:
+            return self._put_rows(inp, rows), self._put_rows(si, rows)
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        def put_inp(x, token_major):
+            if token_major:
+                spec = P("data", "cp")
+            elif hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == rows:
+                spec = P("data", *([None] * (x.ndim - 1)))
+            else:
+                spec = P()
+            return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+        from xllm_tpu.runtime.forward_params import BatchedPrefillInput
+
+        inp = BatchedPrefillInput(
+            token_ids=put_inp(inp.token_ids, True),
+            positions=put_inp(inp.positions, True),
+            slot_mapping=put_inp(inp.slot_mapping, True),
+            block_tables=put_inp(inp.block_tables, False),
+            kv_lens=put_inp(inp.kv_lens, False),
+            q_offsets=put_inp(inp.q_offsets, False),
+            logits_idx=put_inp(inp.logits_idx, False),
+            sample_slots=put_inp(inp.sample_slots, False),
+            hist_slots=put_inp(inp.hist_slots, False),
+        )
+        return inp, self._put_rows(si, rows)
+
     def _put_rows(self, tree, rows: int):
         """Shard leaves whose leading dim == rows over the mesh ``data``
         axis (attention-DP); everything else replicates. Collapses to
@@ -653,11 +710,15 @@ class ModelRunner:
             self.trash_slot,
             self.dp_size,
             self.null_blocks,
+            cp_size=self.cp_size,
+            hidden_size=self.config.model.hidden_size,
         )
         p_pad = inp.kv_lens.shape[0]
         si, use_penalties = build_sampling_input(
             [seq for seq, _ in items], p_pad, rows, self._next_key()
         )
+        self.broadcaster.announce_prefill(inp, si)
+        inp_put, si_put = self._put_prefill(inp, si, p_pad)
         if self.draft_head is not None:
             (
                 self.k_cache, self.v_cache, self.dk_cache, self.dv_cache,
@@ -670,29 +731,31 @@ class ModelRunner:
                 self.v_cache,
                 self.dk_cache,
                 self.dv_cache,
-                self._put_rows(inp, p_pad),
-                self._put_rows(si, p_pad),
+                inp_put,
+                si_put,
                 self.last_tokens,
                 self.token_hist,
                 self.hidden_ring,
                 use_penalties=use_penalties,
             )
-            return tokens, logprobs, samples_flags, rows
+            return tokens, logprobs, samples_flags, rows, (None, None)
+        num_top = self._num_top([seq for seq, _ in items])
         (
             self.k_cache, self.v_cache, tokens, logprobs, self.last_tokens,
-            self.token_hist, counts,
+            self.token_hist, counts, tops,
         ) = self._batched_prefill_fn(
             self.params,
             self.k_cache,
             self.v_cache,
-            self._put_rows(inp, p_pad),
-            self._put_rows(si, p_pad),
+            inp_put,
+            si_put,
             self.last_tokens,
             self.token_hist,
             use_penalties=use_penalties,
+            num_top=num_top,
         )
         self._accumulate_loads(counts)
-        return tokens, logprobs, samples_flags, rows
+        return tokens, logprobs, samples_flags, rows, tops
 
     def run_verify_batched(
         self, pairs: list[tuple[Sequence, list[int]]], spec_k: int
@@ -784,6 +847,104 @@ class ModelRunner:
         )
         return np.asarray(tokens), np.asarray(num_acc), rows
 
+    # ------------------------------------------------------------------
+    # beam search (reference beam_searcher.cpp:21 + device block copy)
+    # ------------------------------------------------------------------
+    def copy_kv_blocks(self, pairs: list[tuple[int, int]]) -> None:
+        """Device block copies for beam forks (dst gets src's content)."""
+        if not pairs:
+            return
+        if self._copy_blocks_fn is None:
+
+            @partial(jax.jit, donate_argnums=(0, 1))
+            def copy_blocks(k_all, v_all, src, dst):
+                k_all = k_all.at[:, dst].set(k_all[:, src])
+                v_all = v_all.at[:, dst].set(v_all[:, src])
+                return k_all, v_all
+
+            self._copy_blocks_fn = copy_blocks
+        src = jnp.asarray([s for s, _ in pairs], jnp.int32)
+        dst = jnp.asarray([d for _, d in pairs], jnp.int32)
+        self.k_cache, self.v_cache = self._copy_blocks_fn(
+            self.k_cache, self.v_cache, src, dst
+        )
+
+    def run_beam_decode(
+        self, seqs: list[Sequence], width: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """One decode step for beam rows -> per-row top-``width`` expansion
+        candidates (token ids + logprobs), fetched SYNCHRONOUSLY (beam
+        bookkeeping is host logic, reference beam_searcher.cpp:21).
+        Input tokens come from the host (beam reorder invalidates the
+        ring); KV rows are written as usual.
+        """
+        inp, rows = build_decode_input(
+            seqs,
+            self.block_size,
+            self.config.scheduler.decode_batch_buckets,
+            self.max_blocks_per_seq,
+            self.trash_slot,
+            self.nb_buckets,
+            self.dp_size,
+            self.null_blocks,
+        )
+        b_pad = inp.slot_ids.shape[0]
+        token_ids = np.zeros(b_pad, np.int32)
+        for seq, i in zip(seqs, rows):
+            token_ids[i] = seq.token_ids[-1]
+        if self._beam_decode_fn is None:
+            model = self.model
+
+            @partial(
+                jax.jit, donate_argnums=(1, 2), static_argnames=("width",)
+            )
+            def beam_step(params, k_cache, v_cache, inp, token_ids, width):
+                hidden, k_cache, v_cache = model.decode(
+                    params, k_cache, v_cache, inp, token_ids
+                )
+                logits = model.compute_logits(params, hidden)
+                logprobs = jax.nn.log_softmax(logits, axis=-1)
+                vals, ids = jax.lax.top_k(logprobs, width)
+                return k_cache, v_cache, vals, ids
+
+            self._beam_decode_fn = beam_step
+        self.k_cache, self.v_cache, vals, ids = self._beam_decode_fn(
+            self.params,
+            self.k_cache,
+            self.v_cache,
+            self._put_rows(inp, b_pad),
+            self._put_rows(jnp.asarray(token_ids), b_pad),
+            width=width,
+        )
+        vals, ids = np.asarray(vals), np.asarray(ids)
+        out_v = np.zeros((len(seqs), width), np.float32)
+        out_i = np.zeros((len(seqs), width), np.int32)
+        for j, i in enumerate(rows):
+            out_v[j] = vals[i]
+            out_i[j] = ids[i]
+        return out_i, out_v
+
+    # ------------------------------------------------------------------
+    # VLM: vision tower encode (reference VLM engine encode step,
+    # vlm_engine.h:37; one jit per patch-grid shape)
+    # ------------------------------------------------------------------
+    def encode_image(
+        self, patches: np.ndarray, grid: tuple[int, int, int]
+    ) -> np.ndarray:
+        if self._encode_image_fn is None:
+            model = self.model
+
+            @partial(jax.jit, static_argnames=("gh", "gw"))
+            def enc(params, patches, gh, gw):
+                return model.vision.encode(params["visual"], patches, gh, gw)
+
+            self._encode_image_fn = enc
+        _, gh, gw = grid
+        out = self._encode_image_fn(
+            self.params, self._put(jnp.asarray(patches)), gh=gh, gw=gw
+        )
+        return np.asarray(out)
+
     def run_prefill_embed(self, seq: Sequence, num_new_tokens: int) -> np.ndarray:
         """Final prompt chunk of an embed request -> pooled hidden state.
 
@@ -871,6 +1032,7 @@ class ModelRunner:
         si, use_penalties = build_sampling_input(
             seqs, b_pad, rows, self._next_key()
         )
+        self.broadcaster.announce_decode(inp, si)
         if self.draft_head is not None:
             (
                 self.k_cache, self.v_cache, tokens, logprobs,
@@ -887,10 +1049,11 @@ class ModelRunner:
                 self.hidden_ring,
                 use_penalties=use_penalties,
             )
-            return tokens, logprobs, rows
+            return tokens, logprobs, rows, (None, None)
+        num_top = self._num_top(seqs)
         (
             self.k_cache, self.v_cache, tokens, logprobs, self.last_tokens,
-            self.token_hist, counts,
+            self.token_hist, counts, tops,
         ) = self._decode_fn(
             self.params,
             self.k_cache,
@@ -900,15 +1063,24 @@ class ModelRunner:
             self.last_tokens,
             self.token_hist,
             use_penalties=use_penalties,
+            num_top=num_top,
         )
         self._accumulate_loads(counts)
-        return tokens, logprobs, rows
+        return tokens, logprobs, rows, tops
 
     # ------------------------------------------------------------------
     # EPLB: live load collection + weight shuffling
     # (reference EplbManager data flow llm_engine.cpp:994-1008 and
     # EplbExecutor, eplb_executor.h:29)
     # ------------------------------------------------------------------
+    def _num_top(self, seqs) -> int:
+        """Static top-logprobs width for the batch: 0 or 20 (OpenAI cap)
+        to bound compile variants."""
+        want = max(
+            (seq.sampling_params.logprobs or 0) for seq in seqs
+        ) if seqs else 0
+        return 20 if want > 0 else 0
+
     def _accumulate_loads(self, counts) -> None:
         if counts is None:
             return
@@ -1007,37 +1179,80 @@ class ModelRunner:
     # PD-disaggregation block movement (reference kv_cache_transfer
     # pull/push, mooncake_kv_cache_transfer.h:25 — host-staged on TPU)
     # ------------------------------------------------------------------
+    def extract_blocks_async(self, block_ids: list[int]):
+        """Start a device gather + async device->host copy of KV blocks.
+
+        ONE jit gather + ONE host copy for the whole sequence (the old
+        per-block np.asarray paid a full fetch round-trip per block); the
+        returned handle materializes with ``np.asarray`` when the copy has
+        landed, overlapping the transfer with continued serving — the
+        TPU/DCN analog of the reference's layer-wise async KV push
+        (llm_worker_impl.cpp:223-247).
+        """
+        if self._gather_blocks_fn is None:
+
+            @jax.jit
+            def gather(k_all, v_all, ids):
+                # -> [n, L, Hkv, bs, D]
+                return (
+                    k_all[:, ids].swapaxes(0, 1),
+                    v_all[:, ids].swapaxes(0, 1),
+                )
+
+            self._gather_blocks_fn = gather
+        # bucket the block count (bounded jit shapes); pad gathers the
+        # null block and is sliced off at materialization
+        n = len(block_ids)
+        n_pad = 1
+        while n_pad < n:
+            n_pad *= 2
+        ids = np.zeros(n_pad, np.int32)
+        ids[:n] = block_ids
+        k, v = self._gather_blocks_fn(
+            self.k_cache, self.v_cache, jnp.asarray(ids)
+        )
+        k.copy_to_host_async()
+        v.copy_to_host_async()
+        return k, v, n
+
     def extract_blocks(
         self, block_ids: list[int]
     ) -> tuple[np.ndarray, np.ndarray]:
         """Device KV blocks -> host arrays [n, L, Hkv, bs, D]."""
-        k = np.stack([np.asarray(self.k_cache[:, b]) for b in block_ids])
-        v = np.stack([np.asarray(self.v_cache[:, b]) for b in block_ids])
-        return k, v
+        k, v, n = self.extract_blocks_async(block_ids)
+        return np.asarray(k)[:n], np.asarray(v)[:n]
 
     def inject_blocks(
         self, k_blocks: np.ndarray, v_blocks: np.ndarray, block_ids: list[int]
     ) -> None:
-        """Host arrays -> device KV blocks (ordered before later reads)."""
+        """Host arrays -> device KV blocks in ONE batched scatter (async
+        dispatch; XLA orders it before later cache reads)."""
         if self._inject_fn is None:
 
             @partial(jax.jit, donate_argnums=(0, 1))
-            def inject(k_all, v_all, kc, vc, b):
-                k_all = jax.lax.dynamic_update_slice_in_dim(
-                    k_all, kc[:, None], b, axis=1
-                )
-                v_all = jax.lax.dynamic_update_slice_in_dim(
-                    v_all, vc[:, None], b, axis=1
-                )
+            def inject(k_all, v_all, kc, vc, ids):
+                k_all = k_all.at[:, ids].set(kc.swapaxes(0, 1))
+                v_all = v_all.at[:, ids].set(vc.swapaxes(0, 1))
                 return k_all, v_all
 
             self._inject_fn = inject
-        for i, b in enumerate(block_ids):
-            kc = jnp.asarray(k_blocks[i], self.k_cache.dtype)
-            vc = jnp.asarray(v_blocks[i], self.v_cache.dtype)
-            self.k_cache, self.v_cache = self._inject_fn(
-                self.k_cache, self.v_cache, kc, vc, np.int32(b)
-            )
+        # pad the block count to a power-of-2 bucket (bounded jit shapes);
+        # pad rows scatter harmlessly into the null block
+        n = len(block_ids)
+        n_pad = 1
+        while n_pad < n:
+            n_pad *= 2
+        ids = np.zeros(n_pad, np.int32)
+        ids[:n] = block_ids
+        kc = np.zeros((n_pad,) + k_blocks.shape[1:], k_blocks.dtype)
+        vc = np.zeros((n_pad,) + v_blocks.shape[1:], v_blocks.dtype)
+        kc[:n], vc[:n] = k_blocks, v_blocks
+        self.k_cache, self.v_cache = self._inject_fn(
+            self.k_cache, self.v_cache,
+            jnp.asarray(kc, self.k_cache.dtype),
+            jnp.asarray(vc, self.v_cache.dtype),
+            jnp.asarray(ids),
+        )
 
     def seed_last_token(self, slot: int, token: int) -> None:
         """Write a token into the device ring (PD accept path)."""
@@ -1132,7 +1347,7 @@ class ModelRunner:
                 )
                 (
                     self.k_cache, self.v_cache, tokens, _,
-                    self.last_tokens, self.token_hist, _counts,
+                    self.last_tokens, self.token_hist, _counts, _tops,
                 ) = self._batched_prefill_fn(
                     self.params, self.k_cache, self.v_cache,
                     self._put(binp), self._put(si), self.last_tokens,
@@ -1178,7 +1393,7 @@ class ModelRunner:
             )
             (
                 self.k_cache, self.v_cache, tokens, _, self.last_tokens,
-                self.token_hist, _counts,
+                self.token_hist, _counts, _tops,
             ) = self._decode_fn(
                 self.params, self.k_cache, self.v_cache, self._put(inp),
                 self._put(si), self.last_tokens, self.token_hist,

@@ -65,8 +65,11 @@ def sample(
     logits: jnp.ndarray,  # [N, V] fp32
     si: SamplingInput,
     hist: jnp.ndarray | None = None,  # [N, T] rows of the history ring
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """-> (token_ids [N] int32, logprobs [N] f32 of the chosen token)."""
+    num_top: int = 0,  # also return the top-K alternatives (OpenAI
+    # top_logprobs; reference sampler logprobs path, sampler.cpp:29)
+):
+    """-> (token_ids [N] int32, logprobs [N] f32 of the chosen token
+    [, top_ids [N, num_top] int32, top_logprobs [N, num_top] f32])."""
     n, v = logits.shape
     k = min(_PRUNE_K, v)
 
@@ -116,4 +119,12 @@ def sample(
     logz = jax.nn.logsumexp(logits, axis=-1)
     chosen = jnp.take_along_axis(logits, tokens[:, None], axis=-1)[:, 0]
     logprobs = chosen - logz
+    if num_top > 0:
+        # raw-logit candidates (pre-penalty: alternatives report the model
+        # distribution, matching the OpenAI semantics)
+        raw_vals, raw_idx = jax.lax.approx_max_k(
+            logits, min(num_top, k), recall_target=0.95,
+            aggregate_to_topk=True,
+        )
+        return tokens, logprobs, raw_idx, raw_vals - logz[:, None]
     return tokens, logprobs

@@ -20,7 +20,8 @@ Pure host logic, unit-tested with a fake runner (SURVEY.md §4).
 
 from __future__ import annotations
 
-from collections import deque
+import heapq
+import itertools
 from dataclasses import dataclass, field
 
 from xllm_tpu.config import SchedulerConfig
@@ -54,12 +55,50 @@ class ContinuousScheduler:
         # latency-aware budgeting (reference ProfileManager-driven TTFT
         # budgets, scheduler/profile/profile_manager.h:33-145)
         self.profile_manager = profile_manager
-        self.waiting: deque[Request] = deque()
+        # priority queue (reference RequestPriorityQueue,
+        # request_priority_queue.h + online/offline split,
+        # continuous_scheduler.cpp:390-612): online before offline, higher
+        # ``priority`` first, FIFO within a class; preempted requests
+        # re-enter by their original key
+        self._waiting_heap: list[list] = []
+        self._seq_counter = itertools.count()
         self.running: list[Request] = []
+
+    def _queue_key(self, request: Request, seq_no: int | None = None):
+        if seq_no is None:
+            seq_no = next(self._seq_counter)
+        return (request.offline, -request.priority, seq_no)
+
+    @property
+    def waiting(self) -> list[Request]:
+        """Live view in service order (tests/metrics convenience)."""
+        return [
+            e[1]
+            for e in sorted(self._waiting_heap, key=lambda e: e[0])
+            if e[1] is not None
+        ]
+
+    def _peek_waiting(self) -> Request | None:
+        while self._waiting_heap and self._waiting_heap[0][1] is None:
+            heapq.heappop(self._waiting_heap)
+        return self._waiting_heap[0][1] if self._waiting_heap else None
+
+    def _pop_waiting(self) -> Request:
+        while True:
+            key, req = heapq.heappop(self._waiting_heap)
+            if req is not None:
+                req._queue_key = key  # remember for priority-preserving requeue
+                return req
+
+    def _push_waiting(self, request: Request, key=None) -> None:
+        if key is None:
+            key = getattr(request, "_queue_key", None) or self._queue_key(request)
+        heapq.heappush(self._waiting_heap, [key, request])
 
     # ------------------------------------------------------------------
     def add_request(self, request: Request) -> None:
-        self.waiting.append(request)
+        request._queue_key = self._queue_key(request)
+        self._push_waiting(request)
 
     def abort_request(self, request: Request) -> None:
         request.abort()
@@ -67,11 +106,16 @@ class ContinuousScheduler:
             for seq in request.sequences:
                 self.block_manager.free(seq)
             self.running.remove(request)
-        elif request in self.waiting:
-            self.waiting.remove(request)
+        else:
+            for e in self._waiting_heap:
+                if e[1] is request:
+                    e[1] = None  # tombstone
+                    break
 
     def has_unfinished(self) -> bool:
-        return bool(self.waiting) or bool(self.running)
+        return any(e[1] is not None for e in self._waiting_heap) or bool(
+            self.running
+        )
 
     @property
     def num_running_seqs(self) -> int:
@@ -111,7 +155,11 @@ class ContinuousScheduler:
         # page of budget so a stream of long running prefills cannot starve
         # admissions forever (reference bounds this with per-step handling
         # budgets, continuous_scheduler.cpp:390 prefill loop)
-        reserve = self.block_manager.block_size if self.waiting else 0
+        reserve = (
+            self.block_manager.block_size
+            if self._peek_waiting() is not None
+            else 0
+        )
 
         # 1. continue chunked prefills of already-running sequences
         #    (reference handle_prefill_requests, continuous_scheduler.cpp:390)
@@ -119,8 +167,8 @@ class ContinuousScheduler:
             for seq in req.sequences:
                 if seq.is_finished or not seq.in_prefill:
                     continue
-                if seq.has_unfixed_tokens:
-                    continue  # resumed-preempted seq awaiting async fixup
+                if seq.has_unfixed_tokens or seq.on_hold:
+                    continue  # awaiting async fixup / held by beam search
                 if budget - reserve <= 0:
                     break
                 n = self._chunk_tokens(seq, budget - reserve)
@@ -132,10 +180,10 @@ class ContinuousScheduler:
                 budget -= n
 
         # 2. admit waiting requests under seq + token budgets
-        while self.waiting and budget > 0:
+        while self._peek_waiting() is not None and budget > 0:
             if self.num_running_seqs >= self.config.max_seqs_per_batch:
                 break
-            req = self.waiting[0]
+            req = self._peek_waiting()
             seq = req.sequences[0]
             if seq.has_unfixed_tokens:
                 break  # preempted seq awaiting async fixup before re-prefill
@@ -174,7 +222,7 @@ class ContinuousScheduler:
                 # roll back the prefix refs; retry next step
                 self.block_manager.free(seq)
                 break
-            self.waiting.popleft()
+            self._pop_waiting()
             req.sequences[0].status = SequenceStatus.RUNNING
             out.prefill_items.append((seq, n))
             budget -= n
@@ -187,6 +235,8 @@ class ContinuousScheduler:
         for req in self.running:
             for seq in req.sequences[1:]:
                 if seq.is_finished or not seq.in_prefill or budget <= 0:
+                    continue
+                if seq.on_hold:
                     continue
                 if seq.num_computed_tokens == 0 and not seq.block_ids:
                     self.block_manager.match_prefix(seq)
@@ -206,6 +256,9 @@ class ContinuousScheduler:
                 continue  # preempted earlier in this loop
             for seq in req.sequences:
                 if seq.is_finished or seq.in_prefill or id(seq) in prefilling:
+                    continue
+                if seq.on_hold or getattr(seq, "beam_request", False):
+                    # beam sequences decode via the BeamRunner only
                     continue
                 if (
                     seq.num_tokens >= seq.stopping.max_model_len
@@ -238,13 +291,20 @@ class ContinuousScheduler:
 
     # ------------------------------------------------------------------
     def _pick_victim(self) -> Request | None:
-        """Latest-arrived running request — possibly the requester itself
-        (the reference also self-evicts when it is the lowest priority,
-        continuous_scheduler.cpp:612 decode OOM path)."""
-        for req in reversed(self.running):
-            if not req.is_finished:
-                return req
-        return None
+        """Lowest-service-class, latest-arrived running request: offline
+        before online, low priority before high, latest arrival first —
+        possibly the requester itself (reference online-preempts-offline
+        policy, continuous_scheduler.cpp:390-612 decode OOM path)."""
+        best = None
+        best_key = None
+        for idx, req in enumerate(self.running):
+            if req.is_finished:
+                continue
+            key = (req.offline, -req.priority, idx)
+            # max over (offline desc, priority asc, arrival desc)
+            if best_key is None or key > best_key:
+                best, best_key = req, key
+        return best
 
     def _preempt(self, req: Request, out: SchedulerOutput) -> None:
         logger.info("preempting request %s (recompute)", req.request_id)
@@ -253,7 +313,7 @@ class ContinuousScheduler:
                 self.block_manager.free(seq)
                 seq.status = SequenceStatus.PREEMPTED
         self.running.remove(req)
-        self.waiting.appendleft(req)
+        self._push_waiting(req)  # original key -> priority-preserving
         out.preempted_requests.append(req)
         # drop any already-scheduled items of the preempted request
         out.prefill_items = [

@@ -62,6 +62,11 @@ def _sampling_from_body(body: dict, max_model_len: int) -> SamplingParams:
         stop=stop,
         ignore_eos=bool(body.get("ignore_eos", False)),
         logprobs=body.get("logprobs"),
+        seed=body.get("seed"),
+        frequency_penalty=float(body.get("frequency_penalty", 0.0)),
+        presence_penalty=float(body.get("presence_penalty", 0.0)),
+        repetition_penalty=float(body.get("repetition_penalty", 1.0)),
+        use_beam_search=bool(body.get("use_beam_search", False)),
     )
 
 
@@ -94,6 +99,8 @@ class APIServer:
         app.router.add_post("/v1/completions", self.completions)
         app.router.add_post("/v1/chat/completions", self.chat_completions)
         app.router.add_post("/v1/embeddings", self.embeddings)
+        app.router.add_post("/v1/rerank", self.rerank)
+        app.router.add_post("/v1/messages", self.anthropic_messages)
         app.router.add_get("/v1/models", self.models)
         app.router.add_get("/health", self.health)
         app.router.add_get("/metrics", self.metrics_endpoint)
@@ -218,6 +225,173 @@ class APIServer:
             request, body, kwargs, chat=False, endpoint="completions"
         )
 
+    async def rerank(self, request: web.Request) -> web.Response:
+        """Jina/Cohere-style /v1/rerank (reference RerankServiceImpl,
+        server/xllm_server.cpp:40-49 URL map). Relevance = cosine
+        similarity of pooled last-hidden embeddings — the scoring path a
+        generic checkpoint supports; dedicated reranker checkpoints plug
+        in through the same embed pipeline."""
+        try:
+            body = await request.json()
+        except Exception:
+            return _error(400, "invalid JSON body")
+        query = body.get("query")
+        documents = body.get("documents") or []
+        if not query or not documents:
+            return _error(400, "need 'query' and non-empty 'documents'")
+        top_n = int(body.get("top_n", len(documents)))
+
+        async def embed_one(text):
+            final = None
+            async for out in self.engine.generate(prompt=text, embed=True):
+                final = out
+            return final.embedding or []
+
+        try:
+            import math
+
+            qv = await embed_one(query)
+            results = []
+            for i, doc in enumerate(documents):
+                dv = await embed_one(doc)
+                num = sum(a * b for a, b in zip(qv, dv))
+                den = math.sqrt(sum(a * a for a in qv)) * math.sqrt(
+                    sum(b * b for b in dv)
+                )
+                score = num / den if den else 0.0
+                results.append({"index": i, "relevance_score": score})
+        except ValueError as e:
+            return _error(400, str(e))
+        results.sort(key=lambda r: r["relevance_score"], reverse=True)
+        if bool(body.get("return_documents", False)):
+            for r in results:
+                r["document"] = {"text": documents[r["index"]]}
+        metrics.REQUESTS_TOTAL.labels("rerank", "200").inc()
+        return web.json_response(
+            {"model": self.model_name, "results": results[:top_n]}
+        )
+
+    async def anthropic_messages(self, request: web.Request) -> web.StreamResponse:
+        """Anthropic /v1/messages (reference AnthropicServiceImpl,
+        server/xllm_server.cpp:40-49 maps it beside the OpenAI routes).
+        Non-streaming and streaming (SSE message_start/content_block_delta
+        events)."""
+        try:
+            body = await request.json()
+        except Exception:
+            return _error(400, "invalid JSON body")
+        messages = body.get("messages") or []
+        if body.get("system"):
+            messages = [{"role": "system", "content": body["system"]}] + messages
+        # anthropic content blocks -> plain text
+        norm = []
+        for m in messages:
+            content = m.get("content")
+            if isinstance(content, list):
+                content = "".join(
+                    b.get("text", "") for b in content if b.get("type") == "text"
+                )
+            norm.append({"role": m.get("role", "user"), "content": content})
+        if self.chat_template is None:
+            return _error(400, "server has no chat template")
+        try:
+            prompt = self.chat_template.apply(norm, add_generation_prompt=True)
+        except Exception as e:
+            return _error(400, f"chat template error: {e}")
+        sp = SamplingParams(
+            max_tokens=int(body.get("max_tokens", 512)),
+            temperature=float(body.get("temperature", 1.0)),
+            top_p=float(body.get("top_p", 1.0)),
+            top_k=int(body.get("top_k", -1)),
+            stop=body.get("stop_sequences") or [],
+        )
+        request_id = "msg_" + uuid.uuid4().hex[:24]
+        stream = bool(body.get("stream", False))
+        gen = self.engine.generate(
+            prompt=prompt, sampling_params=sp, request_id=request_id
+        )
+        if not stream:
+            final = None
+            async for out in gen:
+                final = out
+            seq = final.outputs[0]
+            stop_reason = (
+                "end_turn" if seq.finish_reason == "stop" else "max_tokens"
+            )
+            metrics.REQUESTS_TOTAL.labels("messages", "200").inc()
+            return web.json_response(
+                {
+                    "id": request_id,
+                    "type": "message",
+                    "role": "assistant",
+                    "model": self.model_name,
+                    "content": [{"type": "text", "text": seq.text}],
+                    "stop_reason": stop_reason,
+                    "usage": {
+                        "input_tokens": (final.usage or {}).get(
+                            "prompt_tokens", 0
+                        ),
+                        "output_tokens": (final.usage or {}).get(
+                            "completion_tokens", 0
+                        ),
+                    },
+                }
+            )
+        resp = web.StreamResponse(
+            headers={
+                "Content-Type": "text/event-stream",
+                "Cache-Control": "no-cache",
+            }
+        )
+        await resp.prepare(request)
+
+        async def ev(name, payload):
+            await resp.write(
+                f"event: {name}\ndata: {json.dumps(payload)}\n\n".encode()
+            )
+
+        await ev("message_start", {
+            "type": "message_start",
+            "message": {
+                "id": request_id, "type": "message", "role": "assistant",
+                "model": self.model_name, "content": [],
+            },
+        })
+        await ev("content_block_start", {
+            "type": "content_block_start", "index": 0,
+            "content_block": {"type": "text", "text": ""},
+        })
+        sent = 0
+        final = None
+        async for out in gen:
+            final = out
+            text = out.outputs[0].text
+            if len(text) > sent:
+                await ev("content_block_delta", {
+                    "type": "content_block_delta", "index": 0,
+                    "delta": {"type": "text_delta", "text": text[sent:]},
+                })
+                sent = len(text)
+        await ev("content_block_stop",
+                 {"type": "content_block_stop", "index": 0})
+        stop_reason = (
+            "end_turn"
+            if final and final.outputs[0].finish_reason == "stop"
+            else "max_tokens"
+        )
+        await ev("message_delta", {
+            "type": "message_delta",
+            "delta": {"stop_reason": stop_reason},
+            "usage": {
+                "output_tokens": (final.usage or {}).get("completion_tokens", 0)
+                if final else 0
+            },
+        })
+        await ev("message_stop", {"type": "message_stop"})
+        await resp.write_eof()
+        metrics.REQUESTS_TOTAL.labels("messages", "200").inc()
+        return resp
+
     async def chat_completions(self, request: web.Request) -> web.StreamResponse:
         try:
             body = await request.json()
@@ -229,14 +403,77 @@ class APIServer:
         if self.chat_template is None:
             return _error(400, "server has no chat template; use /v1/completions")
         try:
+            messages, images = self._extract_images(messages)
+        except ValueError as e:
+            return _error(400, str(e))
+        try:
             prompt = self.chat_template.apply(
                 messages, add_generation_prompt=True, tools=body.get("tools")
             )
         except Exception as e:
             return _error(400, f"chat template error: {e}")
+        gen_kwargs: dict = {"prompt": prompt}
+        if images:
+            gen_kwargs["images"] = images
         return await self._run(
-            request, body, {"prompt": prompt}, chat=True, endpoint="chat"
+            request, body, gen_kwargs, chat=True, endpoint="chat"
         )
+
+    # ------------------------------------------------------------------
+    def _image_placeholder(self) -> str:
+        """Prompt markup for one image (reference VLM prompt preprocessing,
+        vlm_master.h:44): vision_start + image_pad + vision_end. The engine
+        expands the single image_pad token to the merged patch count."""
+        mc = self.config.model
+        tok = self.engine.tokenizer
+        if tok is not None and mc.image_token_id >= 0:
+            ids = [mc.image_token_id]
+            if mc.vision_start_token_id >= 0:
+                ids = [mc.vision_start_token_id] + ids
+            return tok.decode(ids)
+        return "<|vision_start|><|image_pad|>"
+
+    def _extract_images(self, messages: list) -> tuple[list, list]:
+        """OpenAI multi-part chat content: pull out image_url parts
+        (base64 data URLs), replace with placeholder markup, return
+        (normalized messages, decoded numpy images)."""
+        import base64
+        import io
+
+        images: list = []
+        norm = []
+        for m in messages:
+            content = m.get("content")
+            if isinstance(content, list):
+                parts = []
+                for b in content:
+                    t = b.get("type")
+                    if t == "text":
+                        parts.append(b.get("text", ""))
+                    elif t == "image_url":
+                        url = b.get("image_url")
+                        if isinstance(url, dict):
+                            url = url.get("url", "")
+                        url = url or ""
+                        if not url.startswith("data:"):
+                            raise ValueError(
+                                "only base64 data: image URLs are supported"
+                            )
+                        try:
+                            import numpy as np
+                            from PIL import Image
+
+                            raw = base64.b64decode(url.split(",", 1)[1])
+                            img = Image.open(io.BytesIO(raw)).convert("RGB")
+                            images.append(np.asarray(img))
+                        except ValueError:
+                            raise
+                        except Exception as e:
+                            raise ValueError(f"bad image data: {e}")
+                        parts.append(self._image_placeholder())
+                m = dict(m, content="".join(parts))
+            norm.append(m)
+        return norm, images
 
     # ------------------------------------------------------------------
     async def _run(
@@ -256,6 +493,13 @@ class APIServer:
         created = int(time.time())
         sp = _sampling_from_body(body, self.config.scheduler.max_model_len)
         stream = bool(body.get("stream", False))
+        # service class (reference online/offline + priority request fields,
+        # request_priority_queue.h): offline requests yield to online under
+        # load and are the first preemption victims
+        if "priority" in body:
+            gen_kwargs["priority"] = int(body["priority"])
+        if "offline" in body:
+            gen_kwargs["offline"] = bool(body["offline"])
         try:
             gen = self.engine.generate(
                 sampling_params=sp, request_id=request_id, **gen_kwargs
@@ -328,10 +572,16 @@ class APIServer:
             else:
                 logprobs = None
                 if o.logprobs is not None:
+                    top = None
+                    if o.top_logprobs:
+                        top = [
+                            {str(t): lp for t, lp in alts.items()}
+                            for alts in o.top_logprobs
+                        ]
                     logprobs = {
                         "tokens": [str(t) for t in o.token_ids],
                         "token_logprobs": o.logprobs,
-                        "top_logprobs": None,
+                        "top_logprobs": top,
                         "text_offset": [],
                     }
                 choices.append(
@@ -541,10 +791,34 @@ def main(argv=None) -> None:
                    help="instance registry to register/heartbeat with")
     p.add_argument("--instance-role", default="mixed",
                    help="mixed|prefill|decode (PD disaggregation role)")
+    # multi-host (reference multi-node serving, dist_manager.cpp:145):
+    # run the same command on every host with its --node-rank; rank 0
+    # serves HTTP, others follow the broadcast step stream
+    p.add_argument("--num-nodes", type=int, default=1)
+    p.add_argument("--node-rank", type=int, default=0)
+    p.add_argument("--coordinator-address", default="",
+                   help="host:port of node 0's JAX coordinator")
     args = p.parse_args(argv)
+
+    if args.num_nodes > 1:
+        from xllm_tpu.parallel.multihost import init_distributed
+
+        init_distributed(
+            args.coordinator_address or None, args.num_nodes, args.node_rank
+        )
 
     config = build_config(args)
     logger.info("engine config:\n%s", config.to_json())
+    if args.num_nodes > 1 and args.node_rank > 0:
+        # follower process: same runner/mesh, mirrors the driver's steps
+        from xllm_tpu.parallel.multihost import FollowerEngine
+        from xllm_tpu.runtime.model_runner import ModelRunner
+
+        runner = ModelRunner(config)
+        runner.load_model()
+        runner.initialize_kv_cache()
+        FollowerEngine(runner).run()
+        return
     server = APIServer(
         config,
         args.served_model_name,

@@ -74,6 +74,9 @@ class AsyncLLMEngine:
         sampling_params: SamplingParams | None = None,
         request_id: str | None = None,
         embed: bool = False,
+        priority: int = 0,
+        offline: bool = False,
+        images: list | None = None,
     ):
         """Async generator of cumulative RequestOutputs (last has finished=True)."""
         loop = asyncio.get_running_loop()
@@ -86,6 +89,9 @@ class AsyncLLMEngine:
                 sampling_params=sampling_params,
                 request_id=request_id,
                 embed=embed,
+                priority=priority,
+                offline=offline,
+                images=images,
             ), stream, done)
         )
         self._wake.set()
