@@ -91,6 +91,69 @@ def _tiny_hf_model(tmp_path, family):
             scoring_func="softmax",
             attention_bias=False,
         )
+    elif family == "deepseek_v3":
+        from transformers import DeepseekV3Config
+
+        cfg = DeepseekV3Config(
+            vocab_size=VOCAB,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=3,
+            num_attention_heads=4,
+            num_key_value_heads=4,
+            max_position_embeddings=256,
+            rms_norm_eps=1e-6,
+            rope_theta=10000.0,
+            rope_scaling=None,
+            tie_word_embeddings=False,
+            q_lora_rank=32,
+            kv_lora_rank=32,
+            qk_nope_head_dim=16,
+            qk_rope_head_dim=8,
+            v_head_dim=16,
+            n_routed_experts=8,
+            num_experts_per_tok=2,
+            moe_intermediate_size=32,
+            norm_topk_prob=True,
+            first_k_dense_replace=1,
+            n_shared_experts=1,
+            routed_scaling_factor=1.5,
+            topk_method="noaux_tc",
+            n_group=2,
+            topk_group=1,
+            scoring_func="sigmoid",
+            attention_bias=False,
+        )
+    elif family == "qwen3_next":
+        from transformers import Qwen3NextConfig
+
+        cfg = Qwen3NextConfig(
+            vocab_size=VOCAB,
+            hidden_size=64,
+            intermediate_size=96,
+            num_hidden_layers=4,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=16,
+            partial_rotary_factor=0.25,
+            max_position_embeddings=256,
+            rms_norm_eps=1e-6,
+            rope_theta=10000.0,
+            tie_word_embeddings=False,
+            full_attention_interval=4,
+            linear_conv_kernel_dim=3,
+            linear_key_head_dim=8,
+            linear_num_key_heads=2,
+            linear_value_head_dim=8,
+            linear_num_value_heads=4,
+            num_experts=4,
+            num_experts_per_tok=2,
+            moe_intermediate_size=32,
+            shared_expert_intermediate_size=48,
+            norm_topk_prob=True,
+            decoder_sparse_step=1,
+            mlp_only_layers=[],
+        )
     elif family == "glm4":
         from transformers import Glm4Config
 
@@ -101,12 +164,27 @@ def _tiny_hf_model(tmp_path, family):
     torch.manual_seed(0)
     model = AutoModelForCausalLM.from_config(cfg)
     model = model.eval().to(torch.float32)
+    if family == "deepseek_v3":
+        # exercise a NON-zero e_score_correction_bias (kimi-k2 routing)
+        with torch.no_grad():
+            for layer in model.model.layers:
+                gate = getattr(layer.mlp, "gate", None)
+                if gate is not None and hasattr(
+                    gate, "e_score_correction_bias"
+                ):
+                    gate.e_score_correction_bias.add_(
+                        torch.randn_like(gate.e_score_correction_bias) * 0.5
+                    )
     path = tmp_path / family
     model.save_pretrained(path, safe_serialization=True)
     return model, str(path)
 
 
-@pytest.mark.parametrize("family", ["qwen2", "qwen3", "llama", "qwen3_moe", "deepseek_v2", "glm4"])
+@pytest.mark.parametrize(
+    "family",
+    ["qwen2", "qwen3", "llama", "qwen3_moe", "deepseek_v2", "deepseek_v3",
+     "glm4", "qwen3_next"],
+)
 def test_logits_and_greedy_match_hf(tmp_path, family):
     import torch
 
@@ -126,7 +204,26 @@ def test_logits_and_greedy_match_hf(tmp_path, family):
 
     # --- ours ---
     mc = load_model_config(path)
-    assert mc.model_type == family
+    assert mc.model_type == ("deepseek_v2" if family.startswith("deepseek") else family)
+    if family == "qwen3_next":
+        # the logits-grab block below drives the single-seq prefill path,
+        # which hybrid models do not expose; greedy equality covers parity
+        mc.dtype = "float32"
+        cfg = EngineConfig(
+            model=mc,
+            cache=CacheConfig(block_size=4, num_blocks=32),
+            scheduler=SchedulerConfig(
+                max_model_len=256,
+                decode_batch_buckets=[2],
+                prefill_token_buckets=[16],
+            ),
+        )
+        engine = LLMEngine(cfg, tokenizer=None)
+        sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+        engine.add_request(prompt_token_ids=prompt, sampling_params=sp)
+        ours = engine.generate_all(timeout_s=300)[0].outputs[0].token_ids
+        assert ours == hf_tokens, f"{family}: {ours} vs {hf_tokens}"
+        return
     mc.dtype = "float32"
     cfg = EngineConfig(
         model=mc,
@@ -161,3 +258,47 @@ def test_logits_and_greedy_match_hf(tmp_path, family):
     )
     our_logits = np.asarray(runner.model.compute_logits(runner.params, hidden))[0]
     np.testing.assert_allclose(our_logits, hf_logits, rtol=2e-4, atol=2e-4)
+
+
+def test_yarn_rope_matches_hf():
+    """YaRN inv_freq + attention factor vs HF's _compute_yarn_parameters
+    (reference rotary_embedding yarn path)."""
+    import numpy as np
+    import pytest
+
+    try:
+        from transformers.modeling_rope_utils import ROPE_INIT_FUNCTIONS
+    except Exception:
+        pytest.skip("no transformers rope utils")
+    import types
+
+    from xllm_tpu.ops.rope import rope_inv_freq, rope_mscale
+
+    head_dim, theta = 64, 10000.0
+    scaling = {
+        "rope_type": "yarn",
+        "factor": 8.0,
+        "beta_fast": 32.0,
+        "beta_slow": 1.0,
+        "original_max_position_embeddings": 4096,
+    }
+    hf_cfg = types.SimpleNamespace(
+        rope_theta=theta,
+        head_dim=head_dim,
+        hidden_size=head_dim * 4,
+        num_attention_heads=4,
+        partial_rotary_factor=1.0,
+        max_position_embeddings=32768,
+        rope_scaling=dict(scaling),
+    )
+    want, want_att = ROPE_INIT_FUNCTIONS["yarn"](hf_cfg, device=None)
+    got = np.asarray(rope_inv_freq(head_dim, theta, scaling))
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-6)
+    # no explicit attention_factor: HF default 0.1*ln(factor)+1
+    np.testing.assert_allclose(rope_mscale(scaling), want_att, rtol=1e-6)
+
+    # deepseek two-knob convention: all-in-one softmax factor m1
+    ds = dict(scaling, mscale=1.0, mscale_all_dim=1.0)
+    import math
+
+    assert rope_mscale(ds) == pytest.approx(0.1 * math.log(8.0) + 1.0)

@@ -107,3 +107,160 @@ def test_qwen3_moe_engine_e2e():
     for o in outs:
         assert len(o.outputs[0].token_ids) == 6
     assert eng.block_manager.num_used_blocks == 0
+
+
+def test_sigmoid_noaux_tc_routing():
+    """deepseek-v3/kimi-k2 routing: sigmoid scores, selection by
+    bias-corrected score under group-limited top-k, combine weights from
+    unbiased scores (reference kimi_k2.h topk_method noaux_tc). Checked
+    against a plain-loop oracle."""
+    import numpy as np
+
+    from xllm_tpu.ops.moe import route
+
+    rng = np.random.default_rng(0)
+    t, d, e, k = 16, 8, 32, 4
+    n_group, topk_group = 4, 2
+    x = rng.standard_normal((t, d)).astype(np.float32)
+    w = rng.standard_normal((d, e)).astype(np.float32) * 0.3
+    bias = rng.standard_normal(e).astype(np.float32) * 0.1
+
+    topv, topi = route(
+        x, w, k, True, scoring="sigmoid", bias=bias,
+        n_group=n_group, topk_group=topk_group,
+    )
+    topv, topi = np.asarray(topv), np.asarray(topi)
+
+    logits = x @ w
+    scores = 1.0 / (1.0 + np.exp(-logits))
+    sel = scores + bias[None, :]
+    gsize = e // n_group
+    for row in range(t):
+        # oracle: group strength = sum of top-2 biased scores
+        gs = [
+            np.sort(sel[row, g * gsize:(g + 1) * gsize])[-2:].sum()
+            for g in range(n_group)
+        ]
+        keep = set(np.argsort(gs)[-topk_group:])
+        allowed = {
+            j for j in range(e) if j // gsize in keep
+        }
+        assert set(topi[row]) <= allowed
+        # chosen = top-k biased scores among allowed experts
+        want_ids = sorted(
+            allowed, key=lambda j: sel[row, j], reverse=True
+        )[:k]
+        assert set(topi[row]) == set(want_ids)
+        # weights: unbiased sigmoid scores of the chosen, renormalized
+        want_w = scores[row, topi[row]]
+        want_w = want_w / want_w.sum()
+        np.testing.assert_allclose(topv[row], want_w, rtol=1e-5)
+
+
+def test_mla_engine_with_noaux_tc():
+    """MLA MoE engine runs greedy with sigmoid routing + router bias
+    (kimi-k2 class config) and stays deterministic."""
+    from xllm_tpu.config import (
+        CacheConfig, EngineConfig, ModelConfig, SchedulerConfig,
+    )
+    from xllm_tpu.engine import LLMEngine
+    from xllm_tpu.framework.sampling_params import SamplingParams
+
+    cfg = EngineConfig(
+        model=ModelConfig(
+            model_type="kimi_k2",
+            dtype="float32",
+            vocab_size=128,
+            hidden_size=64,
+            intermediate_size=96,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=4,
+            q_lora_rank=0,
+            kv_lora_rank=32,
+            qk_nope_head_dim=16,
+            qk_rope_head_dim=8,
+            v_head_dim=16,
+            max_position_embeddings=256,
+            num_experts=8,
+            num_experts_per_tok=2,
+            moe_intermediate_size=32,
+            n_shared_experts=1,
+            first_k_dense_replace=1,
+            norm_topk_prob=True,
+            scoring_func="sigmoid",
+            n_group=2,
+            topk_group=1,
+            routed_scaling_factor=1.5,
+        ),
+        cache=CacheConfig(num_blocks=32, block_size=8),
+        scheduler=SchedulerConfig(
+            max_seqs_per_batch=2,
+            max_tokens_per_chunk_for_prefill=32,
+            max_model_len=128,
+            decode_batch_buckets=[2],
+            prefill_token_buckets=[32],
+        ),
+    )
+    outs = []
+    for _ in range(2):
+        eng = LLMEngine(cfg)
+        eng.add_request(
+            prompt_token_ids=[3, 5, 7, 11, 13],
+            sampling_params=SamplingParams(
+                temperature=0.0, max_tokens=8, ignore_eos=True
+            ),
+            request_id="r",
+        )
+        outs.append(eng.generate_all()[0].outputs[0].token_ids)
+        assert eng.block_manager.num_used_blocks == 0
+    assert outs[0] == outs[1] and len(outs[0]) == 8
+
+
+def test_minimax_m2_engine():
+    """MiniMax-M2 class config: GQA + partial rotary (rotary_dim/head_dim)
+    + per-layer MoE with sigmoid routing + bias (reference minimax_m2.h)."""
+    from xllm_tpu.config import (
+        CacheConfig, EngineConfig, ModelConfig, SchedulerConfig,
+    )
+    from xllm_tpu.engine import LLMEngine
+    from xllm_tpu.framework.sampling_params import SamplingParams
+    from xllm_tpu.models.model_args import model_config_from_hf_dict
+
+    mc = model_config_from_hf_dict({
+        "architectures": ["MiniMaxM2ForCausalLM"],
+        "vocab_size": 128, "hidden_size": 64,
+        "num_hidden_layers": 2, "num_attention_heads": 4,
+        "num_key_value_heads": 2, "head_dim": 16, "rotary_dim": 8,
+        "intermediate_size": 96, "num_local_experts": 8,
+        "num_experts_per_tok": 2, "scoring_func": "sigmoid",
+        "norm_topk_prob": True, "rope_theta": 5e6, "use_qk_norm": True,
+        "max_position_embeddings": 256,
+    })
+    assert mc.model_type == "minimax_m2"
+    assert mc.partial_rotary_factor == 0.5 and mc.qk_norm
+    mc.dtype = "float32"
+    mc.moe_intermediate_size = 32
+
+    cfg = EngineConfig(
+        model=mc,
+        cache=CacheConfig(num_blocks=32, block_size=8),
+        scheduler=SchedulerConfig(
+            max_seqs_per_batch=2,
+            max_tokens_per_chunk_for_prefill=32,
+            max_model_len=128,
+            decode_batch_buckets=[2],
+            prefill_token_buckets=[32],
+        ),
+    )
+    eng = LLMEngine(cfg)
+    eng.add_request(
+        prompt_token_ids=[3, 5, 7, 11],
+        sampling_params=SamplingParams(
+            temperature=0.0, max_tokens=6, ignore_eos=True
+        ),
+        request_id="m",
+    )
+    out = eng.generate_all()[0].outputs[0].token_ids
+    assert len(out) == 6
+    assert eng.block_manager.num_used_blocks == 0

@@ -79,7 +79,20 @@ class ModelConfig:
     first_k_dense_replace: int = 0
     n_shared_experts: int = 0
     routed_scaling_factor: float = 1.0
+    # deepseek-v3 / kimi-k2 "noaux_tc" routing (sigmoid scores +
+    # e_score_correction_bias + group-limited top-k)
+    scoring_func: str = "softmax"
+    n_group: int = 1
+    topk_group: int = 1
     eos_token_ids: list[int] = field(default_factory=list)
+    # qwen3-next hybrid GDN (linear attention) family
+    full_attention_interval: int = 4
+    linear_conv_kernel_dim: int = 4
+    linear_key_head_dim: int = 128
+    linear_num_key_heads: int = 16
+    linear_value_head_dim: int = 128
+    linear_num_value_heads: int = 32
+    shared_expert_intermediate_size: int = 0
     # VLM (qwen2-vl family): vision tower config dict + M-RoPE sections
     # and the image placeholder token (reference vlm model registry rows)
     vision: dict | None = None

@@ -76,6 +76,21 @@ class LLMEngine:
             self.runner.load_model()
         if self.runner.k_cache is None:
             self.runner.initialize_kv_cache()
+        if getattr(self.runner.model, "is_hybrid", False):
+            # linear-attention state cannot rewind (spec rejection), fork
+            # (beam), be rebuilt from shared pages (prefix cache), or split
+            # its token scan across cp ranks — reference restricts the same
+            # paths for qwen3-next-class hybrids
+            if config.speculative.method:
+                raise NotImplementedError(
+                    "speculative decoding is unsupported for hybrid "
+                    "linear-attention models"
+                )
+            if config.parallel.cp_size > 1:
+                raise NotImplementedError(
+                    "context parallelism is unsupported for hybrid models"
+                )
+            config.cache.enable_prefix_cache = False
         self.block_manager = self._make_block_manager()
         self.scheduler = ContinuousScheduler(config.scheduler, self.block_manager)
         self._decoders: dict[int, IncrementalDecoder] = {}
@@ -223,6 +238,13 @@ class LLMEngine:
             or sampling_params.presence_penalty != 0.0
         ):
             raise ValueError("beam search with penalties is not supported")
+        if sampling_params.use_beam_search and getattr(
+            self.runner.model, "is_hybrid", False
+        ):
+            raise ValueError(
+                "beam search is unsupported for hybrid linear-attention "
+                "models (state cannot fork)"
+            )
         if embed:
             sampling_params = SamplingParams(max_tokens=1)
         request_id = request_id or f"req-{uuid.uuid4().hex[:16]}"
@@ -723,6 +745,21 @@ class LLMEngine:
     def wakeup(self) -> None:
         self.runner.wakeup()
         # KV content was dropped -> fresh block pool + prefix cache
+        if getattr(self.runner.model, "is_hybrid", False):
+            # linear-attention state cannot rewind (spec rejection), fork
+            # (beam), be rebuilt from shared pages (prefix cache), or split
+            # its token scan across cp ranks — reference restricts the same
+            # paths for qwen3-next-class hybrids
+            if config.speculative.method:
+                raise NotImplementedError(
+                    "speculative decoding is unsupported for hybrid "
+                    "linear-attention models"
+                )
+            if config.parallel.cp_size > 1:
+                raise NotImplementedError(
+                    "context parallelism is unsupported for hybrid models"
+                )
+            config.cache.enable_prefix_cache = False
         self.block_manager = self._make_block_manager()
         self.scheduler.block_manager = self.block_manager
 

@@ -50,7 +50,9 @@ class DenseDecoderModel:
     def __init__(self, cfg: ModelConfig):
         self.cfg = cfg
         self.dtype = _dtype_of(cfg.dtype)
-        self.scale = cfg.head_dim**-0.5
+        from xllm_tpu.ops.rope import rope_mscale
+
+        self.scale = cfg.head_dim**-0.5 * rope_mscale(cfg.rope_scaling) ** 2
         # sliding-window attention (mistral/qwen2 long-context families);
         # 0 = full attention
         self.window = int(cfg.sliding_window or 0)
@@ -157,6 +159,22 @@ class DenseDecoderModel:
         shape = self.kv_cache_shape(num_blocks, block_size)
         dt = dtype or self.dtype
         return jnp.zeros(shape, dt), jnp.zeros(shape, dt)
+
+    def place_caches(self, k, v, mesh):
+        """Shard freshly-allocated caches on the mesh. Hybrid families
+        override to place their extra state leaves."""
+        from jax.sharding import NamedSharding
+
+        from xllm_tpu.parallel.mesh import replicated
+
+        spec = self.kv_cache_sharding()
+        sh = NamedSharding(mesh, spec)
+        rep = replicated(mesh)
+
+        def put(x):  # MLA's latent pair carries a rank-1 placeholder
+            return jax.device_put(x, sh if x.ndim >= len(spec) else rep)
+
+        return jax.tree.map(put, k), jax.tree.map(put, v)
 
     # ------------------------------------------------------------------
     # forward

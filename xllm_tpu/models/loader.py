@@ -113,11 +113,185 @@ def load_params(
     cfg: ModelConfig, shardings: dict | None = None, dtype=None
 ) -> dict:
     """Family-dispatching checkpoint loader (reference ModelRegistry loaders)."""
+    if cfg.model_type == "qwen3_next":
+        return load_qwen3_next_params(cfg, shardings, dtype)
     if cfg.kv_lora_rank > 0:
         return load_mla_params(cfg, shardings, dtype)
     params = load_dense_params(cfg, shardings, dtype)
     if cfg.vision is not None:
         params["visual"] = load_vision_params(cfg, shardings, dtype)
+    return params
+
+
+def load_qwen3_next_params(
+    cfg: ModelConfig, shardings: dict | None = None, dtype=None
+) -> dict:
+    """HF Qwen3Next checkpoint -> the grouped hybrid param tree.
+
+    Layers regroup as [G, interval] with the full-attention layer last in
+    each group; qwen3-next's centered RMSNorms (applied as 1 + w) fold
+    into plain rms_norm weights by adding 1 here (q/k norms, input/post
+    layernorms, final norm — NOT the gated GDN norm).
+    """
+    import jax.numpy as jnp
+
+    dt = dtype or jnp.bfloat16
+    reader = SafetensorsReader(cfg.model_path)
+    L = cfg.num_hidden_layers
+    interval = cfg.full_attention_interval
+    G, I1 = L // interval, interval - 1
+
+    _F32_KEYS = ("lin_A_log", "lin_dt_bias")  # exp/softplus path stays f32
+
+    def put(name: str, arr: np.ndarray):
+        if (
+            not np.issubdtype(arr.dtype, np.integer)
+            and arr.dtype != dt
+            and not name.endswith(_F32_KEYS)
+        ):
+            arr = arr.astype(dt)
+        sh = None
+        if shardings is not None:
+            sh = shardings
+            for part in name.split("."):
+                sh = sh[part]
+        return jax.device_put(arr, sh)
+
+    def g(name):
+        return reader.get("model." + name).astype(np.float32)
+
+    def centered(name):
+        return g(name) + 1.0
+
+    lin_ids = [i for i in range(L) if (i + 1) % interval != 0]
+    full_ids = [i for i in range(L) if (i + 1) % interval == 0]
+
+    def stack(ids, fn, *shape_hint):
+        return np.stack([fn(i) for i in ids], axis=0)
+
+    gp: dict = {}
+    # linear sublayers, regrouped [G, I1, ...]
+    def regroup(flat):  # [G*I1, ...] -> [G, I1, ...]
+        return flat.reshape(G, I1, *flat.shape[1:])
+
+    gp["lin_input_layernorm"] = regroup(stack(
+        lin_ids, lambda i: centered(f"layers.{i}.input_layernorm.weight")))
+    gp["lin_post_layernorm"] = regroup(stack(
+        lin_ids,
+        lambda i: centered(f"layers.{i}.post_attention_layernorm.weight")))
+    gp["lin_qkvz_w"] = regroup(stack(
+        lin_ids,
+        lambda i: np.ascontiguousarray(
+            g(f"layers.{i}.linear_attn.in_proj_qkvz.weight").T)))
+    gp["lin_ba_w"] = regroup(stack(
+        lin_ids,
+        lambda i: np.ascontiguousarray(
+            g(f"layers.{i}.linear_attn.in_proj_ba.weight").T)))
+    gp["lin_conv_w"] = regroup(stack(
+        lin_ids,
+        lambda i: g(f"layers.{i}.linear_attn.conv1d.weight")[:, 0, :]))
+    gp["lin_dt_bias"] = regroup(stack(
+        lin_ids, lambda i: g(f"layers.{i}.linear_attn.dt_bias")))
+    gp["lin_A_log"] = regroup(stack(
+        lin_ids, lambda i: g(f"layers.{i}.linear_attn.A_log")))
+    gp["lin_norm_w"] = regroup(stack(
+        lin_ids, lambda i: g(f"layers.{i}.linear_attn.norm.weight")))
+    gp["lin_out_w"] = regroup(stack(
+        lin_ids,
+        lambda i: np.ascontiguousarray(
+            g(f"layers.{i}.linear_attn.out_proj.weight").T)))
+    # A_log / dt_bias stay f32 for the softplus/exp path
+    gp["lin_dt_bias"] = gp["lin_dt_bias"].astype(np.float32)
+    gp["lin_A_log"] = gp["lin_A_log"].astype(np.float32)
+
+    gp["full_input_layernorm"] = stack(
+        full_ids, lambda i: centered(f"layers.{i}.input_layernorm.weight"))
+    gp["full_post_layernorm"] = stack(
+        full_ids,
+        lambda i: centered(f"layers.{i}.post_attention_layernorm.weight"))
+    gp["full_q_w"] = stack(
+        full_ids,
+        lambda i: np.ascontiguousarray(
+            g(f"layers.{i}.self_attn.q_proj.weight").T))
+    gp["full_k_w"] = stack(
+        full_ids,
+        lambda i: np.ascontiguousarray(
+            g(f"layers.{i}.self_attn.k_proj.weight").T))
+    gp["full_v_w"] = stack(
+        full_ids,
+        lambda i: np.ascontiguousarray(
+            g(f"layers.{i}.self_attn.v_proj.weight").T))
+    gp["full_o_w"] = stack(
+        full_ids,
+        lambda i: np.ascontiguousarray(
+            g(f"layers.{i}.self_attn.o_proj.weight").T))
+    gp["full_q_norm"] = stack(
+        full_ids, lambda i: centered(f"layers.{i}.self_attn.q_norm.weight"))
+    gp["full_k_norm"] = stack(
+        full_ids, lambda i: centered(f"layers.{i}.self_attn.k_norm.weight"))
+
+    # MLPs: [G, interval, ...] in layer order (full layer last per group)
+    def mlp_stack(fn):
+        flat = np.stack([fn(i) for i in range(L)], axis=0)
+        return flat.reshape(G, interval, *flat.shape[1:])
+
+    if cfg.num_experts > 0:
+        E = cfg.num_experts
+        gp["router_w"] = mlp_stack(
+            lambda i: np.ascontiguousarray(
+                g(f"layers.{i}.mlp.gate.weight").T))
+
+        def gu(i):
+            return np.stack([
+                np.concatenate([
+                    np.ascontiguousarray(
+                        g(f"layers.{i}.mlp.experts.{j}.gate_proj.weight").T),
+                    np.ascontiguousarray(
+                        g(f"layers.{i}.mlp.experts.{j}.up_proj.weight").T),
+                ], axis=1)
+                for j in range(E)
+            ], axis=0)
+
+        gp["experts_gate_up"] = mlp_stack(gu)
+        gp["experts_down"] = mlp_stack(lambda i: np.stack([
+            np.ascontiguousarray(
+                g(f"layers.{i}.mlp.experts.{j}.down_proj.weight").T)
+            for j in range(E)
+        ], axis=0))
+        gp["shared_gate_proj_w"] = mlp_stack(
+            lambda i: np.ascontiguousarray(
+                g(f"layers.{i}.mlp.shared_expert.gate_proj.weight").T))
+        gp["shared_up_proj_w"] = mlp_stack(
+            lambda i: np.ascontiguousarray(
+                g(f"layers.{i}.mlp.shared_expert.up_proj.weight").T))
+        gp["shared_down_proj_w"] = mlp_stack(
+            lambda i: np.ascontiguousarray(
+                g(f"layers.{i}.mlp.shared_expert.down_proj.weight").T))
+        gp["shared_gate_w"] = mlp_stack(
+            lambda i: g(f"layers.{i}.mlp.shared_expert_gate.weight")[0])
+    else:
+        gp["gate_proj_w"] = mlp_stack(
+            lambda i: np.ascontiguousarray(
+                g(f"layers.{i}.mlp.gate_proj.weight").T))
+        gp["up_proj_w"] = mlp_stack(
+            lambda i: np.ascontiguousarray(
+                g(f"layers.{i}.mlp.up_proj.weight").T))
+        gp["down_proj_w"] = mlp_stack(
+            lambda i: np.ascontiguousarray(
+                g(f"layers.{i}.mlp.down_proj.weight").T))
+
+    params = {
+        "embed_tokens": put("embed_tokens", g("embed_tokens.weight")),
+        "norm": put("norm", centered("norm.weight")),
+        "groups": {k: put(f"groups.{k}", v) for k, v in gp.items()},
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = put(
+            "lm_head",
+            np.ascontiguousarray(reader.get("lm_head.weight").T),
+        )
+    logger.info("loaded qwen3-next: %d groups x %d layers", G, interval)
+    reader.close()
     return params
 
 
@@ -280,6 +454,10 @@ def load_mla_params(
         p = f"model.layers.{i}.mlp"
         E = cfg.num_experts
         out = {"router_w": T(f"{p}.gate.weight")}
+        if f"{p}.gate.e_score_correction_bias" in reader:
+            out["router_bias"] = reader.get(
+                f"{p}.gate.e_score_correction_bias"
+            ).astype(np.float32)
         gus, downs = [], []
         for j in range(E):
             gus.append(
@@ -453,6 +631,25 @@ def _load_moe_mlp(cfg: ModelConfig, reader, params, put, L: int) -> None:
         axis=0,
     )
     params["layers"]["router_w"] = put("layers.router_w", router)
+    # noaux_tc correction bias (minimax-m2 stores it under mlp., deepseek
+    # under mlp.gate. — reference minimax_m2.h:135 remap)
+    bias_names = [
+        "model.layers.{i}.mlp.gate.e_score_correction_bias",
+        "model.layers.{i}.mlp.e_score_correction_bias",
+    ]
+    for tmpl in bias_names:
+        if tmpl.format(i=0) in reader:
+            params["layers"]["router_bias"] = put(
+                "layers.router_bias",
+                np.stack(
+                    [
+                        reader.get(tmpl.format(i=i)).astype(np.float32)
+                        for i in range(L)
+                    ],
+                    axis=0,
+                ),
+            )
+            break
 
     def expert(i, j, proj):
         return np.ascontiguousarray(

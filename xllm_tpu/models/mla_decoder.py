@@ -14,8 +14,8 @@ kernels MLA fused ops). TPU-native design:
   MoE layers combining a shared-expert MLP with routed experts scaled by
   ``routed_scaling_factor`` (deepseek v2 softmax-topk routing)
 
-Scale note: plain 1/sqrt(qk_nope+qk_rope); yarn mscale correction lands
-with long-context rope scaling.
+Scale note: 1/sqrt(qk_nope+qk_rope) x yarn mscale^2 (ops/rope.rope_mscale)
+matching deepseek checkpoints with long-context rope scaling.
 """
 
 from __future__ import annotations
@@ -51,7 +51,9 @@ class MlaDecoderModel(DenseDecoderModel):
         self.dk_pad = -(-self.dk // 128) * 128 if self.dk > 128 else self.dk
         self.dv = cfg.kv_lora_rank
         self.qk_dim = cfg.qk_nope_head_dim + cfg.qk_rope_head_dim
-        self.scale = self.qk_dim**-0.5
+        from xllm_tpu.ops.rope import rope_mscale
+
+        self.scale = self.qk_dim**-0.5 * rope_mscale(cfg.rope_scaling) ** 2
         self.n_dense = cfg.first_k_dense_replace if cfg.num_experts > 0 else (
             cfg.num_hidden_layers
         )
@@ -119,6 +121,8 @@ class MlaDecoderModel(DenseDecoderModel):
             ks = iter(jax.random.split(k_moe, 8))
             moe = self._attn_params(next(ks), self.n_moe)
             moe["router_w"] = w(next(ks), self.n_moe, D, E)
+            if c_moe.scoring_func == "sigmoid":
+                moe["router_bias"] = jnp.zeros((self.n_moe, E), jnp.float32)
             moe["experts_gate_up"] = w(next(ks), self.n_moe, E, D, 2 * MI)
             moe["experts_down"] = w(next(ks), self.n_moe, E, MI, D)
             moe["expert_placement"] = jnp.tile(
@@ -160,6 +164,8 @@ class MlaDecoderModel(DenseDecoderModel):
         if self.n_moe > 0:
             moe = dict(attn)
             moe["router_w"] = P()
+            if c.scoring_func == "sigmoid":
+                moe["router_bias"] = P()
             moe["experts_gate_up"] = P(None, TP_AXIS, None, None)
             moe["experts_down"] = P(None, TP_AXIS, None, None)
             moe["expert_placement"] = P()
@@ -249,6 +255,10 @@ class MlaDecoderModel(DenseDecoderModel):
             c.num_experts_per_tok,
             c.norm_topk_prob,
             placement=lp.get("expert_placement"),
+            scoring=c.scoring_func,
+            bias=lp.get("router_bias"),
+            n_group=c.n_group,
+            topk_group=c.topk_group,
         )
         out = routed * c.routed_scaling_factor
         if c.n_shared_experts > 0:

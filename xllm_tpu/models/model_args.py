@@ -22,6 +22,8 @@ _ARCH_MAP = {
     "DeepseekV2ForCausalLM": "deepseek_v2",
     "DeepseekV3ForCausalLM": "deepseek_v2",
     "Glm4ForCausalLM": "glm4",
+    "MiniMaxM2ForCausalLM": "minimax_m2",
+    "Qwen3NextForCausalLM": "qwen3_next",
     "Qwen2VLForConditionalGeneration": "qwen2_vl",
     "Qwen2_5_VLForConditionalGeneration": "qwen2_5_vl",
 }
@@ -59,12 +61,20 @@ def model_config_from_hf_dict(cfg: dict, model_path: str = "") -> ModelConfig:
         attention_bias=model_type == "qwen2" or cfg.get("attention_bias", False),
         qk_norm=model_type in ("qwen3", "qwen3_moe")
         or bool(cfg.get("use_qk_norm", False)),
-        partial_rotary_factor=cfg.get("partial_rotary_factor", 1.0),
+        partial_rotary_factor=cfg.get("partial_rotary_factor")
+        or (
+            # minimax-m2 convention: explicit rotary_dim out of head_dim
+            cfg["rotary_dim"] / (cfg.get("head_dim") or 128)
+            if cfg.get("rotary_dim")
+            else 1.0
+        ),
         use_sandwich_norms=model_type == "glm4",
         sliding_window=cfg.get("sliding_window")
         if cfg.get("use_sliding_window", False)
         else None,
-        num_experts=cfg.get("num_experts", 0) or cfg.get("n_routed_experts", 0),
+        num_experts=cfg.get("num_experts", 0)
+        or cfg.get("n_routed_experts", 0)
+        or cfg.get("num_local_experts", 0),
         num_experts_per_tok=cfg.get("num_experts_per_tok", 0),
         moe_intermediate_size=cfg.get("moe_intermediate_size", 0),
         norm_topk_prob=cfg.get("norm_topk_prob", False),
@@ -78,8 +88,24 @@ def model_config_from_hf_dict(cfg: dict, model_path: str = "") -> ModelConfig:
         first_k_dense_replace=cfg.get("first_k_dense_replace") or 0,
         n_shared_experts=cfg.get("n_shared_experts") or 0,
         routed_scaling_factor=cfg.get("routed_scaling_factor") or 1.0,
+        scoring_func=cfg.get("scoring_func", "softmax"),
+        n_group=cfg.get("n_group") or 1,
+        topk_group=cfg.get("topk_group") or 1,
         eos_token_ids=eos,
     )
+    if model_type == "qwen3_next":
+        mc.qk_norm = True
+        mc.full_attention_interval = cfg.get("full_attention_interval", 4)
+        mc.linear_conv_kernel_dim = cfg.get("linear_conv_kernel_dim", 4)
+        mc.linear_key_head_dim = cfg.get("linear_key_head_dim", 128)
+        mc.linear_num_key_heads = cfg.get("linear_num_key_heads", 16)
+        mc.linear_value_head_dim = cfg.get("linear_value_head_dim", 128)
+        mc.linear_num_value_heads = cfg.get("linear_num_value_heads", 32)
+        mc.shared_expert_intermediate_size = cfg.get(
+            "shared_expert_intermediate_size", 0
+        )
+        if not cfg.get("partial_rotary_factor"):
+            mc.partial_rotary_factor = 0.25
     if model_type in ("qwen2_vl", "qwen2_5_vl"):
         # VLM extras: vision tower config + M-RoPE sections + marker tokens.
         # HF nests the tower under "vision_config"; mrope sections live in

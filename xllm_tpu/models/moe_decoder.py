@@ -50,6 +50,8 @@ class MoeDecoderModel(DenseDecoderModel):
             )
 
         layers["router_w"] = w(k1, L, D, E)
+        if self.cfg.scoring_func == "sigmoid":
+            layers["router_bias"] = jnp.zeros((L, E), jnp.float32)
         layers["experts_gate_up"] = w(k2, L, E, D, 2 * I)
         layers["experts_down"] = w(k3, L, E, I, D)
         # EPLB slot map: placement[l, slot] = logical expert in that slot
@@ -63,6 +65,8 @@ class MoeDecoderModel(DenseDecoderModel):
         layers = out["layers"]
         del layers["gate_proj_w"], layers["up_proj_w"], layers["down_proj_w"]
         layers["router_w"] = P()
+        if self.cfg.scoring_func == "sigmoid":
+            layers["router_bias"] = P()
         # EP: experts sharded over the tp axis
         layers["experts_gate_up"] = P(None, TP_AXIS, None, None)
         layers["experts_down"] = P(None, TP_AXIS, None, None)
@@ -85,6 +89,10 @@ class MoeDecoderModel(DenseDecoderModel):
             c.norm_topk_prob,
             placement=lp.get("expert_placement"),
             return_counts=self.collect_expert_loads,
+            scoring=c.scoring_func,
+            bias=lp.get("router_bias"),
+            n_group=c.n_group,
+            topk_group=c.topk_group,
         )
         if self.collect_expert_loads:
             out, counts = out

@@ -38,6 +38,7 @@ def get_model_class(model_type: str) -> type:
 
     from xllm_tpu.models.mla_decoder import MlaDecoderModel
     from xllm_tpu.models import qwen2_vl  # noqa: F401 (registers qwen2_vl)
+    from xllm_tpu.models import qwen3_next  # noqa: F401 (registers)
 
     ModelRegistry._registry.setdefault("llama", DenseDecoderModel)
     # mistral == llama architecture + optional sliding-window attention
@@ -49,6 +50,12 @@ def get_model_class(model_type: str) -> type:
     ModelRegistry._registry.setdefault("qwen3_moe", MoeDecoderModel)
     ModelRegistry._registry.setdefault("deepseek_v2", MlaDecoderModel)
     ModelRegistry._registry.setdefault("deepseek_v3", MlaDecoderModel)
+    # kimi-k2 is the deepseek-v3 architecture with noaux_tc routing
+    # (reference kimi_k2.h REGISTER_CAUSAL_MODEL(kimi_k2, DeepseekV2...))
+    ModelRegistry._registry.setdefault("kimi_k2", MlaDecoderModel)
+    # minimax-m2: GQA + partial rotary + per-layer MoE with sigmoid/noaux
+    # routing (reference minimax_m2.h) -> the generic MoE decoder
+    ModelRegistry._registry.setdefault("minimax_m2", MoeDecoderModel)
     return ModelRegistry.get(model_type)
 
 

@@ -28,19 +28,53 @@ def route(
     router_w: jnp.ndarray,  # [D, E]
     num_experts_per_tok: int,
     norm_topk_prob: bool,
+    scoring: str = "softmax",
+    bias: jnp.ndarray | None = None,  # [E] e_score_correction_bias
+    n_group: int = 1,
+    topk_group: int = 1,
+    _id_map: jnp.ndarray | None = None,  # logical->physical remap [E]
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """-> (weights [T, k] f32, expert_ids [T, k] int32).
 
-    Softmax-then-topk, matching qwen3-moe (reference
-    xllm/core/layers/common/ MoE topk softmax path).
+    scoring="softmax": softmax-then-topk, matching qwen3-moe /
+    deepseek-v2 (reference xllm/core/layers/common/ MoE topk softmax path).
+    scoring="sigmoid": deepseek-v3 / kimi-k2 "noaux_tc" — sigmoid scores,
+    selection by score + correction bias with group-limited top-k
+    (reference kimi_k2.h topk_method noaux_tc), combine weights from the
+    UNbiased scores.
     """
     logits = jnp.dot(
         x, router_w.astype(x.dtype), preferred_element_type=jnp.float32
     )
-    probs = jax.nn.softmax(logits, axis=-1)
-    topv, topi = jax.lax.top_k(probs, num_experts_per_tok)
+    k = num_experts_per_tok
+    if scoring == "sigmoid":
+        scores = jax.nn.sigmoid(logits)
+        sel = scores if bias is None else scores + bias[None, :]
+        if n_group > 1:
+            t = sel.shape[0]
+            e = sel.shape[1]
+            gsel = sel.reshape(t, n_group, e // n_group)
+            # group strength = sum of its top-2 biased scores
+            g2, _ = jax.lax.top_k(gsel, 2)
+            gscore = g2.sum(axis=-1)  # [T, G]
+            _, gidx = jax.lax.top_k(gscore, topk_group)
+            gmask = (
+                jnp.zeros((t, n_group), jnp.bool_)
+                .at[jnp.arange(t)[:, None], gidx]
+                .set(True)
+            )
+            sel = jnp.where(
+                jnp.repeat(gmask, e // n_group, axis=1), sel, -jnp.inf
+            )
+        _, topi = jax.lax.top_k(sel, k)
+        topv = jnp.take_along_axis(scores, topi, axis=-1)
+    else:
+        probs = jax.nn.softmax(logits, axis=-1)
+        topv, topi = jax.lax.top_k(probs, k)
     if norm_topk_prob:
         topv = topv / jnp.maximum(topv.sum(axis=-1, keepdims=True), 1e-20)
+    if _id_map is not None:
+        topi = _id_map[topi]
     return topv, topi.astype(jnp.int32)
 
 
@@ -51,12 +85,15 @@ def moe_mlp_ref(
     down: jnp.ndarray,  # [E, I, D]
     num_experts_per_tok: int,
     norm_topk_prob: bool,
+    **route_kw,
 ) -> jnp.ndarray:
     """Dense oracle: every expert computed, masked combine. O(T*E) compute."""
     t, d = x.shape
     e, _, i2 = gate_up.shape
     i = i2 // 2
-    topv, topi = route(x, router_w, num_experts_per_tok, norm_topk_prob)
+    topv, topi = route(
+        x, router_w, num_experts_per_tok, norm_topk_prob, **route_kw
+    )
     # combine weight per (token, expert): [T, E]
     comb = jnp.zeros((t, e), jnp.float32)
     comb = jax.vmap(lambda c, idx, v: c.at[idx].add(v))(comb, topi, topv)
@@ -81,6 +118,7 @@ def moe_mlp_gmm(
     num_experts_per_tok: int,
     norm_topk_prob: bool,
     tiling: tuple[int, int, int] | None = None,
+    **route_kw,
 ) -> jnp.ndarray:
     """Sorted group-GEMM path (TPU): compute only the routed pairs."""
     from jax.experimental.pallas.ops.tpu.megablox import gmm
@@ -89,7 +127,7 @@ def moe_mlp_gmm(
     e = gate_up.shape[0]
     i = gate_up.shape[2] // 2
     k = num_experts_per_tok
-    topv, topi = route(x, router_w, k, norm_topk_prob)
+    topv, topi = route(x, router_w, k, norm_topk_prob, **route_kw)
 
     flat_e = topi.reshape(-1)  # [T*k]
     order = jnp.argsort(flat_e)  # pairs sorted by expert
@@ -126,12 +164,15 @@ def expert_counts(
     router_w: jnp.ndarray,
     num_experts_per_tok: int,
     norm_topk_prob: bool,
+    **route_kw,
 ) -> jnp.ndarray:
     """Per-physical-slot routed token counts [E] int32 — the live load
     signal the reference's EplbManager collects every step
     (eplb_manager.h:28, worker hook llm_worker_impl.cpp:249-251)."""
     e = router_w.shape[-1]
-    _, topi = route(x, router_w, num_experts_per_tok, norm_topk_prob)
+    _, topi = route(
+        x, router_w, num_experts_per_tok, norm_topk_prob, **route_kw
+    )
     return (
         jnp.zeros((e,), jnp.int32).at[topi.reshape(-1)].add(1)
     )
@@ -146,23 +187,36 @@ def moe_mlp(
     norm_topk_prob: bool,
     placement: jnp.ndarray | None = None,
     return_counts: bool = False,
+    **route_kw,
 ):
     """placement [E] is the EPLB slot map: placement[slot] = the LOGICAL
     expert whose weights live in physical slot `slot` (reference
     EplbExecutor routing remap). Permuting the router columns to slot
     order makes top-k ids physical, so gather/combine stay unchanged."""
     if placement is not None:
-        router_w = router_w[:, placement]
+        if route_kw.get("n_group", 1) > 1:
+            # group-limited selection is defined on the LOGICAL expert
+            # order, so don't permute the router columns; instead remap the
+            # chosen logical ids to physical slots afterwards (identical
+            # selection, EPLB-placed weights)
+            inv = jnp.argsort(placement)
+            route_kw = dict(route_kw, _id_map=inv)
+        else:
+            router_w = router_w[:, placement]
+            if route_kw.get("bias") is not None:
+                route_kw = dict(route_kw, bias=route_kw["bias"][placement])
     if jax.default_backend() == "tpu":
         out = moe_mlp_gmm(
-            x, router_w, gate_up, down, num_experts_per_tok, norm_topk_prob
+            x, router_w, gate_up, down, num_experts_per_tok, norm_topk_prob,
+            **route_kw,
         )
     else:
         out = moe_mlp_ref(
-            x, router_w, gate_up, down, num_experts_per_tok, norm_topk_prob
+            x, router_w, gate_up, down, num_experts_per_tok, norm_topk_prob,
+            **route_kw,
         )
     if return_counts:
         return out, expert_counts(
-            x, router_w, num_experts_per_tok, norm_topk_prob
+            x, router_w, num_experts_per_tok, norm_topk_prob, **route_kw
         )
     return out

@@ -39,8 +39,72 @@ def rope_inv_freq(
             out = jnp.where(wavelen > low_wavelen, inv_freq / factor, inv_freq)
             is_medium = (wavelen <= low_wavelen) & (wavelen >= high_wavelen)
             inv_freq = jnp.where(is_medium, smoothed, out)
-        # "default"/yarn etc. fall through (yarn added with deepseek support)
+        elif rtype == "yarn":
+            # YaRN NTK-by-parts (HF modeling_rope_utils yarn; reference
+            # rotary_embedding yarn path). Frequencies blend interpolation
+            # (long-wavelength) with extrapolation (short-wavelength) over a
+            # linear ramp between the beta_fast/beta_slow correction dims.
+            import math
+
+            factor = rope_scaling["factor"]
+            dim = head_dim
+            beta_fast = rope_scaling.get("beta_fast", 32.0)
+            beta_slow = rope_scaling.get("beta_slow", 1.0)
+            old_len = rope_scaling["original_max_position_embeddings"]
+
+            def corr_dim(num_rot):
+                return (
+                    dim
+                    * math.log(old_len / (num_rot * 2 * math.pi))
+                    / (2 * math.log(theta))
+                )
+
+            low = max(math.floor(corr_dim(beta_fast)), 0)
+            high = min(math.ceil(corr_dim(beta_slow)), dim - 1)
+            if low == high:
+                high += 0.001
+            ramp = jnp.clip(
+                (jnp.arange(dim // 2, dtype=jnp.float32) - low)
+                / (high - low),
+                0.0,
+                1.0,
+            )
+            extrap = 1.0 - ramp
+            inv_freq = (inv_freq / factor) * (1 - extrap) + inv_freq * extrap
+        # "default" falls through
     return inv_freq
+
+
+def rope_mscale(rope_scaling: dict | None) -> float:
+    """YaRN attention-magnitude correction.
+
+    HF multiplies cos/sin by this factor (so attention scores pick up
+    mscale**2); our models keep cos/sin unscaled and instead multiply the
+    softmax scale by ``rope_mscale(...)**2`` — identical scores. Deepseek
+    checkpoints carry explicit mscale/mscale_all_dim knobs."""
+    import math
+
+    if not rope_scaling:
+        return 1.0
+    rtype = rope_scaling.get("rope_type", rope_scaling.get("type", ""))
+    if rtype != "yarn":
+        return 1.0
+    factor = rope_scaling["factor"]
+
+    def get_mscale(scale, mscale=1.0):
+        if scale <= 1.0:
+            return 1.0
+        return 0.1 * mscale * math.log(scale) + 1.0
+
+    if "mscale" in rope_scaling:
+        # deepseek convention. HF splits the correction between cos/sin
+        # (ratio m1/m2) and the softmax scale (m2^2) — total scores factor
+        # m1^2; we apply it all at the softmax scale so return m1.
+        return get_mscale(factor, rope_scaling["mscale"])
+    af = rope_scaling.get("attention_factor")
+    if af is not None:
+        return float(af)
+    return get_mscale(factor)
 
 
 def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:

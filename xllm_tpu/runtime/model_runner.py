@@ -247,18 +247,10 @@ class ModelRunner:
                 "float32": jnp.float32,
                 "fp8_e4m3": jnp.float8_e4m3fn,
             }[self.config.cache.kv_cache_dtype]
+        self.model.num_state_slots = self.max_slots
         k, v = self.model.new_kv_cache(self.num_blocks, self.block_size, kv_dtype)
         if self.mesh is not None:
-            from jax.sharding import NamedSharding
-
-            spec = self.model.kv_cache_sharding()
-            sh = NamedSharding(self.mesh, spec)
-            rep = replicated(self.mesh)
-
-            def put(x):  # MLA's latent pair carries a rank-1 placeholder
-                return jax.device_put(x, sh if x.ndim >= len(spec) else rep)
-
-            k, v = put(k), put(v)
+            k, v = self.model.place_caches(k, v, self.mesh)
         self.k_cache, self.v_cache = k, v
         if self.draft_head is not None:
             dk, dv = self.draft_head.new_kv_cache(
