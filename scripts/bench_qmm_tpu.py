@@ -30,7 +30,7 @@ SHAPES = [  # (K, N) big projections of the bench model
 ]
 
 
-def slope_ms(fn, n1=8, n2=32):
+def slope_ms(fn, n1=32, n2=128):
     out = fn()
     np.asarray(out)
     t0 = time.perf_counter()

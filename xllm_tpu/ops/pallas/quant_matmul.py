@@ -168,6 +168,7 @@ def _qmm_v2_kernel(
     tn: int,
     n_tiles: int,
     act_quant: bool,
+    w_is_f8: bool = False,
 ):
     i, j = pl.program_id(0), pl.program_id(1)
     k = w_buf.shape[1]
@@ -206,6 +207,10 @@ def _qmm_v2_kernel(
 
     wait(slot)
     w = w_buf[slot]
+    if w_is_f8:
+        # weights travel as int8 bits (f8-dtype DMA/scratch crashes the
+        # v5e Mosaic compiler); reinterpret before the MXU upcast
+        w = jax.lax.bitcast_convert_type(w, jnp.float8_e4m3fn)
     if w.dtype == jnp.int8 and act_quant:
         acc = jax.lax.dot(
             xq_ref[...], w, preferred_element_type=jnp.int32
@@ -224,10 +229,18 @@ def _qmm_v2(x, w_q, scale, out_dtype, interpret, act_quant):
     m, k = x.shape
     _, n = w_q.shape
     tm = _pick_tile(m, 256)
-    # bound VMEM: 2 weight buffers + x + out under ~10 MB
+    # bound VMEM: 2 weight buffers + (fp8 path) the bf16 upcast copy of one
+    # weight tile + x + out under ~10 MB of the 16 MB scoped budget
     tn_cap = 2048
     wb = 1 if w_q.dtype != jnp.bfloat16 else 2
-    while tn_cap > 128 and 2 * k * tn_cap * wb + tm * k + tm * tn_cap * 4 > 10 * 1024 * 1024:
+    upcast = 2 * k if w_q.dtype == jnp.float8_e4m3fn else 0
+    # the upcast chain (bitcast + f8->bf16) makes Mosaic's stack accounting
+    # much fatter than the raw tile bytes; give the fp8 path a smaller cap
+    budget = (5 if upcast else 10) * 1024 * 1024
+    while tn_cap > 128 and (
+        2 * k * tn_cap * wb + upcast * tn_cap + tm * k + tm * tn_cap * 4
+        > budget
+    ):
         tn_cap //= 2
     tn = _pick_tile(n, tn_cap)
     n_tiles = n // tn
@@ -243,9 +256,12 @@ def _qmm_v2(x, w_q, scale, out_dtype, interpret, act_quant):
         sx = jnp.zeros((m, 1), jnp.float32)
         xin = x
 
+    w_is_f8 = w_q.dtype == jnp.float8_e4m3fn
+    if w_is_f8 and not interpret:
+        w_q = jax.lax.bitcast_convert_type(w_q, jnp.int8)
     kernel = functools.partial(
         _qmm_v2_kernel, out_dtype=out_dtype, tn=tn, n_tiles=n_tiles,
-        act_quant=act_quant,
+        act_quant=act_quant, w_is_f8=w_is_f8 and not interpret,
     )
     return pl.pallas_call(
         kernel,
@@ -261,7 +277,7 @@ def _qmm_v2(x, w_q, scale, out_dtype, interpret, act_quant):
         ),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, k, tn), w_q.dtype),
+            pltpu.VMEM((2, k, tn), w_q.dtype),  # int8 bits when f8
             pltpu.SemaphoreType.DMA((2, split)),
         ],
         compiler_params=pltpu.CompilerParams(

@@ -62,7 +62,12 @@ def quant_matmul(
             quant_matmul_fp8_v2,
         )
 
-        return (quant_matmul_fp8_v2 if v2 else quant_matmul_fp8)(
+        # fp8 defaults to v1: the v2 double-buffered variant crashes the
+        # Mosaic compiler for f8 weight scratch on v5e (and a crashed
+        # remote compile wedges the axon tunnel for ~18 min) — opt in
+        # explicitly with XLLM_QMM_KERNEL=v2-fp8 once fixed
+        fp8_v2 = os.environ.get("XLLM_QMM_KERNEL", "") == "v2-fp8"
+        return (quant_matmul_fp8_v2 if fp8_v2 else quant_matmul_fp8)(
             x, w_q, scale
         )
     w = w_q.astype(x.dtype) * scale[None, :].astype(x.dtype)
