@@ -264,3 +264,45 @@ def test_minimax_m2_engine():
     out = eng.generate_all()[0].outputs[0].token_ids
     assert len(out) == 6
     assert eng.block_manager.num_used_blocks == 0
+
+
+def test_moe_mlp_ep_matches_ref():
+    """shard_map expert-parallel MoE == dense oracle on the 8-device CPU
+    mesh (each device computes only its local experts, psum combine)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from xllm_tpu.ops.moe import moe_mlp_ep, moe_mlp_ref
+
+    devs = np.array(jax.devices()[:8]).reshape(8)
+    mesh = Mesh(devs, ("tp",))
+    rng = np.random.default_rng(0)
+    t, d, e, i, k = 12, 16, 8, 32, 2
+    x = jnp.asarray(rng.standard_normal((t, d)), jnp.float32)
+    rw = jnp.asarray(rng.standard_normal((d, e)) * 0.3, jnp.float32)
+    gu = jnp.asarray(rng.standard_normal((e, d, 2 * i)) * 0.1, jnp.float32)
+    dn = jnp.asarray(rng.standard_normal((e, i, d)) * 0.1, jnp.float32)
+
+    want = moe_mlp_ref(x, rw, gu, dn, k, True)
+
+    gu_s = jax.device_put(gu, NamedSharding(mesh, P("tp")))
+    dn_s = jax.device_put(dn, NamedSharding(mesh, P("tp")))
+    got = jax.jit(
+        lambda *a: moe_mlp_ep(*a, num_experts_per_tok=k,
+                              norm_topk_prob=True, mesh=mesh)
+    )(x, rw, gu_s, dn_s)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    # sigmoid/noaux routing composes
+    bias = jnp.asarray(rng.standard_normal(e) * 0.1, jnp.float32)
+    from xllm_tpu.ops.moe import moe_mlp_ref as _ref
+    want2 = _ref(x, rw, gu, dn, k, True, scoring="sigmoid", bias=bias)
+    got2 = jax.jit(
+        lambda *a: moe_mlp_ep(*a, num_experts_per_tok=k,
+                              norm_topk_prob=True, mesh=mesh,
+                              scoring="sigmoid", bias=bias)
+    )(x, rw, gu_s, dn_s)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=2e-5, atol=2e-5)

@@ -220,3 +220,71 @@ def moe_mlp(
             x, router_w, num_experts_per_tok, norm_topk_prob, **route_kw
         )
     return out
+
+
+def moe_mlp_ep(
+    x: jnp.ndarray,  # [T, D] replicated
+    router_w: jnp.ndarray,  # [D, E] replicated
+    gate_up: jnp.ndarray,  # [E, D, 2I] sharded on E over `axis`
+    down: jnp.ndarray,  # [E, I, D] sharded on E over `axis`
+    num_experts_per_tok: int,
+    norm_topk_prob: bool,
+    mesh,
+    axis: str = "tp",
+    **route_kw,
+) -> jnp.ndarray:
+    """Explicit expert-parallel MoE via shard_map.
+
+    Counterpart of the reference's EP dispatch/combine collectives
+    (reference fused_moe.cpp MoE dispatch/combine + DeepEP wrapper,
+    ops_api.h all2all rows): each device holds E/n experts, routes on the
+    replicated router, computes ONLY its local experts' contributions and
+    psum-combines over the axis. Tokens stay replicated (attention output
+    is already replicated after the TP all-reduce), so no ragged all2all
+    is needed on an ICI mesh — the collective is one psum of [T, D].
+
+    Compute is O(T * E_local) per device on the dense path, or megablox
+    gmm over the local expert stack on TPU.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    ntp = mesh.shape[axis]
+    e = router_w.shape[-1]
+    el = e // ntp
+    assert el * ntp == e, "num_experts must divide the EP axis size"
+    k = num_experts_per_tok
+
+    def local_fn(xl, rw, gu, dn):
+        t = xl.shape[0]
+        topv, topi = route(xl, rw, k, norm_topk_prob, **route_kw)
+        ax = jax.lax.axis_index(axis)
+        lo = ax * el
+        # combine weights for LOCAL experts only: [T, El]
+        local_id = topi - lo
+        in_range = (local_id >= 0) & (local_id < el)
+        safe_id = jnp.where(in_range, local_id, 0)
+        w_masked = jnp.where(in_range, topv, 0.0)
+        comb = jnp.zeros((t, el), jnp.float32)
+        comb = jax.vmap(lambda c, idx, v: c.at[idx].add(v))(
+            comb, safe_id, w_masked
+        )
+        i = gu.shape[2] // 2
+        guo = jnp.einsum(
+            "td,edi->tei", xl, gu, preferred_element_type=jnp.float32
+        )
+        act = jax.nn.silu(guo[..., :i]) * guo[..., i:]
+        out = jnp.einsum(
+            "tei,eid->ted", act.astype(xl.dtype), dn,
+            preferred_element_type=jnp.float32,
+        )
+        local_out = jnp.einsum("ted,te->td", out, comb)
+        return jax.lax.psum(local_out, axis).astype(xl.dtype)
+
+    return shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis), P(axis)),
+        out_specs=P(),
+        check_rep=False,
+    )(x, router_w, gate_up, down)
