@@ -159,12 +159,32 @@ def _tiny_hf_model(tmp_path, family):
 
         cfg = Glm4Config(**common, head_dim=16, partial_rotary_factor=0.5,
                          attention_bias=True, pad_token_id=0)
+    elif family == "glm4_moe":
+        from transformers import Glm4MoeConfig
+
+        cfg = Glm4MoeConfig(
+            **common,
+            head_dim=16,
+            partial_rotary_factor=0.5,
+            attention_bias=True,
+            use_qk_norm=True,
+            n_routed_experts=8,
+            num_experts_per_tok=2,
+            moe_intermediate_size=32,
+            n_shared_experts=1,
+            routed_scaling_factor=1.5,
+            n_group=2,
+            topk_group=1,
+            first_k_dense_replace=1,
+            norm_topk_prob=True,
+            pad_token_id=0,
+        )
     else:
         raise ValueError(family)
     torch.manual_seed(0)
     model = AutoModelForCausalLM.from_config(cfg)
     model = model.eval().to(torch.float32)
-    if family == "deepseek_v3":
+    if family in ("deepseek_v3", "glm4_moe"):
         # exercise a NON-zero e_score_correction_bias (kimi-k2 routing)
         with torch.no_grad():
             for layer in model.model.layers:
@@ -183,7 +203,7 @@ def _tiny_hf_model(tmp_path, family):
 @pytest.mark.parametrize(
     "family",
     ["qwen2", "qwen3", "llama", "qwen3_moe", "deepseek_v2", "deepseek_v3",
-     "glm4", "qwen3_next"],
+     "glm4", "glm4_moe", "qwen3_next"],
 )
 def test_logits_and_greedy_match_hf(tmp_path, family):
     import torch

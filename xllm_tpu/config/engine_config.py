@@ -60,6 +60,10 @@ class ModelConfig:
     attention_bias: bool = False  # qwen2 uses qkv bias; qwen3/llama do not
     qk_norm: bool = False  # qwen3 per-head q/k RMSNorm
     partial_rotary_factor: float = 1.0  # glm4 ropes only the first half
+    # partial-rope pair convention: True = interleaved even/odd pairs
+    # (glm4, minimax-m2), False = llama rotate-half on the rotary slice
+    # (glm4-moe). Full-dim rope ignores this (always rotate-half).
+    rope_interleaved: bool = True
     use_sandwich_norms: bool = False  # glm4 post-attn/post-mlp extra norms
     sliding_window: int | None = None
     # MoE (qwen3-moe / deepseek style); 0 experts = dense

@@ -225,25 +225,35 @@ class DenseDecoderModel:
             q = rms_norm(q, lp["q_norm"], c.rms_norm_eps)
             k = rms_norm(k, lp["k_norm"], c.rms_norm_eps)
         if c.partial_rotary_factor < 1.0:
-            from xllm_tpu.ops.rope import apply_rope_partial_interleaved_cos
+            rd = int(dh * c.partial_rotary_factor)
+            if c.rope_interleaved:
+                from xllm_tpu.ops.rope import (
+                    apply_rope_partial_interleaved_cos,
+                )
 
-            q, k = apply_rope_partial_interleaved_cos(
-                q, k, positions, inv_freq, int(dh * c.partial_rotary_factor)
-            )
+                q, k = apply_rope_partial_interleaved_cos(
+                    q, k, positions, inv_freq, rd
+                )
+            else:  # glm4-moe: rotate-half on the rotary slice
+                from xllm_tpu.ops.rope import apply_rope_partial
+
+                q, k = apply_rope_partial(q, k, positions, inv_freq, rd)
         else:
             q, k = apply_rope(q, k, positions, inv_freq)
         return q, k, v
 
-    def _run_layers(
+    def _run_stack(
         self,
-        params: dict,
+        stack: dict,  # layer params stacked on a leading axis
+        layer0: int,  # absolute index of the stack's first layer
+        x: jnp.ndarray,
         k_all: jnp.ndarray,
         v_all: jnp.ndarray,
-        x: jnp.ndarray,  # [T, D]
         positions: jnp.ndarray,
-        slot_mapping: jnp.ndarray,
-        attn_fn,  # (q, k, v, k_all, v_all, layer_idx) -> (attn, k_all, v_all)
-    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        attn_fn,
+        mlp_fn,  # (lp, h) -> mlp output
+    ):
+        """One lax.scan over a homogeneous layer stack -> (x, k, v, aux)."""
         c = self.cfg
         t = x.shape[0]
         rotary_dim = int(c.head_dim * c.partial_rotary_factor)
@@ -263,7 +273,7 @@ class DenseDecoderModel:
                 )
             x = x + attn_out
             h = rms_norm(x, lp["post_attention_layernorm"], c.rms_norm_eps)
-            mlp_out = self._mlp(lp, h)
+            mlp_out = mlp_fn(lp, h)
             if c.use_sandwich_norms:
                 mlp_out = rms_norm(
                     mlp_out, lp["post_mlp_layernorm"], c.rms_norm_eps
@@ -271,14 +281,31 @@ class DenseDecoderModel:
             x = x + mlp_out
             return (x, k_all, v_all), self._scan_aux
 
-        layer_ids = jnp.arange(c.num_hidden_layers, dtype=jnp.int32)
+        n = stack["input_layernorm"].shape[0]
+        layer_ids = layer0 + jnp.arange(n, dtype=jnp.int32)
         (x, k_all, v_all), aux = jax.lax.scan(
-            body, (x, k_all, v_all), (params["layers"], layer_ids)
+            body, (x, k_all, v_all), (stack, layer_ids)
+        )
+        return x, k_all, v_all, aux
+
+    def _run_layers(
+        self,
+        params: dict,
+        k_all: jnp.ndarray,
+        v_all: jnp.ndarray,
+        x: jnp.ndarray,  # [T, D]
+        positions: jnp.ndarray,
+        slot_mapping: jnp.ndarray,
+        attn_fn,  # (q, k, v, k_all, v_all, layer_idx) -> (attn, k_all, v_all)
+    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        x, k_all, v_all, aux = self._run_stack(
+            params["layers"], 0, x, k_all, v_all, positions, attn_fn,
+            self._mlp,
         )
         # stacked per-layer expert counts [L, E] (None for dense models)
         self._expert_counts = aux
         self._prenorm_hidden = x  # pre-final-norm states (MTP head input)
-        x = rms_norm(x, params["norm"], c.rms_norm_eps)
+        x = rms_norm(x, params["norm"], self.cfg.rms_norm_eps)
         return x, k_all, v_all
 
     def prefill(

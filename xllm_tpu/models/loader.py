@@ -529,14 +529,30 @@ def load_dense_params(
                 sh = sh[part]
         return jax.device_put(arr, sh)
 
+    # glm4-moe: a dense-MLP prefix of first_k_dense_replace layers lives in
+    # a separate "dense_layers" stack (mirrors MoeDecoderModel.init_params)
+    nd = cfg.first_k_dense_replace if cfg.num_experts > 0 else 0
     params: dict = {"layers": {}}
+    if nd > 0:
+        params["dense_layers"] = {}
     params["embed_tokens"] = put("embed_tokens", reader.get("model.embed_tokens.weight"))
     params["norm"] = put("norm", reader.get("model.norm.weight"))
     if not cfg.tie_word_embeddings:
         lm = reader.get("lm_head.weight")
         params["lm_head"] = put("lm_head", np.ascontiguousarray(lm.T))
 
+    def put_layer_stack(pname: str, stacked: np.ndarray):
+        if nd > 0:
+            params["dense_layers"][pname] = put(
+                f"dense_layers.{pname}", stacked[:nd]
+            )
+            params["layers"][pname] = put(f"layers.{pname}", stacked[nd:])
+        else:
+            params["layers"][pname] = put(f"layers.{pname}", stacked)
+
     for pname, (template, transpose) in _LAYER_MAP.items():
+        if pname == "down_proj_w" and nd > 0:
+            continue  # dense-prefix MLP loads below; moe layers have no mlp.down_proj
         first = template.format(i=0)
         if first not in reader:
             continue
@@ -547,7 +563,7 @@ def load_dense_params(
                 t = np.ascontiguousarray(t.T)
             per_layer.append(t)
         stacked = np.stack(per_layer, axis=0)
-        params["layers"][pname] = put(f"layers.{pname}", stacked)
+        put_layer_stack(pname, stacked)
         logger.info("loaded %s %s", pname, stacked.shape)
 
     # fused projections (group-major qkv; [D, 2, I] gate_up)
@@ -564,7 +580,7 @@ def load_dense_params(
         ],
         axis=0,
     )
-    params["layers"]["qkv_proj_w"] = put("layers.qkv_proj_w", qkv_w)
+    put_layer_stack("qkv_proj_w", qkv_w)
     logger.info("loaded qkv_proj_w %s", qkv_w.shape)
     if attn.format(i=0, p="q", t="bias") in reader:
         qkv_b = np.stack(
@@ -579,9 +595,29 @@ def load_dense_params(
             ],
             axis=0,
         )
-        params["layers"]["qkv_proj_b"] = put("layers.qkv_proj_b", qkv_b)
+        put_layer_stack("qkv_proj_b", qkv_b)
     if cfg.num_experts > 0:
-        _load_moe_mlp(cfg, reader, params, put, L)
+        if nd > 0:
+            for pname, hf in (
+                ("gate_proj_w", "gate_proj"),
+                ("up_proj_w", "up_proj"),
+                ("down_proj_w", "down_proj"),
+            ):
+                params["dense_layers"][pname] = put(
+                    f"dense_layers.{pname}",
+                    np.stack(
+                        [
+                            np.ascontiguousarray(
+                                reader.get(
+                                    f"model.layers.{i}.mlp.{hf}.weight"
+                                ).T
+                            )
+                            for i in range(nd)
+                        ],
+                        axis=0,
+                    ),
+                )
+        _load_moe_mlp(cfg, reader, params, put, L, first_layer=nd)
     elif "model.layers.0.mlp.gate_up_proj.weight" in reader:
         # glm4-style fused gate_up: rows [gate | up]
         gates, ups = [], []
@@ -618,15 +654,23 @@ def load_dense_params(
     return params
 
 
-def _load_moe_mlp(cfg: ModelConfig, reader, params, put, L: int) -> None:
-    """qwen3-moe expert stacks: router [D, E], experts [E, D, 2I]/[E, I, D]."""
+def _load_moe_mlp(
+    cfg: ModelConfig, reader, params, put, L: int, first_layer: int = 0
+) -> None:
+    """qwen3-moe expert stacks: router [D, E], experts [E, D, 2I]/[E, I, D].
+
+    ``first_layer`` skips a glm4-moe-style dense prefix; the stacks then
+    cover layers [first_layer, L).
+    """
     E = cfg.num_experts
+    lids = range(first_layer, L)
+    nm = L - first_layer
     router = np.stack(
         [
             np.ascontiguousarray(
                 reader.get(f"model.layers.{i}.mlp.gate.weight").T
             )
-            for i in range(L)
+            for i in lids
         ],
         axis=0,
     )
@@ -638,13 +682,13 @@ def _load_moe_mlp(cfg: ModelConfig, reader, params, put, L: int) -> None:
         "model.layers.{i}.mlp.e_score_correction_bias",
     ]
     for tmpl in bias_names:
-        if tmpl.format(i=0) in reader:
+        if tmpl.format(i=first_layer) in reader:
             params["layers"]["router_bias"] = put(
                 "layers.router_bias",
                 np.stack(
                     [
                         reader.get(tmpl.format(i=i)).astype(np.float32)
-                        for i in range(L)
+                        for i in lids
                     ],
                     axis=0,
                 ),
@@ -659,7 +703,7 @@ def _load_moe_mlp(cfg: ModelConfig, reader, params, put, L: int) -> None:
         )
 
     gus, downs = [], []
-    for i in range(L):
+    for i in lids:
         gus.append(
             np.stack(
                 [
@@ -678,11 +722,32 @@ def _load_moe_mlp(cfg: ModelConfig, reader, params, put, L: int) -> None:
     params["layers"]["experts_down"] = put(
         "layers.experts_down", np.stack(downs, axis=0)
     )
+    if cfg.n_shared_experts > 0:
+        for pname, hf in (
+            ("shared_gate_proj_w", "gate_proj"),
+            ("shared_up_proj_w", "up_proj"),
+            ("shared_down_proj_w", "down_proj"),
+        ):
+            params["layers"][pname] = put(
+                f"layers.{pname}",
+                np.stack(
+                    [
+                        np.ascontiguousarray(
+                            reader.get(
+                                f"model.layers.{i}.mlp.shared_experts"
+                                f".{hf}.weight"
+                            ).T
+                        )
+                        for i in lids
+                    ],
+                    axis=0,
+                ),
+            )
     params["layers"]["expert_placement"] = put(
         "layers.expert_placement",
-        np.tile(np.arange(E, dtype=np.int32), (L, 1)),
+        np.tile(np.arange(E, dtype=np.int32), (nm, 1)),
     )
-    logger.info("loaded %d experts x %d layers", E, L)
+    logger.info("loaded %d experts x %d moe layers", E, nm)
 
 
 def load_mtp_head_params(

@@ -22,7 +22,9 @@ _ARCH_MAP = {
     "DeepseekV2ForCausalLM": "deepseek_v2",
     "DeepseekV3ForCausalLM": "deepseek_v2",
     "Glm4ForCausalLM": "glm4",
+    "Glm4MoeForCausalLM": "glm4_moe",
     "MiniMaxM2ForCausalLM": "minimax_m2",
+    "MiMoForCausalLM": "mimo",
     "Qwen3NextForCausalLM": "qwen3_next",
     "Qwen2VLForConditionalGeneration": "qwen2_vl",
     "Qwen2_5_VLForConditionalGeneration": "qwen2_5_vl",
@@ -58,7 +60,10 @@ def model_config_from_hf_dict(cfg: dict, model_path: str = "") -> ModelConfig:
         rope_scaling=cfg.get("rope_scaling"),
         max_position_embeddings=cfg.get("max_position_embeddings", 32768),
         tie_word_embeddings=cfg.get("tie_word_embeddings", False),
-        attention_bias=model_type == "qwen2" or cfg.get("attention_bias", False),
+        # mimo defaults attention_bias=true (reference mimo.h LOAD_ARG_OR)
+        attention_bias=model_type in ("qwen2", "mimo")
+        if "attention_bias" not in cfg
+        else bool(cfg.get("attention_bias")),
         qk_norm=model_type in ("qwen3", "qwen3_moe")
         or bool(cfg.get("use_qk_norm", False)),
         partial_rotary_factor=cfg.get("partial_rotary_factor")
@@ -93,6 +98,12 @@ def model_config_from_hf_dict(cfg: dict, model_path: str = "") -> ModelConfig:
         topk_group=cfg.get("topk_group") or 1,
         eos_token_ids=eos,
     )
+    if model_type == "glm4_moe":
+        # sigmoid routing + correction bias are hardcoded in the HF
+        # Glm4MoeTopkRouter; partial rope uses the llama rotate-half
+        # convention (not glm4-dense's interleaved pairs)
+        mc.scoring_func = "sigmoid"
+        mc.rope_interleaved = False
     if model_type == "qwen3_next":
         mc.qk_norm = True
         mc.full_attention_interval = cfg.get("full_attention_interval", 4)

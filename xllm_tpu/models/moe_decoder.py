@@ -32,37 +32,54 @@ class MoeDecoderModel(DenseDecoderModel):
             raise NotImplementedError(
                 "dense/sparse mixed stacks land with the deepseek family"
             )
+        # glm4-moe: first k layers are plain dense MLP layers (reference
+        # glm4_moe first_k_dense_replace, model_registry.h:150-247)
+        self.n_dense = cfg.first_k_dense_replace
+        self.n_moe = cfg.num_hidden_layers - self.n_dense
 
     # ------------------------------------------------------------------
     def init_params(self, rng: jax.Array) -> dict:
         c = self.cfg
         params = super().init_params(rng)
-        layers = params["layers"]
+        full = params["layers"]
+        nd, nm = self.n_dense, self.n_moe
+        if nd > 0:
+            params["dense_layers"] = {k: v[:nd] for k, v in full.items()}
+            full = {k: v[nd:] for k, v in full.items()}
+        layers = params["layers"] = full
         del layers["gate_proj_w"], layers["up_proj_w"], layers["down_proj_w"]
-        L, D, E = c.num_hidden_layers, c.hidden_size, c.num_experts
+        D, E = c.hidden_size, c.num_experts
         I = c.moe_intermediate_size
 
-        k1, k2, k3 = jax.random.split(rng, 3)
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
 
         def w(key, *shape, scale=0.02):
             return (jax.random.normal(key, shape, jnp.float32) * scale).astype(
                 self.dtype
             )
 
-        layers["router_w"] = w(k1, L, D, E)
+        layers["router_w"] = w(k1, nm, D, E)
         if self.cfg.scoring_func == "sigmoid":
-            layers["router_bias"] = jnp.zeros((L, E), jnp.float32)
-        layers["experts_gate_up"] = w(k2, L, E, D, 2 * I)
-        layers["experts_down"] = w(k3, L, E, I, D)
+            layers["router_bias"] = jnp.zeros((nm, E), jnp.float32)
+        layers["experts_gate_up"] = w(k2, nm, E, D, 2 * I)
+        layers["experts_down"] = w(k3, nm, E, I, D)
+        if c.n_shared_experts > 0:
+            SI = c.n_shared_experts * I
+            s1, s2, s3 = jax.random.split(k4, 3)
+            layers["shared_gate_proj_w"] = w(s1, nm, D, SI)
+            layers["shared_up_proj_w"] = w(s2, nm, D, SI)
+            layers["shared_down_proj_w"] = w(s3, nm, SI, D)
         # EPLB slot map: placement[l, slot] = logical expert in that slot
         layers["expert_placement"] = jnp.tile(
-            jnp.arange(E, dtype=jnp.int32), (L, 1)
+            jnp.arange(E, dtype=jnp.int32), (nm, 1)
         )
         return params
 
     def param_shardings(self) -> dict:
         out = super().param_shardings()
         layers = out["layers"]
+        if self.n_dense > 0:
+            out["dense_layers"] = dict(layers)
         del layers["gate_proj_w"], layers["up_proj_w"], layers["down_proj_w"]
         layers["router_w"] = P()
         if self.cfg.scoring_func == "sigmoid":
@@ -70,6 +87,10 @@ class MoeDecoderModel(DenseDecoderModel):
         # EP: experts sharded over the tp axis
         layers["experts_gate_up"] = P(None, TP_AXIS, None, None)
         layers["experts_down"] = P(None, TP_AXIS, None, None)
+        if self.cfg.n_shared_experts > 0:
+            layers["shared_gate_proj_w"] = P(None, None, TP_AXIS)
+            layers["shared_up_proj_w"] = P(None, None, TP_AXIS)
+            layers["shared_down_proj_w"] = P(None, TP_AXIS, None)
         layers["expert_placement"] = P()
         return out
 
@@ -99,4 +120,36 @@ class MoeDecoderModel(DenseDecoderModel):
             self._scan_aux = counts
         else:
             self._scan_aux = None
-        return out
+        if c.routed_scaling_factor != 1.0:
+            out = out * c.routed_scaling_factor
+        if c.n_shared_experts > 0:
+            gate = self._linear(lp, "shared_gate_proj_w", x)
+            up = self._linear(lp, "shared_up_proj_w", x)
+            act = (jax.nn.silu(gate) * up).astype(x.dtype)
+            out = out + self._linear(lp, "shared_down_proj_w", act).astype(
+                x.dtype
+            )
+        return out.astype(x.dtype)
+
+    # ------------------------------------------------------------------
+    def _run_layers(
+        self, params, k_all, v_all, x, positions, slot_mapping, attn_fn
+    ):
+        if self.n_dense == 0:
+            return super()._run_layers(
+                params, k_all, v_all, x, positions, slot_mapping, attn_fn
+            )
+        from xllm_tpu.ops.norms import rms_norm
+
+        x, k_all, v_all, _ = self._run_stack(
+            params["dense_layers"], 0, x, k_all, v_all, positions, attn_fn,
+            lambda lp, h: DenseDecoderModel._mlp(self, lp, h),
+        )
+        x, k_all, v_all, aux = self._run_stack(
+            params["layers"], self.n_dense, x, k_all, v_all, positions,
+            attn_fn, self._mlp,
+        )
+        self._expert_counts = aux  # [n_moe, E] (None unless collecting)
+        self._prenorm_hidden = x
+        x = rms_norm(x, params["norm"], self.cfg.rms_norm_eps)
+        return x, k_all, v_all

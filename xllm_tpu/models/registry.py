@@ -56,6 +56,14 @@ def get_model_class(model_type: str) -> type:
     # minimax-m2: GQA + partial rotary + per-layer MoE with sigmoid/noaux
     # routing (reference minimax_m2.h) -> the generic MoE decoder
     ModelRegistry._registry.setdefault("minimax_m2", MoeDecoderModel)
+    # glm4-moe (GLM-4.5/4.6): GQA + partial rotate-half rope + deepseek
+    # noaux_tc routing + shared expert + dense first-k layers
+    # (reference glm4_moe rows, model_registry.h:150-247)
+    ModelRegistry._registry.setdefault("glm4_moe", MoeDecoderModel)
+    # mimo (Xiaomi MiMo): qwen2 decoder layers + MTP draft heads
+    # (reference mimo.h: LlmModelImplBase<layer::Qwen2DecoderLayer>,
+    # REGISTER_CAUSAL_MODEL(mimo, MiMoForCausalLM), mimo_mtp.h)
+    ModelRegistry._registry.setdefault("mimo", DenseDecoderModel)
     return ModelRegistry.get(model_type)
 
 

@@ -32,6 +32,7 @@ def route(
     bias: jnp.ndarray | None = None,  # [E] e_score_correction_bias
     n_group: int = 1,
     topk_group: int = 1,
+    routed_scaling: float = 1.0,
     _id_map: jnp.ndarray | None = None,  # logical->physical remap [E]
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """-> (weights [T, k] f32, expert_ids [T, k] int32).
@@ -73,6 +74,8 @@ def route(
         topv, topi = jax.lax.top_k(probs, k)
     if norm_topk_prob:
         topv = topv / jnp.maximum(topv.sum(axis=-1, keepdims=True), 1e-20)
+    if routed_scaling != 1.0:
+        topv = topv * routed_scaling
     if _id_map is not None:
         topi = _id_map[topi]
     return topv, topi.astype(jnp.int32)

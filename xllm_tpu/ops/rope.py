@@ -156,6 +156,32 @@ def apply_rope_interleaved(
     return rot(q), rot(k)
 
 
+def apply_rope_partial(
+    q: jnp.ndarray,  # [T, Hq, D]
+    k: jnp.ndarray,  # [T, Hkv, D]
+    positions: jnp.ndarray,
+    inv_freq: jnp.ndarray,  # [rotary_dim/2]
+    rotary_dim: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Partial rope, llama rotate-half convention: only the first
+    rotary_dim dims rotate as a standard half-split rope, the tail passes
+    through. Matches HF glm4_moe's apply_rotary_pos_emb (reference
+    glm4_moe registration, model_registry.h:150-247)."""
+    angles = positions[:, None].astype(jnp.float32) * inv_freq[None, :]
+    cos = jnp.cos(angles)
+    sin = jnp.sin(angles)
+    cos2 = jnp.concatenate([cos, cos], axis=-1)[:, None, :]  # [T, 1, rd]
+    sin2 = jnp.concatenate([sin, sin], axis=-1)[:, None, :]
+
+    def rot(x):
+        xf = x.astype(jnp.float32)
+        xr, rest = xf[..., :rotary_dim], xf[..., rotary_dim:]
+        out = xr * cos2 + _rotate_half(xr) * sin2
+        return jnp.concatenate([out, rest], axis=-1).astype(x.dtype)
+
+    return rot(q), rot(k)
+
+
 def apply_rope_partial_interleaved_cos(
     q: jnp.ndarray,  # [T, Hq, D]
     k: jnp.ndarray,  # [T, Hkv, D]
