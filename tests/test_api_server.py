@@ -199,6 +199,31 @@ def test_metrics_endpoint(server_client):
     loop.run_until_complete(go())
 
 
+def test_profile_endpoints(server_client, tmp_path):
+    """start_profile/stop_profile control the jax.profiler trace
+    (reference xllm_server.cpp:54-55, api_service.cpp:1253-1305)."""
+    client, loop = server_client
+
+    async def go():
+        # stop without start -> 409
+        r = await client.post("/stop_profile")
+        assert r.status == 409
+        r = await client.post("/start_profile")
+        assert r.status == 200
+        data = await r.json()
+        assert data["status"] == "profiling"
+        # double start -> 409
+        r = await client.post("/start_profile")
+        assert r.status == 409
+        r = await client.post("/stop_profile")
+        assert r.status == 200
+        import os
+
+        assert os.path.isdir(data["dir"])
+
+    loop.run_until_complete(go())
+
+
 def test_embeddings_endpoint(server_client):
     client, loop = server_client
 

@@ -267,6 +267,9 @@ class EngineConfig:
     # "auto": load safetensors from model_path; "dummy": random init (tests,
     # synthetic benchmarks — reference --load_format dummy equivalent)
     load_format: str = "auto"
+    # online profiler output dir (reference --enable_online_profile +
+    # /start_profile RPC; here a jax.profiler trace directory)
+    profile_dir: str = "/tmp/xllm_trace"
 
     def __post_init__(self) -> None:
         if self.scheduler.max_model_len == 0:

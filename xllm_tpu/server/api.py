@@ -104,6 +104,12 @@ class APIServer:
         app.router.add_get("/v1/models", self.models)
         app.router.add_get("/health", self.health)
         app.router.add_get("/metrics", self.metrics_endpoint)
+        # online profiling controls (reference xllm_server.cpp:54-55
+        # start_profile/stop_profile RPCs -> WorkerImpl::start_profile,
+        # worker_impl.h:154-156): captures an XLA/TPU op-level timeline
+        # via jax.profiler into --profile_dir for TensorBoard/xprof.
+        app.router.add_post("/start_profile", self.start_profile)
+        app.router.add_post("/stop_profile", self.stop_profile)
         app.on_startup.append(self._on_start)
         app.on_cleanup.append(self._on_stop)
         return app
@@ -141,6 +147,42 @@ class APIServer:
         return web.Response(
             body=metrics.render(), content_type="text/plain", charset="utf-8"
         )
+
+    # ------------------------------------------------------------------
+    # Online profiling (reference api_service.cpp:1253-1305): POST
+    # /start_profile begins a jax.profiler trace (XLA op timeline, HBM
+    # transfers, host dispatch) and /stop_profile finalizes it.
+    _profiling = False
+
+    async def start_profile(self, request: web.Request) -> web.Response:
+        import jax
+
+        if self._profiling:
+            return web.json_response(
+                {"error": "profiler already running"}, status=409
+            )
+        trace_dir = getattr(self.config, "profile_dir", "") or "/tmp/xllm_trace"
+        try:
+            jax.profiler.start_trace(trace_dir)
+        except Exception as e:  # pragma: no cover - backend specific
+            return web.json_response({"error": str(e)}, status=500)
+        self._profiling = True
+        logger.info("profiler started -> %s", trace_dir)
+        return web.json_response({"status": "profiling", "dir": trace_dir})
+
+    async def stop_profile(self, request: web.Request) -> web.Response:
+        import jax
+
+        if not self._profiling:
+            return web.json_response(
+                {"error": "profiler not running"}, status=409
+            )
+        try:
+            jax.profiler.stop_trace()
+        finally:
+            self._profiling = False
+        logger.info("profiler stopped")
+        return web.json_response({"status": "stopped"})
 
     async def models(self, request: web.Request) -> web.Response:
         return web.json_response(
@@ -755,6 +797,7 @@ def build_config(args) -> EngineConfig:
             num_speculative_tokens=args.num_speculative_tokens,
         ),
         quant=QuantConfig(method=args.quantization),
+        profile_dir=args.profile_dir,
     )
 
 
@@ -787,6 +830,8 @@ def main(argv=None) -> None:
                    help="''|suffix|ngram (model-free speculative decoding)")
     p.add_argument("--num-speculative-tokens", type=int, default=4)
     p.add_argument("--quantization", default="", help="''|int8 (w8a8)")
+    p.add_argument("--profile-dir", default="/tmp/xllm_trace",
+                   help="jax.profiler trace dir for /start_profile")
     p.add_argument("--registry-url", default="",
                    help="instance registry to register/heartbeat with")
     p.add_argument("--instance-role", default="mixed",
