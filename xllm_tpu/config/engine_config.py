@@ -136,6 +136,10 @@ class CacheConfig:
     # host (CPU DRAM) tier, reference HierarchyBlockManagerPool
     # (xllm/core/framework/block/hierarchy_block_manager_pool.h:40)
     num_host_blocks: int = 0
+    # global (cross-instance) KV block store URL — Mooncake-store analog
+    # (reference kv_cache_store.h:26; disagg/kv_store.py). Requires
+    # num_host_blocks > 0 (the host tier stages store traffic).
+    kv_store_url: str = ""
 
 
 @dataclass

@@ -154,11 +154,29 @@ class LLMEngine:
             )
 
             self.runner.init_host_kv(config.cache.num_host_blocks)
-            hierarchy = HierarchyController(
-                HostKVPool(config.cache.num_host_blocks),
-                swap_out=self.runner.swap_out_block,
-                swap_in=self.runner.swap_in_block,
-            )
+            if config.cache.kv_store_url:
+                # third tier: cross-instance store (Mooncake-store analog,
+                # reference kv_cache_store.h:26)
+                from xllm_tpu.disagg.kv_store import (
+                    GlobalKVController,
+                    KVStoreClient,
+                )
+
+                runner = self.runner
+                hierarchy = GlobalKVController(
+                    HostKVPool(config.cache.num_host_blocks),
+                    swap_out=runner.swap_out_block,
+                    swap_in=runner.swap_in_block,
+                    store=KVStoreClient(config.cache.kv_store_url),
+                    read_host=lambda i: (runner.host_k[i], runner.host_v[i]),
+                    write_host=runner.write_host_block,
+                )
+            else:
+                hierarchy = HierarchyController(
+                    HostKVPool(config.cache.num_host_blocks),
+                    swap_out=self.runner.swap_out_block,
+                    swap_in=self.runner.swap_in_block,
+                )
         backend = config.cache.block_backend
         if backend == "auto":
             from xllm_tpu import native

@@ -140,7 +140,7 @@ class BlockManager:
             if block_id is None and self.hierarchy is not None:
                 # host-tier prefetch: pull the block into a fresh device
                 # block and register it (reference hierarchy prefetch path)
-                if self.free_lru and self.hierarchy.pool.lookup(h) is not None:
+                if self.free_lru and self.hierarchy.probe(h):
                     fresh = self._pop_free_block()
                     if self.hierarchy.try_fetch(h, self.base + fresh):
                         self.cached_blocks[h] = fresh

@@ -76,6 +76,11 @@ class HierarchyController:
         self.offloads = 0
         self.fetches = 0
 
+    def probe(self, h: int) -> bool:
+        """Cheap existence check the block managers gate try_fetch on
+        (deeper tiers — e.g. the global store — extend this)."""
+        return self.pool.lookup(h) is not None
+
     def on_device_evict(self, block_id: int, h: int) -> None:
         """Device prefix-cache entry is being recycled — offload it."""
         idx = self.pool.reserve(h)

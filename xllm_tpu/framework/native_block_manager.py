@@ -98,7 +98,7 @@ class NativeBlockManager:
                         np.uint64(parent), toks[n * bs : (n + 1) * bs], bs
                     )
                 )
-                if self.hierarchy.pool.lookup(h) is None:
+                if not self.hierarchy.probe(h):
                     break
                 fresh = np.zeros(1, np.int32)
                 if self._lib.bc_allocate(self._h, 1, fresh) != 0:

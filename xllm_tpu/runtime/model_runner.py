@@ -1159,6 +1159,13 @@ class ModelRunner:
         self.host_k[host_idx] = np.asarray(self.k_cache[:, dev_block])
         self.host_v[host_idx] = np.asarray(self.v_cache[:, dev_block])
 
+    def write_host_block(
+        self, host_idx: int, k_block: np.ndarray, v_block: np.ndarray
+    ) -> None:
+        """Fill a host-tier slot from wire bytes (global KV store fetch)."""
+        self.host_k[host_idx] = k_block.astype(self.host_k.dtype, copy=False)
+        self.host_v[host_idx] = v_block.astype(self.host_v.dtype, copy=False)
+
     def swap_in_block(self, host_idx: int, dev_block: int) -> None:
         """Host DRAM block -> HBM (async dispatch; ordered before reads)."""
         kc = jnp.asarray(self.host_k[host_idx], self.k_cache.dtype)
