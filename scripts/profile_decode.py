@@ -50,25 +50,42 @@ def report(name, value):
 
 
 def timed_cached(fn, k_cache, v_cache, *args, iters=ITERS):
-    """Time fn(k, v, *args) -> (k, v, small_out) with donated caches."""
+    """Slope-time fn(k, v, *args) -> (k, v, small_out) with donated caches.
+
+    Two loops of N1/N2 iterations, each ending in one sync; the slope
+    (t2-t1)/(N2-N1) cancels the constant 27 ms fetch RTT (memory:
+    total/ITERS timing fabricates a floor).
+    """
     k_cache, v_cache, out = fn(k_cache, v_cache, *args)
     np.asarray(out)  # compile + sync
+    n1, n2 = max(iters // 4, 2), iters
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(n1):
         k_cache, v_cache, out = fn(k_cache, v_cache, *args)
     np.asarray(out)
-    dt = (time.perf_counter() - t0) / iters * 1e3
+    t1 = time.perf_counter()
+    for _ in range(n2):
+        k_cache, v_cache, out = fn(k_cache, v_cache, *args)
+    np.asarray(out)
+    t2 = time.perf_counter()
+    dt = ((t2 - t1) - (t1 - t0)) / (n2 - n1) * 1e3
     return dt, k_cache, v_cache
 
 
 def timed(fn, *args, iters=ITERS):
     out = fn(*args)
     np.asarray(out)
+    n1, n2 = max(iters // 4, 2), iters
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(n1):
         out = fn(*args)
     np.asarray(out)
-    return (time.perf_counter() - t0) / iters * 1e3
+    t1 = time.perf_counter()
+    for _ in range(n2):
+        out = fn(*args)
+    np.asarray(out)
+    t2 = time.perf_counter()
+    return ((t2 - t1) - (t1 - t0)) / (n2 - n1) * 1e3
 
 
 def main() -> None:

@@ -162,6 +162,64 @@ def test_async_prefill_concurrent_handoffs():
     assert d_eng.block_manager.num_used_blocks == 0
 
 
+def test_async_prefill_chunk_overlapped_extraction():
+    """Long chunked prompts push finalized pages mid-prefill (the TPU shape
+    of the reference's layer-wise KV push, llm_worker_impl.cpp:223-247):
+    extraction starts BEFORE the first token lands and the assembled
+    handoff still matches the blocking path exactly."""
+    from xllm_tpu.disagg.pd import (
+        AsyncPrefillInstance,
+        DecodeInstance,
+        PrefillInstance,
+    )
+
+    rng = np.random.default_rng(7)
+    # 50 tokens = 4 prefill chunks of 16 (block_size 4): plenty of pumps
+    # between the first full page and the first token
+    prompt = rng.integers(1, 96, size=50).tolist()
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+
+    p1, d1 = _mk_engines()
+    h_sync = PrefillInstance(p1).prefill(prompt, sp, request_id="x")
+
+    p2, d2 = _mk_engines()
+    pre = AsyncPrefillInstance(p2)
+    calls = []
+    orig = p2.runner.extract_blocks_async
+
+    def counting(block_ids):
+        calls.append(list(block_ids))
+        return orig(block_ids)
+
+    p2.runner.extract_blocks_async = counting
+    got = {}
+    pre.submit(prompt, sp, lambda h: got.update(h=h), request_id="x")
+    saw_midprefill_extract = False
+    guard = 0
+    while pre.busy:
+        pre.pump()
+        if pre._partial and "h" not in got:
+            saw_midprefill_extract = True
+        guard += 1
+        assert guard < 500
+    assert saw_midprefill_extract, "no extraction overlapped the prefill"
+    assert len(calls) >= 2, calls  # incremental pushes, not one blob
+    h = got["h"]
+    np.testing.assert_array_equal(h.k_blocks, h_sync.k_blocks)
+    np.testing.assert_array_equal(h.v_blocks, h_sync.v_blocks)
+    assert h.first_token == h_sync.first_token
+    assert p2.block_manager.num_used_blocks == 0
+
+    # and the decode side continues identically
+    r1 = DecodeInstance(d1).accept(h_sync)
+    while d1.has_unfinished():
+        d1.step()
+    r2 = DecodeInstance(d2).accept(h)
+    while d2.has_unfinished():
+        d2.step()
+    assert r2.sequences[0].token_ids == r1.sequences[0].token_ids
+
+
 def test_async_prefill_matches_blocking_path():
     """Async handoff produces the same continuation as the blocking one."""
     from xllm_tpu.disagg.pd import (

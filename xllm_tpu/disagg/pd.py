@@ -137,8 +137,15 @@ class AsyncPrefillInstance:
         self.engine.overlap_depth = 0  # first token must land promptly
         # request_id -> (Request, on_ready callback)
         self._inflight: dict[str, tuple] = {}
-        # request_id -> (handle_k, handle_v, n, meta) awaiting host copy
+        # request_id -> (parts, meta) awaiting host copies; parts is a list
+        # of (handle_k, handle_v, n) covering the sequence's pages in order
         self._extracting: dict[str, tuple] = {}
+        # chunk-overlapped extraction state: request_id -> list of
+        # (block_id, handle_k, handle_v, n_valid) for pages already pushed
+        self._partial: dict[str, list] = {}
+        # request_id -> block ids recorded at partial-extraction time
+        # (preemption guard: RECOMPUTE reallocates blocks)
+        self._partial_ids: dict[str, list[int]] = {}
 
     def submit(
         self,
@@ -161,27 +168,58 @@ class AsyncPrefillInstance:
         return bool(self._inflight) or bool(self._extracting)
 
     def pump(self) -> None:
-        """One engine step + handoff any requests whose first token landed."""
+        """One engine step + handoff any requests whose first token landed.
+
+        Chunk-overlapped extraction: as prefill chunks complete, fully
+        written pages are pushed to host WHILE later chunks still compute —
+        the TPU shape of the reference's layer-wise KV push during the
+        forward (llm_worker_impl.cpp:223-247). By first-token time only the
+        tail page remains to transfer.
+        """
         eng = self.engine
+        bs = eng.config.cache.block_size
         if eng.has_unfinished():
             eng.step()
         for rid in list(self._inflight):
             req, cb = self._inflight[rid]
             seq = req.sequences[0]
+            done_ids = self._partial_ids.get(rid, [])
+            if seq.block_ids[: len(done_ids)] != done_ids:
+                # preempted (RECOMPUTE) since the last pump: the extracted
+                # pages belong to reallocated blocks — restart from scratch
+                self._partial.pop(rid, None)
+                self._partial_ids.pop(rid, None)
+                done_ids = []
             if seq.num_fixed_tokens <= seq.num_prompt_tokens:
+                # mid-prefill: pages fully below the computed frontier are
+                # final (chunks start page-aligned; only the tail page sees
+                # later RMW writes) — push them now, overlapped with compute
+                done = min(seq.num_computed_tokens,
+                           seq.num_prompt_tokens) // bs
+                if done > len(done_ids):
+                    new_ids = seq.block_ids[len(done_ids):done]
+                    k, v, n = eng.runner.extract_blocks_async(new_ids)
+                    self._partial.setdefault(rid, []).append((k, v, n))
+                    self._partial_ids[rid] = seq.block_ids[:done]
                 continue
-            # first token fixed: start the overlapped KV extraction
-            k, v, n = eng.runner.extract_blocks_async(seq.block_ids)
+            # first token fixed: extract the remaining (tail) pages only
+            n_kv_blocks = -(-seq.num_prompt_tokens // bs)
+            parts = self._partial.pop(rid, [])
+            self._partial_ids.pop(rid, None)
+            tail_ids = seq.block_ids[len(done_ids):n_kv_blocks]
+            if tail_ids:
+                parts.append(eng.runner.extract_blocks_async(tail_ids))
             first = seq.token_ids[seq.num_prompt_tokens]
             meta = (list(seq.prompt_token_ids), int(first),
                     seq.sampling_params, cb)
-            self._extracting[rid] = (k, v, n, meta)
+            self._extracting[rid] = (parts, meta)
             del self._inflight[rid]
             eng.abort_request(rid)  # prefill-side blocks free after gather
         for rid in list(self._extracting):
-            k, v, n, (prompt, first, sp, cb) = self._extracting[rid]
-            # materialize (the async copy has been landing during serving)
-            k_np, v_np = np.asarray(k)[:n], np.asarray(v)[:n]
+            parts, (prompt, first, sp, cb) = self._extracting[rid]
+            # materialize (the async copies have been landing during serving)
+            k_np = np.concatenate([np.asarray(k)[:n] for k, _, n in parts])
+            v_np = np.concatenate([np.asarray(v)[:n] for _, v, n in parts])
             del self._extracting[rid]
             cb(PrefillHandoff(
                 request_id=rid,
