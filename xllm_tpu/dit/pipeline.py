@@ -1,0 +1,228 @@
+"""Flow-match diffusion pipeline (flux-class text→image) — TPU-native.
+
+Counterpart of the reference DiT pipelines
+(xllm/models/dit/ — flux pipeline + FlowMatchEulerDiscreteScheduler,
+dit_engine/dit_scheduler drive loop; DiTModel interface in
+core/framework/model/causal_lm.h).
+
+TPU-native redesign: the reference steps the scheduler from host C++
+between torch calls. Here the ENTIRE denoise loop — Euler integration,
+classifier-free guidance, and the DiT cache's skip decisions — is one
+`lax.scan` in latent *token* space (patchify hoisted out), compiled
+once per (resolution, steps, policy). Under Ulysses SP (dit/sp.py) the
+same scan runs inside a `shard_map` with image tokens sharded over the
+`sp` mesh axis; all collectives ride ICI.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xllm_tpu.dit.cache import DiTCacheConfig, make_dit_cache
+from xllm_tpu.dit.model import DiTConfig, DiTModel
+
+
+# ---------------------------------------------------------------------------
+# FlowMatchEulerDiscreteScheduler (sigma schedule; reference bundles
+# diffusers' FlowMatchEuler in xllm/models/dit/ scheduler stack)
+# ---------------------------------------------------------------------------
+
+def flow_match_sigmas(num_steps: int,
+                      image_seq_len: int | None = None,
+                      shift: float = 3.0,
+                      use_dynamic_shifting: bool = True,
+                      base_shift: float = 0.5,
+                      max_shift: float = 1.15,
+                      base_seq_len: int = 256,
+                      max_seq_len: int = 4096) -> np.ndarray:
+    """sigma schedule incl. terminal 0; sigmas[i] -> sigmas[i+1] per step.
+
+    Dynamic shifting (flux): mu interpolated linearly in image_seq_len,
+    sigma = exp(mu) / (exp(mu) + (1/t - 1)). Static: shift*t/(1+(shift-1)t).
+    """
+    ts = np.linspace(1.0, 1.0 / num_steps, num_steps)
+    if use_dynamic_shifting and image_seq_len is not None:
+        m = (max_shift - base_shift) / (max_seq_len - base_seq_len)
+        mu = m * image_seq_len + (base_shift - m * base_seq_len)
+        sig = math.exp(mu) / (math.exp(mu) + (1.0 / ts - 1.0))
+    else:
+        sig = shift * ts / (1.0 + (shift - 1.0) * ts)
+    return np.append(sig, 0.0).astype(np.float32)
+
+
+@dataclass
+class PipelineConfig:
+    model: DiTConfig = field(default_factory=DiTConfig)
+    cache: DiTCacheConfig = field(default_factory=DiTCacheConfig)
+    num_inference_steps: int = 28
+    guidance_scale: float = 3.5       # embedded guidance (flux-dev)
+    true_cfg_scale: float = 1.0       # >1 enables real CFG (neg prompt)
+    shift: float = 3.0
+    use_dynamic_shifting: bool = True
+    vae_scaling_factor: float = 0.3611
+    vae_shift_factor: float = 0.1159
+
+
+class DiTPipeline:
+    """Text→image sampler over a DiTModel (+ optional VAE decoder).
+
+    `mesh`/`sp_axis`: run the denoise scan under shard_map with image
+    tokens sharded over `sp_axis` (Ulysses attention inside the blocks).
+    """
+
+    def __init__(self, cfg: PipelineConfig, dtype=jnp.float32,
+                 mesh=None, sp_axis: str = "sp", vae=None):
+        self.cfg = cfg
+        self.dtype = dtype
+        self.mesh = mesh
+        self.sp_axis = sp_axis if mesh is not None else None
+        self.model = DiTModel(cfg.model, dtype=dtype, sp_axis=self.sp_axis)
+        self.vae = vae
+        self._denoise_cache: dict = {}
+
+    # -- latent init ----------------------------------------------------
+    def prepare_latents(self, rng, batch, height, width):
+        c = self.cfg.model
+        return jax.random.normal(
+            rng, (batch, height, width, c.in_channels), jnp.float32)
+
+    # -- core scan ------------------------------------------------------
+    def _build_denoise(self, num_steps: int, use_cfg: bool):
+        """Returns denoise(params, lat_tokens, txt, pooled, neg_txt,
+        neg_pooled, sigmas, guidance, cfg_scale, img_ang) -> (lat, skips)."""
+        model = self.model
+        cache_cfg = self.cfg.cache
+        if self.sp_axis is not None:
+            cache_cfg = DiTCacheConfig(
+                **{**cache_cfg.__dict__, "sp_axis": self.sp_axis})
+        cache = make_dit_cache(cache_cfg, num_steps)
+
+        def denoise(params, lat, txt, pooled, neg_txt, neg_pooled,
+                    sigmas, guidance, cfg_scale, img_ang):
+            txt_len = txt.shape[1]
+            ang = jnp.concatenate(
+                [jnp.zeros((txt_len, img_ang.shape[-1]), jnp.float32),
+                 img_ang])
+            rope = (jnp.cos(ang).astype(model.dtype),
+                    jnp.sin(ang).astype(model.dtype))
+            b = lat.shape[0]
+            d = model.cfg.hidden_size
+            img_shape = (b, lat.shape[1], d)
+            txt_shape = (b, txt_len, d)
+
+            states = [cache.init(img_shape, txt_shape, model.dtype)]
+            if use_cfg:
+                states.append(cache.init(img_shape, txt_shape, model.dtype))
+
+            def body(carry, inp):
+                lat_t, states = carry
+                sigma, sigma_next, idx = inp
+                t = jnp.full((b,), sigma, jnp.float32)
+
+                def predict(lat_x, txt_e, pooled_e, cstate):
+                    img_in, txt_in, vec = model.embed_tokens(
+                        params, lat_x, txt_e, t, pooled_e, guidance)
+                    img0, txt0 = model.block0(
+                        params, img_in, txt_in, vec, rope)
+                    r0 = img0 - img_in  # FBCache probe residual (fbcache.cpp)
+
+                    def rest_fn(i, tx):
+                        return model.rest(params, i, tx, vec, rope)
+
+                    (img_f, _), cstate = cache.step(
+                        cstate, idx, img0, txt0, r0, rest_fn)
+                    return model.final_tokens(params, img_f, vec), cstate
+
+                v_c, s0 = predict(lat_t, txt, pooled, states[0])
+                if use_cfg:
+                    v_u, s1 = predict(lat_t, neg_txt, neg_pooled, states[1])
+                    v = v_u + cfg_scale * (v_c - v_u)
+                    new_states = (s0, s1)
+                else:
+                    v = v_c
+                    new_states = (s0,)
+                lat_t = lat_t + (sigma_next - sigma) * v.astype(jnp.float32)
+                return (lat_t, new_states), None
+
+            xs = (sigmas[:-1], sigmas[1:],
+                  jnp.arange(num_steps, dtype=jnp.int32))
+            (lat, states), _ = jax.lax.scan(
+                body, (lat, tuple(states)), xs)
+            skips = states[0]["skips"]
+            return lat, skips
+
+        return denoise
+
+    def _denoise_fn(self, num_steps, use_cfg, n_tokens):
+        key = (num_steps, use_cfg, n_tokens)
+        fn = self._denoise_cache.get(key)
+        if fn is not None:
+            return fn
+        denoise = self._build_denoise(num_steps, use_cfg)
+        if self.mesh is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+            sp = self.sp_axis
+            spec_tok = P(None, sp, None)
+            denoise = shard_map(
+                denoise, mesh=self.mesh,
+                in_specs=(P(), spec_tok, P(), P(), P(), P(), P(), P(), P(),
+                          P(sp, None)),
+                out_specs=(spec_tok, P()),
+                check_vma=False)
+        fn = jax.jit(denoise)
+        self._denoise_cache[key] = fn
+        return fn
+
+    # -- public API -----------------------------------------------------
+    def generate(self, params, txt_embeds, pooled, *,
+                 height: int, width: int,
+                 neg_txt_embeds=None, neg_pooled=None,
+                 num_inference_steps: int | None = None,
+                 seed: int = 0, vae_params=None):
+        """Sample latents (and decode if a VAE is attached).
+
+        txt_embeds [B,T,text_dim], pooled [B,pooled_dim] come from the
+        text-encoder stage (DiT engine). height/width are LATENT dims.
+        Returns (output, stats) where output is [B,H,W,3] images if a
+        VAE is attached, else raw latents [B,h,w,C].
+        """
+        cfg = self.cfg
+        steps = num_inference_steps or cfg.num_inference_steps
+        use_cfg = (cfg.true_cfg_scale > 1.0
+                   and neg_txt_embeds is not None)
+        if not use_cfg:
+            neg_txt_embeds = jnp.zeros_like(txt_embeds)
+            neg_pooled = jnp.zeros_like(pooled)
+
+        rng = jax.random.PRNGKey(seed)
+        lat = self.prepare_latents(rng, txt_embeds.shape[0], height, width)
+        lat_tokens = self.model.patchify(lat)
+        p = cfg.model.patch_size
+        gh, gw = height // p, width // p
+        img_ang = self.model.rope_img(gh, gw)
+
+        sigmas = jnp.asarray(flow_match_sigmas(
+            steps, image_seq_len=gh * gw, shift=cfg.shift,
+            use_dynamic_shifting=cfg.use_dynamic_shifting))
+        guidance = jnp.full((txt_embeds.shape[0],), cfg.guidance_scale,
+                            jnp.float32)
+        cfg_scale = jnp.asarray(cfg.true_cfg_scale, jnp.float32)
+
+        fn = self._denoise_fn(steps, use_cfg, lat_tokens.shape[1])
+        lat_out, skips = fn(params, lat_tokens, txt_embeds, pooled,
+                            neg_txt_embeds, neg_pooled, sigmas, guidance,
+                            cfg_scale, img_ang)
+        lat = self.model.unpatchify(lat_out, (gh, gw))
+        stats = {"cache_skips": int(jax.device_get(skips)),
+                 "steps": steps}
+        if self.vae is not None and vae_params is not None:
+            z = lat / cfg.vae_scaling_factor + cfg.vae_shift_factor
+            return self.vae.decode(vae_params, z), stats
+        return lat, stats
