@@ -262,7 +262,8 @@ def main() -> None:
     from xllm_tpu.framework.sampling_params import SamplingParams
 
     class FakeSeq:
-        __slots__ = ("slot_id", "block_ids", "num_tokens", "sampling_params")
+        __slots__ = ("slot_id", "block_ids", "num_tokens", "sampling_params",
+                     "rope_offset")
 
     sp = SamplingParams()
     fseqs = []
@@ -272,6 +273,7 @@ def main() -> None:
         f.block_ids = list(block_tables[i, :nb_per_seq])
         f.num_tokens = CTX
         f.sampling_params = sp
+        f.rope_offset = 0
         fseqs.append(f)
 
     t0 = time.perf_counter()

@@ -196,3 +196,13 @@ def test_mla_kernels_compile(tpu_aot):
         scale=DK**-0.5,
         dv=DV,
     )
+
+
+def test_own_gmm_compiles(tpu_aot):
+    from xllm_tpu.ops.pallas.gmm import gmm
+
+    # qwen3-moe-class: E=128 experts, D=2048, I=768; 1024 routed pairs
+    E, D, I, M = 128, 2048, 768, 1024
+    offs = ((E + 1,), jnp.int32)
+    tpu_aot(gmm, ((M, D), jnp.bfloat16), ((E, D, 2 * I), jnp.bfloat16), offs)
+    tpu_aot(gmm, ((M, I), jnp.bfloat16), ((E, I, D), jnp.bfloat16), offs)

@@ -52,7 +52,13 @@ def test_moe_gmm_matches_ref():
     dn = jnp.asarray(rng.standard_normal((E, I, D)) * 0.1, jnp.float32)
 
     ref = moe_mlp_ref(x, rw, gu, dn, K, True)
-    # interpret-mode megablox on CPU
+    # own kernel in interpret mode on CPU
+    out = moe_mlp_gmm(x, rw, gu, dn, K, True, impl="own", interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+    # megablox fallback in interpret mode on CPU
     import functools
     import unittest.mock as mock
     from jax.experimental.pallas.ops.tpu.megablox import gmm as real_gmm
@@ -61,7 +67,7 @@ def test_moe_gmm_matches_ref():
         "jax.experimental.pallas.ops.tpu.megablox.gmm",
         functools.partial(real_gmm, interpret=True),
     ):
-        out = moe_mlp_gmm(x, rw, gu, dn, K, True)
+        out = moe_mlp_gmm(x, rw, gu, dn, K, True, impl="megablox")
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
     )
@@ -304,5 +310,48 @@ def test_moe_mlp_ep_matches_ref():
                               norm_topk_prob=True, mesh=mesh,
                               scoring="sigmoid", bias=bias)
     )(x, rw, gu_s, dn_s)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_moe_mlp_ep_a2a_matches_ref():
+    """Ragged all-to-all EP (DeepEP dispatch/combine analog) == dense
+    oracle on the 8-device CPU mesh: tokens sharded over `ep`, one
+    ragged_all_to_all each way, grouped local compute."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from xllm_tpu.ops.moe import moe_mlp_ep_a2a, moe_mlp_ref
+
+    devs = np.array(jax.devices()[:8]).reshape(8)
+    mesh = Mesh(devs, ("ep",))
+    rng = np.random.default_rng(3)
+    t, d, e, i, k = 16, 16, 8, 32, 2
+    x = jnp.asarray(rng.standard_normal((t, d)), jnp.float32)
+    rw = jnp.asarray(rng.standard_normal((d, e)) * 0.3, jnp.float32)
+    gu = jnp.asarray(rng.standard_normal((e, d, 2 * i)) * 0.1, jnp.float32)
+    dn = jnp.asarray(rng.standard_normal((e, i, d)) * 0.1, jnp.float32)
+
+    want = moe_mlp_ref(x, rw, gu, dn, k, True)
+
+    x_s = jax.device_put(x, NamedSharding(mesh, P("ep")))
+    gu_s = jax.device_put(gu, NamedSharding(mesh, P("ep")))
+    dn_s = jax.device_put(dn, NamedSharding(mesh, P("ep")))
+    got = jax.jit(
+        lambda *a: moe_mlp_ep_a2a(*a, num_experts_per_tok=k,
+                                  norm_topk_prob=True, mesh=mesh)
+    )(x_s, rw, gu_s, dn_s)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    # sigmoid/noaux routing with bias composes
+    bias = jnp.asarray(rng.standard_normal(e) * 0.1, jnp.float32)
+    want2 = moe_mlp_ref(x, rw, gu, dn, k, True, scoring="sigmoid", bias=bias)
+    got2 = jax.jit(
+        lambda *a: moe_mlp_ep_a2a(*a, num_experts_per_tok=k,
+                                  norm_topk_prob=True, mesh=mesh,
+                                  scoring="sigmoid", bias=bias)
+    )(x_s, rw, gu_s, dn_s)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
                                rtol=2e-5, atol=2e-5)

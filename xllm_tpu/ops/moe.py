@@ -121,10 +121,18 @@ def moe_mlp_gmm(
     num_experts_per_tok: int,
     norm_topk_prob: bool,
     tiling: tuple[int, int, int] | None = None,
+    impl: str | None = None,  # None -> $XLLM_GMM_IMPL or "own"
+    interpret: bool = False,
     **route_kw,
 ) -> jnp.ndarray:
-    """Sorted group-GEMM path (TPU): compute only the routed pairs."""
-    from jax.experimental.pallas.ops.tpu.megablox import gmm
+    """Sorted group-GEMM path (TPU): compute only the routed pairs.
+
+    impl="own" uses our Pallas kernel (ops/pallas/gmm.py);
+    impl="megablox" keeps the upstream megablox kernel as a fallback.
+    """
+    import os
+
+    impl = impl or os.environ.get("XLLM_GMM_IMPL", "own")
 
     t, d = x.shape
     e = gate_up.shape[0]
@@ -137,6 +145,7 @@ def moe_mlp_gmm(
     token_of_pair = order // k  # [T*k]
     xs = x[token_of_pair]  # [T*k, D] gathered, expert-sorted
     group_sizes = jnp.bincount(flat_e, length=e).astype(jnp.int32)
+    m = xs.shape[0]
 
     def _tile(dim: int, pref: int = 128) -> int:
         best = 8
@@ -145,16 +154,36 @@ def moe_mlp_gmm(
                 return c
         return best
 
-    m = xs.shape[0]
-    t1 = (_tile(m), _tile(d), _tile(2 * i))
-    t2 = (_tile(m), _tile(i), _tile(d))
-    gu = gmm(
-        xs, gate_up, group_sizes, preferred_element_type=jnp.float32, tiling=t1
-    )
-    act = (jax.nn.silu(gu[:, :i]) * gu[:, i:]).astype(x.dtype)
-    od = gmm(
-        act, down, group_sizes, preferred_element_type=jnp.float32, tiling=t2
-    )
+    if impl == "own":
+        from xllm_tpu.ops.pallas.gmm import gmm as own_gmm
+
+        tm = _tile(m)
+        # pad rows to a tile multiple; pads hang off the last expert and
+        # compute garbage rows that are sliced away below
+        mpad = ((m + tm - 1) // tm) * tm
+        offs = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(group_sizes)])
+        offs = offs.at[-1].set(mpad)
+        xs_p = jnp.pad(xs, ((0, mpad - m), (0, 0)))
+        gu = own_gmm(xs_p, gate_up, offs, tm=tm, tn=_tile(2 * i),
+                     interpret=interpret)
+        act = (jax.nn.silu(gu[:, :i]) * gu[:, i:]).astype(x.dtype)
+        od = own_gmm(act, down, offs, tm=tm, tn=_tile(d),
+                     interpret=interpret)[:m]
+    else:
+        from jax.experimental.pallas.ops.tpu.megablox import gmm
+
+        t1 = (_tile(m), _tile(d), _tile(2 * i))
+        t2 = (_tile(m), _tile(i), _tile(d))
+        gu = gmm(
+            xs, gate_up, group_sizes, preferred_element_type=jnp.float32,
+            tiling=t1
+        )
+        act = (jax.nn.silu(gu[:, :i]) * gu[:, i:]).astype(x.dtype)
+        od = gmm(
+            act, down, group_sizes, preferred_element_type=jnp.float32,
+            tiling=t2
+        )
 
     scale = topv.reshape(-1)[order][:, None]  # [T*k, 1] f32
     out = jnp.zeros((t, d), jnp.float32)
@@ -289,5 +318,188 @@ def moe_mlp_ep(
         mesh=mesh,
         in_specs=(P(), P(), P(axis), P(axis)),
         out_specs=P(),
+        check_rep=False,
+    )(x, router_w, gate_up, down)
+
+
+def _ragged_a2a(operand, output, input_offsets, send_sizes,
+                output_offsets, recv_sizes, axis: str):
+    """`jax.lax.ragged_all_to_all`, with a faithful all_gather-based
+    emulation off-TPU (XLA:CPU has no ragged-all-to-all thunk). The
+    emulation honors the SAME offset arguments — sender i's chunk to
+    device j is read at input_offsets_i[j] and lands at output_offsets
+    _i[j] in j's buffer — so the offset math is exercised by CPU tests
+    exactly as the real collective would use it."""
+    if jax.default_backend() == "tpu":
+        return jax.lax.ragged_all_to_all(
+            operand, output, input_offsets, send_sizes,
+            output_offsets, recv_sizes, axis_name=axis,
+        )
+    me = jax.lax.axis_index(axis)
+    X = jax.lax.all_gather(operand, axis)  # [n, m, ...]
+    IO = jax.lax.all_gather(input_offsets, axis)  # [n, n]
+    SS = jax.lax.all_gather(send_sizes, axis)  # [n, n]
+    OO = jax.lax.all_gather(output_offsets, axis)  # [n, n]
+    n = X.shape[0]
+    cap = output.shape[0]
+    r = jnp.arange(cap)
+    lo = OO[:, me][:, None]  # [n, 1] where sender i's chunk starts here
+    hi = lo + SS[:, me][:, None]
+    hit = (r[None, :] >= lo) & (r[None, :] < hi)  # [n, cap]
+    any_hit = hit.any(axis=0)
+    i_of_r = jnp.argmax(hit, axis=0)  # sender of each output row
+    src_row = IO[i_of_r, me] + r - OO[i_of_r, me]
+    gathered = X[i_of_r, jnp.clip(src_row, 0, X.shape[1] - 1)]
+    mask = any_hit.reshape((cap,) + (1,) * (output.ndim - 1))
+    return jnp.where(mask, gathered, output)
+
+
+def moe_mlp_ep_a2a(
+    x: jnp.ndarray,  # [T, D] sharded on the token dim over `axis`
+    router_w: jnp.ndarray,  # [D, E] replicated
+    gate_up: jnp.ndarray,  # [E, D, 2I] sharded on E over `axis`
+    down: jnp.ndarray,  # [E, I, D] sharded on E over `axis`
+    num_experts_per_tok: int,
+    norm_topk_prob: bool,
+    mesh,
+    axis: str = "ep",
+    interpret: bool = False,
+    **route_kw,
+) -> jnp.ndarray:
+    """Ragged all-to-all expert parallelism (DeepEP dispatch/combine analog).
+
+    Counterpart of the reference's DeepEP wrapper + MoE dispatch/combine
+    collectives (reference xllm/core/layers/common/deep_ep.cpp, kernels
+    ops_api.h all2all rows). TPU design: tokens are sharded over the EP
+    axis; each device routes its own tokens, sorts the (token, expert)
+    pairs by global expert id (which also groups them by owner device and
+    by local expert within each owner), exchanges the ragged row groups
+    with ONE `jax.lax.ragged_all_to_all` each way, and runs the grouped
+    expert MLP over exactly the routed rows it owns. Compute is
+    proportional to routed pairs (vs O(T * E_local) for the psum variant
+    `moe_mlp_ep`), and the wire bytes are exactly the routed rows — the
+    point of DeepEP.
+
+    Receive capacity is the global pair count (n * t_local * k): nothing
+    is ever dropped (no capacity factor), at the cost of a worst-case
+    buffer. Rows land packed (senders write at exclusive-cumsum offsets),
+    so validity is a prefix mask.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n = mesh.shape[axis]
+    e = router_w.shape[-1]
+    el = e // n
+    assert el * n == e, "num_experts must divide the EP axis size"
+    k = num_experts_per_tok
+    i = gate_up.shape[2] // 2
+    d = x.shape[-1]
+
+    def local_fn(xl, rw, gu, dn):
+        t = xl.shape[0]
+        m = t * k  # local routed pairs (static)
+        cap = n * m  # worst-case rows this device can receive (static)
+        me = jax.lax.axis_index(axis)
+
+        topv, topi = route(xl, rw, k, norm_topk_prob, **route_kw)
+        flat_e = topi.reshape(-1)  # [m] global expert ids
+        order = jnp.argsort(flat_e)  # by expert => by owner, local-sorted
+        token_of_pair = order // k
+        xs_send = xl[token_of_pair]  # [m, D]
+        ids_send = flat_e[order].astype(jnp.int32)  # [m]
+
+        owner_counts = jnp.bincount(flat_e // el, length=n).astype(jnp.int32)
+        send_sizes = owner_counts  # [n]
+        input_offsets = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(send_sizes)[:-1]]
+        )
+        # S[i, j] = rows device i sends to device j
+        S = jax.lax.all_gather(send_sizes, axis)  # [n, n]
+        recv_sizes = S[:, me]  # [n] from each sender
+        # my chunk lands after all lower-ranked senders' chunks to each dst
+        below = jnp.where(jnp.arange(n)[:, None] < me, S, 0)
+        output_offsets = below.sum(axis=0).astype(jnp.int32)  # [n]
+
+        recv_x = _ragged_a2a(
+            xs_send, jnp.zeros((cap, d), xl.dtype),
+            input_offsets, send_sizes, output_offsets, recv_sizes, axis,
+        )
+        recv_ids = _ragged_a2a(
+            ids_send[:, None], jnp.zeros((cap, 1), jnp.int32),
+            input_offsets, send_sizes, output_offsets, recv_sizes, axis,
+        )[:, 0]
+
+        total_recv = recv_sizes.sum()
+        valid = jnp.arange(cap) < total_recv
+        local_id = jnp.where(valid, recv_ids - me * el, el)  # invalid -> el
+        order2 = jnp.argsort(local_id)  # sort by local expert, pads last
+        xs_loc = recv_x[order2]
+        id_loc = local_id[order2]
+        group_sizes = jnp.bincount(id_loc, length=el).astype(jnp.int32)
+
+        if jax.default_backend() == "tpu" or interpret:
+            from xllm_tpu.ops.pallas.gmm import gmm as own_gmm
+
+            def _tile(dim: int, pref: int = 128) -> int:
+                for c in (128, 64, 32, 16, 8):
+                    if c <= pref and dim % c == 0:
+                        return c
+                return 8
+
+            # park the pad rows on the LAST expert's range so every row is
+            # covered by some group; their outputs are garbage but masked
+            # out of the combine by `valid`
+            offs = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), jnp.cumsum(group_sizes)]
+            ).astype(jnp.int32)
+            offs = offs.at[-1].set(cap)
+            guo = own_gmm(xs_loc, gu, offs, tm=_tile(cap),
+                          tn=_tile(2 * i), interpret=interpret)
+            act = (jax.nn.silu(guo[:, :i]) * guo[:, i:]).astype(xl.dtype)
+            od = own_gmm(act, dn, offs, tm=_tile(cap), tn=_tile(d),
+                         interpret=interpret)
+        else:
+            # dense per-row oracle (CPU tests): gather each row's expert
+            id_safe = jnp.minimum(id_loc, el - 1)
+            guo = jnp.einsum(
+                "cd,cdi->ci", xs_loc, gu[id_safe],
+                preferred_element_type=jnp.float32,
+            )
+            act = (jax.nn.silu(guo[:, :i]) * guo[:, i:]).astype(xl.dtype)
+            od = jnp.einsum(
+                "ci,cid->cd", act, dn[id_safe],
+                preferred_element_type=jnp.float32,
+            )
+        od = jnp.where(valid[order2][:, None], od, 0.0).astype(xl.dtype)
+
+        # unsort back to recv-buffer (sender-packed) order
+        inv2 = jnp.argsort(order2)
+        od_recv_order = od[inv2]
+
+        # reverse exchange: chunk j (rows from device j) goes back to j,
+        # landing where j originally read it from (j's input_offsets for
+        # destination me)
+        rev_in_off = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(recv_sizes)[:-1]]
+        )
+        j_row = S[jnp.arange(n)]  # [n, n]; row j = device j's send_sizes
+        before_me = jnp.where(jnp.arange(n)[None, :] < me, j_row, 0)
+        rev_out_off = before_me.sum(axis=1).astype(jnp.int32)  # [n]
+        back = _ragged_a2a(
+            od_recv_order, jnp.zeros((m, d), xl.dtype),
+            rev_in_off, recv_sizes, rev_out_off, send_sizes, axis,
+        )  # [m, D] in xs_send order
+
+        w = topv.reshape(-1)[order][:, None]  # [m, 1] f32
+        out = jnp.zeros((t, d), jnp.float32)
+        out = out.at[token_of_pair].add(back.astype(jnp.float32) * w)
+        return out.astype(xl.dtype)
+
+    return shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(), P(axis), P(axis)),
+        out_specs=P(axis),
         check_rep=False,
     )(x, router_w, gate_up, down)
