@@ -1,0 +1,110 @@
+"""Ablation probe of the v4 decode-attention kernel at bench shapes.
+
+B=128, Hkv=8, G=2, D=128, bs=64, ctx=192 (the bench's mid-decode point).
+To factor out the ~0.5 ms per-call tunnel dispatch, each timed unit is
+ONE jit that scans the kernel over NL layers with donated caches —
+exactly the model's per-layer scan. Variants isolate DMA streaming from
+compute. Timing is slope-based (memory: total/ITERS fabricates a floor).
+"""
+
+import functools
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from xllm_tpu.ops.pallas.decode_attention import (
+    paged_decode_attention_write_v4_tpu as v4,
+)
+
+B, HKV, G, D, BS = 128, 8, 2, 128, 64
+CTX = 192  # 3 pages exactly
+NPAGES = CTX // BS
+NB = B * NPAGES + 8
+NL = 8
+ITERS = 24
+
+rng = np.random.default_rng(0)
+q = jnp.asarray(rng.standard_normal((B, HKV * G, D)), jnp.bfloat16)
+k_new = jnp.asarray(rng.standard_normal((B, HKV, D)), jnp.bfloat16)
+v_new = jnp.asarray(rng.standard_normal((B, HKV, D)), jnp.bfloat16)
+layer0 = jnp.zeros((), jnp.int32)
+bt = jnp.asarray(np.arange(B * NPAGES, dtype=np.int32).reshape(B, NPAGES))
+seq_lens = jnp.full((B,), CTX, jnp.int32)
+slots = jnp.asarray(
+    (np.arange(B) * NPAGES + NPAGES - 1) * BS + (CTX - 1) % BS, jnp.int32
+)
+
+page_bytes = 2 * HKV * BS * D * 2  # k+v, bf16
+total_gb = NL * B * NPAGES * page_bytes / 1e9
+
+
+def make_step(**kw):
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(k_all, v_all):
+        def body(carry, li):
+            ka, va, acc = carry
+            o, ka, va = v4(
+                q, k_new, v_new, ka, va, li, slots, bt, seq_lens,
+                scale=D ** -0.5, **kw
+            )
+            return (ka, va, acc + o.astype(jnp.float32)), None
+
+        (k_all, v_all, acc), _ = jax.lax.scan(
+            body,
+            (k_all, v_all, jnp.zeros((B, HKV * G, D), jnp.float32)),
+            jnp.arange(NL, dtype=jnp.int32),
+        )
+        return k_all, v_all, acc[0, 0, :4]
+
+    return step
+
+
+def fresh_caches():
+    k = jnp.asarray(
+        rng.standard_normal((NL, NB, HKV, BS, D)) * 0.1, jnp.bfloat16
+    )
+    v = jnp.asarray(
+        rng.standard_normal((NL, NB, HKV, BS, D)) * 0.1, jnp.bfloat16
+    )
+    return k, v
+
+
+def run(tag, **kw):
+    step = make_step(**kw)
+    ka, va = fresh_caches()
+    ka, va, o = step(ka, va)
+    np.asarray(o)  # compile + sync
+    n1, n2 = ITERS // 4, ITERS
+    t0 = time.perf_counter()
+    for _ in range(n1):
+        ka, va, o = step(ka, va)
+    np.asarray(o)
+    t1 = time.perf_counter()
+    for _ in range(n2):
+        ka, va, o = step(ka, va)
+    np.asarray(o)
+    t2 = time.perf_counter()
+    ms = ((t2 - t1) - (t1 - t0)) / (n2 - n1) * 1e3
+    gbps = total_gb / (ms / 1e3)
+    per_layer_us = ms / NL * 1e3
+    print(
+        f"## {tag}: {ms:.3f} ms/step  {per_layer_us:.0f} us/layer  "
+        f"{gbps:.0f} GB/s",
+        flush=True,
+    )
+    del ka, va
+    return ms
+
+
+res = {}
+res["full_s4"] = run("full_s4")
+res["dma_s4"] = run("dma_s4", nocompute=True)
+res["full_s2"] = run("full_s2", split_override=2)
+res["dma_s2"] = run("dma_s2", split_override=2, nocompute=True)
+res["full_s2_n16"] = run("full_s2_n16", split_override=2,
+                         nslots_override=16)
+res["dma_s1"] = run("dma_s1", split_override=1, nocompute=True)
+print(json.dumps(res), flush=True)

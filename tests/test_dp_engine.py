@@ -135,3 +135,26 @@ def test_dp_engine_mixed_sampling_and_preemption():
     assert len(outs) == 4
     assert all(len(o.outputs[0].token_ids) == 30 for o in outs)
     assert eng.block_manager.num_used_blocks == 0
+
+
+def test_moe_ep_a2a_engine_matches_single_device():
+    """qwen3-moe on a tp=4 mesh routes through the ragged-a2a EP path
+    (moe_mlp receives the mesh; E=8 divides tp) and must produce the
+    same greedy tokens as the single-device engine."""
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(1, 500, size=n).tolist() for n in (24, 11, 40)]
+
+    def cfg(tp):
+        c = _cfg(dp=1, tp=tp)
+        c.model.model_type = "qwen3_moe"
+        c.model.intermediate_size = 0
+        c.model.num_experts = 8
+        c.model.num_experts_per_tok = 2
+        c.model.moe_intermediate_size = 64
+        c.model.norm_topk_prob = True
+        return c
+
+    _, single = _run(cfg(1), prompts)
+    eng, sharded = _run(cfg(4), prompts)
+    assert sharded == single
+    assert eng.block_manager.num_used_blocks == 0

@@ -254,6 +254,7 @@ class MlaDecoderModel(DenseDecoderModel):
             lp["experts_down"],
             c.num_experts_per_tok,
             c.norm_topk_prob,
+            mesh=getattr(self, "mesh", None),
             placement=lp.get("expert_placement"),
             scoring=c.scoring_func,
             bias=lp.get("router_bias"),

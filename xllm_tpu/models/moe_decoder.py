@@ -110,6 +110,7 @@ class MoeDecoderModel(DenseDecoderModel):
             c.norm_topk_prob,
             placement=lp.get("expert_placement"),
             return_counts=self.collect_expert_loads,
+            mesh=getattr(self, "mesh", None),
             scoring=c.scoring_func,
             bias=lp.get("router_bias"),
             n_group=c.n_group,

@@ -322,6 +322,7 @@ class Qwen3NextModel(DenseDecoderModel):
                 mlp_p["experts_down"],
                 c.num_experts_per_tok,
                 c.norm_topk_prob,
+                mesh=getattr(self, "mesh", None),
             )
             gate = jax.nn.silu(
                 jnp.dot(h, mlp_p["shared_gate_proj_w"],

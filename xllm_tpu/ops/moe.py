@@ -219,12 +219,19 @@ def moe_mlp(
     norm_topk_prob: bool,
     placement: jnp.ndarray | None = None,
     return_counts: bool = False,
+    mesh=None,
+    ep_axis: str = "tp",
     **route_kw,
 ):
     """placement [E] is the EPLB slot map: placement[slot] = the LOGICAL
     expert whose weights live in physical slot `slot` (reference
     EplbExecutor routing remap). Permuting the router columns to slot
-    order makes top-k ids physical, so gather/combine stay unchanged."""
+    order makes top-k ids physical, so gather/combine stay unchanged.
+
+    With a mesh whose `ep_axis` is non-trivial and divides both the expert
+    count and the token count, dispatch goes through the ragged
+    all-to-all EP path (`moe_mlp_ep_a2a`, DeepEP analog) instead of
+    relying on GSPMD to gather expert weights."""
     if placement is not None:
         if route_kw.get("n_group", 1) > 1:
             # group-limited selection is defined on the LOGICAL expert
@@ -237,7 +244,18 @@ def moe_mlp(
             router_w = router_w[:, placement]
             if route_kw.get("bias") is not None:
                 route_kw = dict(route_kw, bias=route_kw["bias"][placement])
-    if jax.default_backend() == "tpu":
+    nep = mesh.shape.get(ep_axis, 1) if mesh is not None else 1
+    e = router_w.shape[-1]
+    if (
+        nep > 1
+        and e % nep == 0
+        and x.shape[0] % nep == 0
+    ):
+        out = moe_mlp_ep_a2a(
+            x, router_w, gate_up, down, num_experts_per_tok,
+            norm_topk_prob, mesh, axis=ep_axis, **route_kw,
+        )
+    elif jax.default_backend() == "tpu":
         out = moe_mlp_gmm(
             x, router_w, gate_up, down, num_experts_per_tok, norm_topk_prob,
             **route_kw,

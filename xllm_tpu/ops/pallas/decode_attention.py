@@ -587,6 +587,7 @@ def _decode_kernel_v4(
     scale: float,
     block_size: int,
     window: int = 0,
+    nocompute: bool = False,  # probe: DMA stream only (perf ablation)
 ):
     """v4: manual split-DMA streaming decode kernel, grid (B,).
 
@@ -691,6 +692,15 @@ def _decode_kernel_v4(
             slot = jax.lax.rem(base + i, nslots)
             wait_page(slot)
 
+            if nocompute:
+                # perf ablation: touch one row per buffer so the DMAs are
+                # live, skip all attention math
+                touch = (
+                    k_buf[slot, :, :1, :].astype(jnp.float32)
+                    + v_buf[slot, :, :1, :].astype(jnp.float32)
+                )
+                return m, l, acc + touch
+
             s = jax.lax.dot_general(
                 q,
                 _mxu(k_buf[slot]),
@@ -784,7 +794,11 @@ def _decode_kernel_v4(
         pend_ref[0] = 0
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret", "window"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "interpret", "window", "split_override",
+                     "nslots_override", "nocompute"),
+)
 def paged_decode_attention_write_v4_tpu(
     q: jnp.ndarray,  # [B, Hq, D]
     k_new: jnp.ndarray,  # [B, Hkv, D]
@@ -798,14 +812,20 @@ def paged_decode_attention_write_v4_tpu(
     scale: float,
     interpret: bool = False,
     window: int = 0,
+    split_override: int = 0,  # perf probes only
+    nslots_override: int = 0,
+    nocompute: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """-> (out [B, Hq, D], k_all, v_all) — caches updated in place."""
     b, hq, d = q.shape
     _, _, hkv, bs, _ = k_all.shape
     g = hq // hkv
     assert hq == hkv * g
-    nslots = 8
+    nslots = nslots_override or 8
     split = _V4_SPLIT if hkv % _V4_SPLIT == 0 else (2 if hkv % 2 == 0 else 1)
+    if split_override:
+        assert hkv % split_override == 0
+        split = split_override
 
     pages = jax.lax.div(seq_lens + bs - 1, bs)
     cum = jnp.concatenate(
@@ -849,7 +869,8 @@ def paged_decode_attention_write_v4_tpu(
         ],
     )
     kernel = functools.partial(
-        _decode_kernel_v4, scale=scale, block_size=bs, window=window
+        _decode_kernel_v4, scale=scale, block_size=bs, window=window,
+        nocompute=nocompute,
     )
     # inputs incl. 5 scalar-prefetch args: q=5, k_new=6, v_new=7, k_all=8,
     # v_all=9; outputs: o=0, k_out=1, v_out=2

@@ -54,6 +54,7 @@ class ModelRunner:
         self.config = config
         self.model = create_model(config.model)
         self.mesh = mesh if mesh is not None else build_mesh(config.parallel)
+        self.model.mesh = self.mesh
         self.params = None
         self.k_cache = None
         self.v_cache = None
