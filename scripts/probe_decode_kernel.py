@@ -17,6 +17,8 @@ import jax.numpy as jnp
 
 from xllm_tpu.ops.pallas.decode_attention import (
     paged_decode_attention_write_v4_tpu as v4,
+    paged_decode_attention_write_v5_tpu as v5,
+    paged_decode_attention_write_v6_tpu as v6,
 )
 
 B, HKV, G, D, BS = 128, 8, 2, 128, 64
@@ -41,12 +43,12 @@ page_bytes = 2 * HKV * BS * D * 2  # k+v, bf16
 total_gb = NL * B * NPAGES * page_bytes / 1e9
 
 
-def make_step(**kw):
+def make_step(kern=v4, **kw):
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(k_all, v_all):
         def body(carry, li):
             ka, va, acc = carry
-            o, ka, va = v4(
+            o, ka, va = kern(
                 q, k_new, v_new, ka, va, li, slots, bt, seq_lens,
                 scale=D ** -0.5, **kw
             )
@@ -72,8 +74,8 @@ def fresh_caches():
     return k, v
 
 
-def run(tag, **kw):
-    step = make_step(**kw)
+def run(tag, kern=v4, **kw):
+    step = make_step(kern, **kw)
     ka, va = fresh_caches()
     ka, va, o = step(ka, va)
     np.asarray(o)  # compile + sync
@@ -100,11 +102,9 @@ def run(tag, **kw):
 
 
 res = {}
-res["full_s4"] = run("full_s4")
-res["dma_s4"] = run("dma_s4", nocompute=True)
-res["full_s2"] = run("full_s2", split_override=2)
-res["dma_s2"] = run("dma_s2", split_override=2, nocompute=True)
-res["full_s2_n16"] = run("full_s2_n16", split_override=2,
-                         nslots_override=16)
-res["dma_s1"] = run("dma_s1", split_override=1, nocompute=True)
+res["v6_s2"] = run("v6_s2", kern=v6)
+res["v6_s4"] = run("v6_s4", kern=v6, split_override=4)
+res["v6_s2_n12"] = run("v6_s2_n12", kern=v6, nslots_override=12)
+res["v6_s1"] = run("v6_s1", kern=v6, split_override=1)
+res["v5_s2"] = run("v5_s2", kern=v5)
 print(json.dumps(res), flush=True)

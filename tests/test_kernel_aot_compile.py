@@ -206,3 +206,56 @@ def test_own_gmm_compiles(tpu_aot):
     offs = ((E + 1,), jnp.int32)
     tpu_aot(gmm, ((M, D), jnp.bfloat16), ((E, D, 2 * I), jnp.bfloat16), offs)
     tpu_aot(gmm, ((M, I), jnp.bfloat16), ((E, I, D), jnp.bfloat16), offs)
+
+
+def test_decode_v5_compiles(tpu_aot):
+    from xllm_tpu.ops.pallas.decode_attention import (
+        paged_decode_attention_write_v5_tpu,
+    )
+
+    cache = _kv_shapes()
+    tpu_aot(
+        paged_decode_attention_write_v5_tpu,
+        ((B, HQ, D), jnp.bfloat16),
+        ((B, HKV, D), jnp.bfloat16),
+        ((B, HKV, D), jnp.bfloat16),
+        cache, cache,
+        ((), jnp.int32),
+        ((B,), jnp.int32),
+        ((B, NB), jnp.int32),
+        ((B,), jnp.int32),
+        scale=D**-0.5,
+    )
+    tpu_aot(
+        paged_decode_attention_write_v5_tpu,
+        ((B, HQ, D), jnp.bfloat16),
+        ((B, HKV, D), jnp.bfloat16),
+        ((B, HKV, D), jnp.bfloat16),
+        cache, cache,
+        ((), jnp.int32),
+        ((B,), jnp.int32),
+        ((B, NB), jnp.int32),
+        ((B,), jnp.int32),
+        scale=D**-0.5,
+        window=1024,
+    )
+
+
+def test_decode_v5_fp8_kv_compiles(tpu_aot):
+    from xllm_tpu.ops.pallas.decode_attention import (
+        paged_decode_attention_write_v5_tpu,
+    )
+
+    cache = ((L, NBLK, HKV, BS, D), jnp.float8_e4m3fn)
+    tpu_aot(
+        paged_decode_attention_write_v5_tpu,
+        ((B, HQ, D), jnp.bfloat16),
+        ((B, HKV, D), jnp.float8_e4m3fn),
+        ((B, HKV, D), jnp.float8_e4m3fn),
+        cache, cache,
+        ((), jnp.int32),
+        ((B,), jnp.int32),
+        ((B, NB), jnp.int32),
+        ((B,), jnp.int32),
+        scale=D**-0.5,
+    )

@@ -50,7 +50,16 @@ def decode_attention_write(
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Write each sequence's new K/V row, then attend. -> (out, k, v)."""
     if _use_pallas(q.shape[-1]):
-        kver = os.environ.get("XLLM_DECODE_KERNEL", "v4")
+        kver = os.environ.get("XLLM_DECODE_KERNEL", "v5")
+        if kver == "v5":
+            from xllm_tpu.ops.pallas.decode_attention import (
+                paged_decode_attention_write_v5_tpu,
+            )
+
+            return paged_decode_attention_write_v5_tpu(
+                q, k_new, v_new, k_all, v_all, layer_idx, slot_mapping,
+                block_tables, seq_lens, scale, window=window,
+            )
         if kver == "v4":
             from xllm_tpu.ops.pallas.decode_attention import (
                 paged_decode_attention_write_v4_tpu,

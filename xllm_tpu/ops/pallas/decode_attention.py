@@ -900,3 +900,644 @@ def paged_decode_attention_write_v4_tpu(
         v_all,
     )
     return out.reshape(b, hq, d), k_all, v_all
+
+
+def _decode_kernel_v5(
+    # scalar prefetch
+    layer_ref,  # [1] int32
+    block_tables_ref,  # [B, NB] int32 (tight columns)
+    seq_lens_ref,  # [B] int32 (incl. current token)
+    slot_ref,  # [B] int32 (current token's slot)
+    cum_ref,  # [B+1] int32 cumulative page counts (global slot ring)
+    # inputs
+    q_ref,  # [1, Hkv*G, D] VMEM
+    k_new_ref,  # [1, Hkv, D] VMEM
+    v_new_ref,
+    k_in,  # [L, NB, Hkv, bs, D] ANY (aliased)
+    v_in,
+    # outputs
+    o_ref,  # [1, Hkv*G, D] VMEM
+    k_out,
+    v_out,
+    # scratch
+    k_buf,  # [NSLOTS, Hkv, bs, D]
+    v_buf,
+    sem,  # DMA [2, NSLOTS, SPLIT]
+    k_patch,
+    v_patch,
+    w_sem,  # DMA [2]
+    pend_ref,  # SMEM [1]
+    cursor_ref,  # SMEM [2]
+    *,
+    scale: float,
+    block_size: int,
+    window: int = 0,
+):
+    """v5: v4's global-cursor split-DMA streaming + PACKED-HEAD compute.
+
+    The v4 per-page math ran on [Hkv, G, bs] tiles — with GQA G=2 that is
+    2 sublanes of 8 and 2-row MXU dots, and the kernel measured
+    compute-bound at ~375 GB/s while its DMA stream alone hits ~729 GB/s
+    (scripts/probe_decode_kernel.py). v5 packs every head into ONE
+    well-shaped dot per page:
+
+        s = q_flat [Hkv*G, D] @ k_flat^T [D, Hkv*bs]   (one MXU op)
+
+    with off-diagonal (query-head x kv-head) blocks masked to -inf. After
+    exp they are exactly zero, so `p @ v_flat` combines each query head
+    with ITS kv head's values with no further masking — the 8x redundant
+    MAC lanes ride an MXU that was idle anyway, and the VPU softmax ops
+    run on [Hkv*G, Hkv*bs] tiles (full sublanes/lanes) instead of [_, 2, _].
+
+    The new token's column seeds the online-softmax state (m0 = its
+    score, l0 = 1, acc0 = v_new), replacing v4's post-loop extra-column
+    pass.
+    """
+    del k_in, v_in
+    b = pl.program_id(0)
+    nprog = pl.num_programs(0)
+
+    layer = layer_ref[0]
+    seq_len = seq_lens_ref[b]
+    nblks = pl.cdiv(seq_len, block_size)
+    last = nblks - 1
+    rows_q, d = q_ref.shape[1], q_ref.shape[2]
+    hkv = k_new_ref.shape[1]
+    g = rows_q // hkv
+    n_cached = seq_len - 1
+    base = cum_ref[b]
+    total_pages = cum_ref[nprog]
+    split = sem.shape[2]
+    rows_dma = hkv // split
+    nslots = k_buf.shape[0]
+    bs = block_size
+    cols = hkv * bs
+
+    @pl.when(b == 0)
+    def _():
+        pend_ref[0] = 0
+        cursor_ref[0] = 0
+        cursor_ref[1] = 0
+
+    def issue_global(gp, iseq):
+        j = gp - cum_ref[iseq]
+        blk = block_tables_ref[iseq, j]
+        slot = jax.lax.rem(gp, nslots)
+        for si in range(split):
+            pltpu.make_async_copy(
+                k_out.at[layer, blk, pl.ds(si * rows_dma, rows_dma)],
+                k_buf.at[slot, pl.ds(si * rows_dma, rows_dma)],
+                sem.at[0, slot, si],
+            ).start()
+            pltpu.make_async_copy(
+                v_out.at[layer, blk, pl.ds(si * rows_dma, rows_dma)],
+                v_buf.at[slot, pl.ds(si * rows_dma, rows_dma)],
+                sem.at[1, slot, si],
+            ).start()
+
+    def drain_to(target):
+        tgt = jnp.minimum(target, total_pages)
+
+        def cond(c):
+            return c[0] < tgt
+
+        def step(c):
+            gp, iseq = c
+
+            def adv_cond(s):
+                return gp >= cum_ref[s + 1]
+
+            iseq = jax.lax.while_loop(adv_cond, lambda s: s + 1, iseq)
+            issue_global(gp, iseq)
+            return (gp + 1, iseq)
+
+        gp, iseq = jax.lax.while_loop(
+            cond, step, (cursor_ref[0], cursor_ref[1])
+        )
+        cursor_ref[0] = gp
+        cursor_ref[1] = iseq
+
+    def wait_page(slot):
+        for si in range(split):
+            for which in (0, 1):
+                pltpu.make_async_copy(
+                    k_buf.at[slot, pl.ds(si * rows_dma, rows_dma)],
+                    k_buf.at[slot, pl.ds(si * rows_dma, rows_dma)],
+                    sem.at[which, slot, si],
+                ).wait()
+
+    # head-of-column == head-of-row block-diagonal mask (static)
+    hc = jax.lax.broadcasted_iota(jnp.int32, (rows_q, cols), 1) // bs
+    hr = jax.lax.broadcasted_iota(jnp.int32, (rows_q, cols), 0) // g
+    diag = hc == hr  # [rows_q, cols]
+    col_pos = jax.lax.broadcasted_iota(jnp.int32, (rows_q, cols), 1) % bs
+
+    @pl.when(seq_len > 0)
+    def _():
+        q = q_ref[0]  # [Hkv*G, D]
+        # seed the online softmax with the new token's own column
+        k_new_p = jnp.repeat(k_new_ref[0], g, axis=0)  # [Hkv*G, D]
+        v_new_p = jnp.repeat(v_new_ref[0], g, axis=0)
+        m0 = (
+            jnp.sum(q.astype(jnp.float32) * k_new_p.astype(jnp.float32),
+                    axis=-1, keepdims=True) * scale
+        )  # [Hkv*G, 1]
+        l0 = jnp.ones((rows_q, 1), jnp.float32)
+        acc0 = v_new_p.astype(jnp.float32)
+
+        def body(i, carry):
+            m, l, acc = carry
+            drain_to(base + i + nslots)
+            slot = jax.lax.rem(base + i, nslots)
+            wait_page(slot)
+
+            k_flat = _mxu(k_buf[slot]).reshape(cols, d)
+            v_flat = _mxu(v_buf[slot]).reshape(cols, d)
+            s = jax.lax.dot_general(
+                q, k_flat,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [Hkv*G, Hkv*bs]
+            kv_idx = i * bs + col_pos
+            keep = diag & (kv_idx < n_cached)
+            if window > 0:
+                keep = keep & (kv_idx >= jnp.maximum(seq_len - window, 0))
+            s = jnp.where(keep, s, _NEG_INF)
+
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)  # off-diagonal blocks -> exactly 0
+            l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(v_flat.dtype), v_flat,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [Hkv*G, D]
+            acc = acc * alpha + pv
+
+            # tail page: patch the new row and write back (deferred wait)
+            @pl.when(i == last)
+            def _():
+                @pl.when(pend_ref[0] == 1)
+                def _():
+                    pltpu.make_async_copy(k_patch, k_patch, w_sem.at[0]).wait()
+                    pltpu.make_async_copy(v_patch, v_patch, w_sem.at[1]).wait()
+
+                off = jax.lax.rem(slot_ref[b], bs)
+                row = jax.lax.broadcasted_iota(jnp.int32, (hkv, bs, d), 1)
+                k_patch[...] = jnp.where(
+                    row == off,
+                    k_new_ref[0][:, None, :].astype(k_patch.dtype),
+                    k_buf[slot],
+                )
+                v_patch[...] = jnp.where(
+                    row == off,
+                    v_new_ref[0][:, None, :].astype(v_patch.dtype),
+                    v_buf[slot],
+                )
+                blk = block_tables_ref[b, last]
+                pltpu.make_async_copy(
+                    k_patch, k_out.at[layer, blk], w_sem.at[0]
+                ).start()
+                pltpu.make_async_copy(
+                    v_patch, v_out.at[layer, blk], w_sem.at[1]
+                ).start()
+                pend_ref[0] = 1
+
+            return m_new, l_new, acc
+
+        m, l, acc = jax.lax.fori_loop(0, nblks, body, (m0, l0, acc0))
+        o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+    @pl.when(seq_len == 0)
+    def _():
+        o_ref[0] = jnp.zeros_like(o_ref[0])
+
+    @pl.when((b == nprog - 1) & (pend_ref[0] == 1))
+    def _():
+        pltpu.make_async_copy(k_patch, k_patch, w_sem.at[0]).wait()
+        pltpu.make_async_copy(v_patch, v_patch, w_sem.at[1]).wait()
+        pend_ref[0] = 0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "interpret", "window", "split_override",
+                     "nslots_override"),
+)
+def paged_decode_attention_write_v5_tpu(
+    q: jnp.ndarray,  # [B, Hq, D]
+    k_new: jnp.ndarray,  # [B, Hkv, D]
+    v_new: jnp.ndarray,
+    k_all: jnp.ndarray,  # [L, NB, Hkv, bs, D]
+    v_all: jnp.ndarray,
+    layer_idx: jnp.ndarray,  # [] int32
+    slot_mapping: jnp.ndarray,  # [B] int32
+    block_tables: jnp.ndarray,  # [B, NB_used] int32
+    seq_lens: jnp.ndarray,  # [B] int32 (incl. current token)
+    scale: float,
+    interpret: bool = False,
+    window: int = 0,
+    split_override: int = 0,
+    nslots_override: int = 0,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """-> (out [B, Hq, D], k_all, v_all) — caches updated in place."""
+    b, hq, d = q.shape
+    _, _, hkv, bs, _ = k_all.shape
+    g = hq // hkv
+    assert hq == hkv * g
+    nslots = nslots_override or 8
+    # dma-only rate is best at 2 sub-copies per page: slot-ring concurrency
+    # already keeps multiple pages in flight (probe_decode_kernel.py)
+    split = 2 if hkv % 2 == 0 else 1
+    if split_override:
+        assert hkv % split_override == 0
+        split = split_override
+
+    pages = jax.lax.div(seq_lens + bs - 1, bs)
+    cum = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(pages).astype(jnp.int32)]
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, hq, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, hkv, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, hkv, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, hq, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nslots, hkv, bs, d), k_all.dtype),
+            pltpu.VMEM((nslots, hkv, bs, d), v_all.dtype),
+            pltpu.SemaphoreType.DMA((2, nslots, split)),
+            pltpu.VMEM((hkv, bs, d), k_all.dtype),
+            pltpu.VMEM((hkv, bs, d), v_all.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_kernel_v5, scale=scale, block_size=bs, window=window
+    )
+    out, k_all, v_all = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, d), q.dtype),
+            jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
+            jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
+        ],
+        input_output_aliases={8: 1, 9: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        layer_idx.reshape(1),
+        block_tables,
+        seq_lens,
+        slot_mapping,
+        cum,
+        q,
+        k_new,
+        v_new,
+        k_all,
+        v_all,
+    )
+    return out, k_all, v_all
+
+
+def _decode_kernel_v6(
+    # scalar prefetch
+    layer_ref,  # [1] int32
+    block_tables_ref,  # [B, NB] int32 (tight columns)
+    seq_lens_ref,  # [B] int32 (incl. current token)
+    slot_ref,  # [B] int32 (current token's slot)
+    cum_ref,  # [B+1] int32 cumulative page counts (global stream)
+    seq_of_page_ref,  # [B*NB] int32: owning sequence of each global page
+    # inputs
+    q_ref,  # [1, Hkv*G, D] VMEM
+    k_new_ref,  # [1, Hkv, D] VMEM
+    v_new_ref,
+    k_in,  # [L, NB, Hkv, bs, D] ANY (aliased)
+    v_in,
+    # outputs
+    o_ref,  # [1, Hkv*G, D] VMEM
+    k_out,
+    v_out,
+    # scratch
+    k_buf,  # [NSLOTS, Hkv, bs, D]
+    v_buf,
+    sem,  # DMA [2, NSLOTS] — split sub-copies share one sem, ONE wait
+    k_patch,
+    v_patch,
+    w_sem,  # DMA [2]
+    pend_ref,  # SMEM [1]
+    cursor_ref,  # SMEM [1]: next global page to issue
+    *,
+    scale: float,
+    block_size: int,
+    split: int,
+    window: int = 0,
+):
+    """v6: v5's packed-head compute with the scalar path stripped bare.
+
+    Per-page scalar work in v5 (measured program-bound at 550 ns/page vs
+    the 360 ns/page DMA floor): a catch-up while_loop + nested
+    sequence-advance while per issue, 2x`split` semaphore waits, and an
+    `i == last` branch evaluated every iteration. v6:
+
+    - `seq_of_page` (scalar prefetch, computed in XLA) maps global page
+      -> owning sequence: issue is a table lookup, no while_loops;
+    - the slot ring is topped up with exactly ONE conditional issue per
+      loop iteration (a prologue drain fills it at program start);
+    - both split sub-copies of a page signal ONE semaphore; a single
+      full-page wait consumes them (2 waits/page total for k+v);
+    - the tail-page patch/write-back runs AFTER the flash loop (the ring
+      never overwrites a slot until `nslots` pages later, and the next
+      program starts only after this one returns);
+    - scale and the block-diagonal head mask fold into one FMA with a
+      precomputed additive bias; the causal/window edge needs only a
+      per-iteration compare against a scalar limit.
+    """
+    del k_in, v_in
+    b = pl.program_id(0)
+    nprog = pl.num_programs(0)
+
+    layer = layer_ref[0]
+    seq_len = seq_lens_ref[b]
+    nblks = pl.cdiv(seq_len, block_size)
+    last = nblks - 1
+    rows_q, d = q_ref.shape[1], q_ref.shape[2]
+    hkv = k_new_ref.shape[1]
+    g = rows_q // hkv
+    n_cached = seq_len - 1
+    base = cum_ref[b]
+    total_pages = cum_ref[nprog]
+    rows_dma = hkv // split
+    nslots = k_buf.shape[0]
+    bs = block_size
+    cols = hkv * bs
+
+    @pl.when(b == 0)
+    def _():
+        pend_ref[0] = 0
+        cursor_ref[0] = 0
+
+    def issue_global(gp):
+        iseq = seq_of_page_ref[gp]
+        blk = block_tables_ref[iseq, gp - cum_ref[iseq]]
+        slot = jax.lax.rem(gp, nslots)
+        for si in range(split):
+            pltpu.make_async_copy(
+                k_out.at[layer, blk, pl.ds(si * rows_dma, rows_dma)],
+                k_buf.at[slot, pl.ds(si * rows_dma, rows_dma)],
+                sem.at[0, slot],
+            ).start()
+            pltpu.make_async_copy(
+                v_out.at[layer, blk, pl.ds(si * rows_dma, rows_dma)],
+                v_buf.at[slot, pl.ds(si * rows_dma, rows_dma)],
+                sem.at[1, slot],
+            ).start()
+
+    # prologue: fill the ring up to base + nslots (amortized: in steady
+    # state the cursor is already there and this is one failed check)
+    def prologue_cond(gp):
+        return gp < jnp.minimum(base + nslots, total_pages)
+
+    gp0 = jax.lax.while_loop(
+        prologue_cond,
+        lambda gp: (issue_global(gp), gp + 1)[1],
+        cursor_ref[0],
+    )
+    cursor_ref[0] = gp0
+
+    # block-diagonal additive bias: 0 on a query head's own kv block,
+    # -inf elsewhere (post-exp those lanes are exactly 0, so p @ v_flat
+    # needs no further masking)
+    hc = jax.lax.broadcasted_iota(jnp.int32, (rows_q, cols), 1) // bs
+    hr = jax.lax.broadcasted_iota(jnp.int32, (rows_q, cols), 0) // g
+    diag_bias = jnp.where(hc == hr, 0.0, _NEG_INF).astype(jnp.float32)
+    col_pos = jax.lax.broadcasted_iota(jnp.int32, (rows_q, cols), 1) % bs
+
+    @pl.when(seq_len > 0)
+    def _():
+        q = q_ref[0]  # [Hkv*G, D]
+        k_new_p = jnp.repeat(k_new_ref[0], g, axis=0)  # [Hkv*G, D]
+        v_new_p = jnp.repeat(v_new_ref[0], g, axis=0)
+        m0 = (
+            jnp.sum(q.astype(jnp.float32) * k_new_p.astype(jnp.float32),
+                    axis=-1, keepdims=True) * scale
+        )
+        l0 = jnp.ones((rows_q, 1), jnp.float32)
+        acc0 = v_new_p.astype(jnp.float32)
+        win_lo = jnp.maximum(seq_len - window, 0) if window > 0 else 0
+
+        def body(i, carry):
+            m, l, acc = carry
+            # top up the ring: exactly one issue in steady state
+            gp = cursor_ref[0]
+
+            @pl.when(gp < jnp.minimum(base + i + nslots, total_pages))
+            def _():
+                issue_global(gp)
+                cursor_ref[0] = gp + 1
+
+            slot = jax.lax.rem(base + i, nslots)
+            pltpu.make_async_copy(
+                k_buf.at[slot], k_buf.at[slot], sem.at[0, slot]
+            ).wait()
+            pltpu.make_async_copy(
+                v_buf.at[slot], v_buf.at[slot], sem.at[1, slot]
+            ).wait()
+
+            k_flat = _mxu(k_buf[slot]).reshape(cols, d)
+            v_flat = _mxu(v_buf[slot]).reshape(cols, d)
+            s = jax.lax.dot_general(
+                q, k_flat,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale + diag_bias  # FMA: scale + head mask in one pass
+            # causal edge: positions >= n_cached - i*bs are invalid on
+            # the tail page only; full pages pass the compare trivially
+            limit = n_cached - i * bs
+            s = jnp.where(col_pos < limit, s, _NEG_INF)
+            if window > 0:
+                lo_lim = win_lo - i * bs
+                s = jnp.where(col_pos >= lo_lim, s, _NEG_INF)
+
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(v_flat.dtype), v_flat,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, l_new, acc * alpha + pv
+
+        m, l, acc = jax.lax.fori_loop(0, nblks, body, (m0, l0, acc0))
+        o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+        # tail-page patch + write-back, OUT of the hot loop: the ring
+        # cannot overwrite slot(last) before the next program's drains,
+        # which start after this program returns
+        @pl.when(pend_ref[0] == 1)
+        def _():
+            pltpu.make_async_copy(k_patch, k_patch, w_sem.at[0]).wait()
+            pltpu.make_async_copy(v_patch, v_patch, w_sem.at[1]).wait()
+
+        slot_last = jax.lax.rem(base + last, nslots)
+        off = jax.lax.rem(slot_ref[b], bs)
+        row = jax.lax.broadcasted_iota(jnp.int32, (hkv, bs, d), 1)
+        k_patch[...] = jnp.where(
+            row == off,
+            k_new_ref[0][:, None, :].astype(k_patch.dtype),
+            k_buf[slot_last],
+        )
+        v_patch[...] = jnp.where(
+            row == off,
+            v_new_ref[0][:, None, :].astype(v_patch.dtype),
+            v_buf[slot_last],
+        )
+        blk = block_tables_ref[b, last]
+        pltpu.make_async_copy(k_patch, k_out.at[layer, blk], w_sem.at[0]).start()
+        pltpu.make_async_copy(v_patch, v_out.at[layer, blk], w_sem.at[1]).start()
+        pend_ref[0] = 1
+
+    @pl.when(seq_len == 0)
+    def _():
+        o_ref[0] = jnp.zeros_like(o_ref[0])
+
+    @pl.when((b == nprog - 1) & (pend_ref[0] == 1))
+    def _():
+        pltpu.make_async_copy(k_patch, k_patch, w_sem.at[0]).wait()
+        pltpu.make_async_copy(v_patch, v_patch, w_sem.at[1]).wait()
+        pend_ref[0] = 0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "interpret", "window", "split_override",
+                     "nslots_override"),
+)
+def paged_decode_attention_write_v6_tpu(
+    q: jnp.ndarray,  # [B, Hq, D]
+    k_new: jnp.ndarray,  # [B, Hkv, D]
+    v_new: jnp.ndarray,
+    k_all: jnp.ndarray,  # [L, NB, Hkv, bs, D]
+    v_all: jnp.ndarray,
+    layer_idx: jnp.ndarray,  # [] int32
+    slot_mapping: jnp.ndarray,  # [B] int32
+    block_tables: jnp.ndarray,  # [B, NB_used] int32
+    seq_lens: jnp.ndarray,  # [B] int32 (incl. current token)
+    scale: float,
+    interpret: bool = False,
+    window: int = 0,
+    split_override: int = 0,
+    nslots_override: int = 0,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """-> (out [B, Hq, D], k_all, v_all) — caches updated in place."""
+    b, hq, d = q.shape
+    _, _, hkv, bs, _ = k_all.shape
+    g = hq // hkv
+    assert hq == hkv * g
+    nslots = nslots_override or 8
+    split = 2 if hkv % 2 == 0 else 1
+    if split_override:
+        assert hkv % split_override == 0
+        split = split_override
+    nb = block_tables.shape[1]
+
+    pages = jax.lax.div(seq_lens + bs - 1, bs)
+    cum = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(pages).astype(jnp.int32)]
+    )
+    # owning sequence of each global page (monotone; empty seqs skipped)
+    seq_of_page = jnp.searchsorted(
+        cum[1:], jnp.arange(b * nb, dtype=jnp.int32), side="right"
+    ).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, hq, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, hkv, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, hkv, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, hq, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nslots, hkv, bs, d), k_all.dtype),
+            pltpu.VMEM((nslots, hkv, bs, d), v_all.dtype),
+            pltpu.SemaphoreType.DMA((2, nslots)),
+            pltpu.VMEM((hkv, bs, d), k_all.dtype),
+            pltpu.VMEM((hkv, bs, d), v_all.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_kernel_v6, scale=scale, block_size=bs, split=split,
+        window=window,
+    )
+    out, k_all, v_all = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, d), q.dtype),
+            jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
+            jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
+        ],
+        input_output_aliases={9: 1, 10: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        layer_idx.reshape(1),
+        block_tables,
+        seq_lens,
+        slot_mapping,
+        cum,
+        seq_of_page,
+        q,
+        k_new,
+        v_new,
+        k_all,
+        v_all,
+    )
+    return out, k_all, v_all
