@@ -253,3 +253,62 @@ def test_async_prefill_matches_blocking_path():
     while d2.has_unfinished():
         d2.step()
     assert r2.sequences[0].token_ids == toks_sync
+
+
+def test_pd_ooc_online_offline_colocation():
+    """PD-OOC (reference pd_ooc_scheduler.cpp): the prefill node runs
+    all-online or all-offline steps with online first; the decode node
+    pulls offline work only under TPOT slack; offline requests carry the
+    preempt-first service class."""
+    from xllm_tpu.disagg.ooc import OOCDecodeNode, OOCPrefillNode, StepStatus
+    from xllm_tpu.disagg.pd import AsyncPrefillInstance, DecodeInstance
+
+    rng = np.random.default_rng(5)
+    pre = OOCPrefillNode(AsyncPrefillInstance(LLMEngine(tiny_config())))
+    dec = OOCDecodeNode(
+        DecodeInstance(LLMEngine(tiny_config())), tpot_budget_s=10.0
+    )
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+
+    online_ready = []
+    for i in range(2):
+        pre.submit_online(
+            [int(x) for x in rng.integers(1, 90, 17 + i)], sp,
+            online_ready.append, request_id=f"on-{i}",
+        )
+    for i in range(3):
+        pre.submit_offline(
+            [int(x) for x in rng.integers(1, 90, 11 + i)], sp,
+            request_id=f"off-{i}",
+        )
+
+    statuses = []
+    for _ in range(200):
+        pre.pump()
+        statuses.append(pre.last_status)
+        if len(online_ready) == 2 and len(pre.offline_backlog) == 3:
+            break
+    assert len(online_ready) == 2
+    assert len(pre.offline_backlog) == 3
+    # online steps strictly precede offline steps (all-online first)
+    first_off = statuses.index(StepStatus.OFFLINE_PREFILL)
+    assert StepStatus.ONLINE_PREFILL not in statuses[first_off:]
+
+    # decode node: online requests in, then pulls offline under slack
+    for h in online_ready:
+        dec.accept(h, offline=False)
+    for _ in range(400):
+        dec.pump(pre)
+        if not dec.decode.engine.has_unfinished() and not pre.offline_backlog:
+            break
+    eng = dec.decode.engine
+    while eng.has_unfinished():
+        dec.pump(pre)
+    assert dec.pulls == 3
+    assert eng.block_manager.num_used_blocks == 0
+    # offline requests were marked with the preempt-first service class
+    # (they finished, so check the bookkeeping flag on their Request)
+    assert all(
+        r.offline for rid, r in eng._active_requests.items()
+        if rid.startswith("off-")
+    )

@@ -1,0 +1,169 @@
+"""PD-OOC: online/offline co-location on disaggregated PD instances.
+
+TPU-native counterpart of the reference's PDOOCScheduler + PerfModel
+(reference xllm/core/scheduler/pd_ooc_scheduler.h:44-120,
+pd_ooc_scheduler.cpp:46,337-340, perf_model.h:50). Semantics preserved:
+
+- the PREFILL node keeps separate online/offline queues and dispatches
+  all-online or all-offline batches — a step is ONLINE_PREFILL,
+  OFFLINE_PREFILL, or IDLE (`StepStatus` enum, pd_ooc_scheduler.h:43).
+  Online prompts always go first; offline prompts prefill only when no
+  online work is waiting or in flight. Finished offline handoffs park in
+  a backlog instead of being pushed.
+- the DECODE node PULLS offline work (the reference's pull signal,
+  `decode_send_pull_signal`/`check_able_to_pull`) only when its measured
+  step latency leaves headroom under the online TPOT budget — the
+  PerfModel here is the engine's ProfileManager step-time fit.
+- on pressure, offline requests are preempted first: accepted offline
+  handoffs carry `offline=True`, so the continuous scheduler's
+  service-class preemption (online-preempts-offline,
+  continuous_scheduler.cpp:390-612 analog) applies unchanged.
+"""
+
+from __future__ import annotations
+
+import collections
+import enum
+
+from xllm_tpu.disagg.pd import (
+    AsyncPrefillInstance,
+    DecodeInstance,
+    PrefillHandoff,
+)
+from xllm_tpu.framework.request import Request
+from xllm_tpu.framework.sampling_params import SamplingParams
+from xllm_tpu.scheduler.profile import ProfileManager
+
+
+class StepStatus(enum.Enum):
+    ONLINE_PREFILL = "online_prefill"
+    OFFLINE_PREFILL = "offline_prefill"
+    DECODE = "decode"
+    IDLE = "idle"
+
+
+class OOCPrefillNode:
+    """Prefill-role node with online/offline queue separation."""
+
+    def __init__(self, prefill: AsyncPrefillInstance,
+                 max_inflight: int = 8):
+        self.prefill = prefill
+        self.max_inflight = max_inflight
+        self._online: collections.deque = collections.deque()
+        self._offline: collections.deque = collections.deque()
+        # finished offline handoffs, awaiting a decode-side pull
+        self.offline_backlog: collections.deque = collections.deque()
+        self._inflight_kind: dict[str, bool] = {}  # rid -> offline?
+        self.last_status = StepStatus.IDLE
+
+    # -- intake ---------------------------------------------------------
+    def submit_online(self, prompt_token_ids, sampling_params, on_ready,
+                      request_id=None):
+        self._online.append(
+            (prompt_token_ids, sampling_params, on_ready, request_id)
+        )
+
+    def submit_offline(self, prompt_token_ids, sampling_params,
+                       request_id=None):
+        self._offline.append(
+            (prompt_token_ids, sampling_params, None, request_id)
+        )
+
+    # -- the decode node's pull (reference write_pull_signal ->
+    #    prefill_send_multi_generations path) ---------------------------
+    def pull_offline(self, n: int) -> list[PrefillHandoff]:
+        out = []
+        while self.offline_backlog and len(out) < n:
+            out.append(self.offline_backlog.popleft())
+        return out
+
+    # -- dispatch loop ---------------------------------------------------
+    def _dispatch(self) -> None:
+        """All-online or all-offline admission for this step."""
+        inflight_online = sum(
+            0 if off else 1 for off in self._inflight_kind.values()
+        )
+        inflight_offline = len(self._inflight_kind) - inflight_online
+        if self._online or inflight_online:
+            # ONLINE step: admit online only; offline waits even if the
+            # engine has room (all-online-or-all-offline batches)
+            while self._online and len(self._inflight_kind) < self.max_inflight:
+                if inflight_offline:
+                    break  # finish draining offline work first
+                p, sp, cb, rid = self._online.popleft()
+                rid = self.prefill.submit(p, sp, cb, request_id=rid)
+                self._inflight_kind[rid] = False
+            self.last_status = StepStatus.ONLINE_PREFILL
+        elif self._offline or inflight_offline:
+            while self._offline and len(self._inflight_kind) < self.max_inflight:
+                p, sp, _, rid = self._offline.popleft()
+                rid = self.prefill.submit(
+                    p, sp, self._offline_done, request_id=rid
+                )
+                self._inflight_kind[rid] = True
+            self.last_status = StepStatus.OFFLINE_PREFILL
+        else:
+            self.last_status = StepStatus.IDLE
+
+    def _offline_done(self, handoff: PrefillHandoff) -> None:
+        self.offline_backlog.append(handoff)
+
+    def pump(self) -> None:
+        self._dispatch()
+        before = set(self.prefill._inflight) | set(self.prefill._extracting)
+        self.prefill.pump()
+        after = set(self.prefill._inflight) | set(self.prefill._extracting)
+        for rid in before - after:
+            self._inflight_kind.pop(rid, None)
+
+
+class OOCDecodeNode:
+    """Decode-role node that pulls offline work only under latency slack."""
+
+    def __init__(
+        self,
+        decode: DecodeInstance,
+        tpot_budget_s: float,
+        headroom: float = 0.8,
+        profile: ProfileManager | None = None,
+        max_pull: int = 2,
+    ):
+        self.decode = decode
+        self.tpot_budget_s = tpot_budget_s
+        self.headroom = headroom
+        self.profile = profile or ProfileManager()
+        self.max_pull = max_pull
+        self.pulls = 0
+
+    # -- PerfModel gate (reference check_able_to_pull,
+    #    pd_ooc_scheduler.cpp:337-340) ----------------------------------
+    def able_to_pull(self) -> bool:
+        eng = self.decode.engine
+        batch = sum(len(r.sequences) for r in eng.scheduler.running)
+        pred = self.profile.predict_tpot_s(batch + self.max_pull)
+        if pred is None:
+            # no fitted model yet: pull only when idle
+            return batch == 0
+        return pred <= self.tpot_budget_s * self.headroom
+
+    def accept(self, handoff: PrefillHandoff, offline: bool = False) -> Request:
+        req = self.decode.accept(handoff)
+        req.offline = offline
+        if offline:
+            req.priority = -1
+        return req
+
+    def pump(self, prefill_node: OOCPrefillNode) -> None:
+        """One decode step; pull offline handoffs when there is slack."""
+        import time
+
+        if self.able_to_pull():
+            for h in prefill_node.pull_offline(self.max_pull):
+                self.accept(h, offline=True)
+                self.pulls += 1
+        eng = self.decode.engine
+        if eng.has_unfinished():
+            batch = sum(len(r.sequences) for r in eng.scheduler.running)
+            t0 = time.perf_counter()
+            eng.step()
+            self.profile.observe_decode(batch, time.perf_counter() - t0)
