@@ -1245,7 +1245,7 @@ def _decode_kernel_v6(
     # scratch
     k_buf,  # [NSLOTS, Hkv, bs, D]
     v_buf,
-    sem,  # DMA [2, NSLOTS] — split sub-copies share one sem, ONE wait
+    sem,  # DMA [2, NSLOTS, SPLIT]
     k_patch,
     v_patch,
     w_sem,  # DMA [2]
@@ -1268,8 +1268,6 @@ def _decode_kernel_v6(
       -> owning sequence: issue is a table lookup, no while_loops;
     - the slot ring is topped up with exactly ONE conditional issue per
       loop iteration (a prologue drain fills it at program start);
-    - both split sub-copies of a page signal ONE semaphore; a single
-      full-page wait consumes them (2 waits/page total for k+v);
     - the tail-page patch/write-back runs AFTER the flash loop (the ring
       never overwrites a slot until `nslots` pages later, and the next
       program starts only after this one returns);
@@ -1309,12 +1307,12 @@ def _decode_kernel_v6(
             pltpu.make_async_copy(
                 k_out.at[layer, blk, pl.ds(si * rows_dma, rows_dma)],
                 k_buf.at[slot, pl.ds(si * rows_dma, rows_dma)],
-                sem.at[0, slot],
+                sem.at[0, slot, si],
             ).start()
             pltpu.make_async_copy(
                 v_out.at[layer, blk, pl.ds(si * rows_dma, rows_dma)],
                 v_buf.at[slot, pl.ds(si * rows_dma, rows_dma)],
-                sem.at[1, slot],
+                sem.at[1, slot, si],
             ).start()
 
     # prologue: fill the ring up to base + nslots (amortized: in steady
@@ -1361,12 +1359,17 @@ def _decode_kernel_v6(
                 cursor_ref[0] = gp + 1
 
             slot = jax.lax.rem(base + i, nslots)
-            pltpu.make_async_copy(
-                k_buf.at[slot], k_buf.at[slot], sem.at[0, slot]
-            ).wait()
-            pltpu.make_async_copy(
-                v_buf.at[slot], v_buf.at[slot], sem.at[1, slot]
-            ).wait()
+            for si in range(split):
+                pltpu.make_async_copy(
+                    k_buf.at[slot, pl.ds(si * rows_dma, rows_dma)],
+                    k_buf.at[slot, pl.ds(si * rows_dma, rows_dma)],
+                    sem.at[0, slot, si],
+                ).wait()
+                pltpu.make_async_copy(
+                    v_buf.at[slot, pl.ds(si * rows_dma, rows_dma)],
+                    v_buf.at[slot, pl.ds(si * rows_dma, rows_dma)],
+                    sem.at[1, slot, si],
+                ).wait()
 
             k_flat = _mxu(k_buf[slot]).reshape(cols, d)
             v_flat = _mxu(v_buf[slot]).reshape(cols, d)
@@ -1502,7 +1505,7 @@ def paged_decode_attention_write_v6_tpu(
         scratch_shapes=[
             pltpu.VMEM((nslots, hkv, bs, d), k_all.dtype),
             pltpu.VMEM((nslots, hkv, bs, d), v_all.dtype),
-            pltpu.SemaphoreType.DMA((2, nslots)),
+            pltpu.SemaphoreType.DMA((2, nslots, split)),
             pltpu.VMEM((hkv, bs, d), k_all.dtype),
             pltpu.VMEM((hkv, bs, d), v_all.dtype),
             pltpu.SemaphoreType.DMA((2,)),
