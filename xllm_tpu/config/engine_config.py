@@ -163,6 +163,14 @@ class SchedulerConfig:
     # latency-aware scheduling (reference --enable_latency_aware_schedule):
     # when > 0, prefill chunk budgets shrink to fit the predicted TTFT
     ttft_budget_ms: float = 0.0
+    # scheduler policy (reference scheduler_factory.cpp:34-63):
+    # "continuous" = decode-first + chunked prefill (default);
+    # "mix" = one priority queue mixing P+D under a latency budget
+    # (reference MixScheduler / ProSched, mix_scheduler.h:29)
+    policy: str = "continuous"
+    # per-step latency budget for the mix policy; work beyond the budget
+    # (by predicted step time) waits for the next step. 0 = unbounded.
+    step_latency_budget_ms: float = 0.0
     # zero-eviction admission (reference ZeroEvictionScheduler,
     # zero_eviction_scheduler.h:22-35): admit a prompt only if the pool can
     # hold its whole projected footprint, avoiding mid-stream preemption

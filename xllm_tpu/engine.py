@@ -92,7 +92,27 @@ class LLMEngine:
                 )
             config.cache.enable_prefix_cache = False
         self.block_manager = self._make_block_manager()
-        self.scheduler = ContinuousScheduler(config.scheduler, self.block_manager)
+        # step-time models feed latency-aware budgeting (reference
+        # ProfileManager, scheduler/profile/profile_manager.h:33-145);
+        # observed from engine step wall time — under schedule overlap the
+        # loop blocks on the fixup fetch, so steady-state wall time tracks
+        # device step time
+        self.profile_manager = None
+        sc = config.scheduler
+        if sc.policy == "mix" or sc.ttft_budget_ms > 0:
+            from xllm_tpu.scheduler.profile import ProfileManager
+
+            self.profile_manager = ProfileManager()
+        if sc.policy == "mix":
+            from xllm_tpu.scheduler.mix import MixScheduler
+
+            self.scheduler = MixScheduler(
+                sc, self.block_manager, self.profile_manager
+            )
+        else:
+            self.scheduler = ContinuousScheduler(
+                sc, self.block_manager, self.profile_manager
+            )
         self._decoders: dict[int, IncrementalDecoder] = {}
         self._active_requests: dict[str, Request] = {}
         self._image_processor = None
@@ -393,6 +413,7 @@ class LLMEngine:
     # the engine step (reference continuous_scheduler.cpp:1242 + llm_engine.cpp:913)
     # ------------------------------------------------------------------
     def step(self) -> list[RequestOutput]:
+        t_step0 = time.perf_counter() if self.profile_manager else 0.0
         out = self.scheduler.schedule()
         for req in out.preempted_requests:
             for seq in req.sequences:
@@ -537,6 +558,17 @@ class LLMEngine:
             for seq in req.sequences:
                 self._release_slot(seq)
         self._maybe_rebalance_experts()
+        if self.profile_manager is not None and not out.is_empty:
+            dt = time.perf_counter() - t_step0
+            # attribute only unmixed steps so the two models stay clean
+            # (reference profiles prefill and decode separately,
+            # profile_manager.h:33-145)
+            if out.prefill_items and not out.decode_seqs:
+                self.profile_manager.observe_prefill(
+                    sum(n for _, n in out.prefill_items), dt
+                )
+            elif out.decode_seqs and not out.prefill_items:
+                self.profile_manager.observe_decode(len(out.decode_seqs), dt)
         return self._build_outputs(touched)
 
     def _maybe_rebalance_experts(self) -> None:

@@ -790,6 +790,8 @@ def build_config(args) -> EngineConfig:
             max_tokens_per_chunk_for_prefill=args.max_prefill_chunk,
             max_model_len=args.max_model_len,
             enable_schedule_overlap=not args.no_schedule_overlap,
+            policy=args.scheduler_policy,
+            step_latency_budget_ms=args.step_latency_budget_ms,
         ),
         parallel=ParallelConfig(tp_size=args.tp, dp_size=args.dp),
         speculative=SpeculativeConfig(
@@ -819,6 +821,11 @@ def main(argv=None) -> None:
     p.add_argument("--max-concurrency", type=int, default=0)
     p.add_argument("--no-prefix-cache", action="store_true")
     p.add_argument("--no-schedule-overlap", action="store_true")
+    p.add_argument("--scheduler-policy", default="continuous",
+                   choices=["continuous", "mix"],
+                   help="mix = one priority queue for P+D under a latency "
+                        "budget (reference MixScheduler/ProSched)")
+    p.add_argument("--step-latency-budget-ms", type=float, default=0.0)
     p.add_argument("--warmup", action="store_true")
     p.add_argument(
         "--tool-call-parser", default="",
