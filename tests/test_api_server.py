@@ -483,6 +483,7 @@ def test_chat_image_url_extraction():
         engine=types.SimpleNamespace(tokenizer=None),
     )
     srv._image_placeholder = lambda: APIServer._image_placeholder(srv)
+    srv._decode_data_image = APIServer._decode_data_image
     messages = [
         {"role": "user", "content": [
             {"type": "text", "text": "look: "},
@@ -490,7 +491,7 @@ def test_chat_image_url_extraction():
             {"type": "text", "text": " ok?"},
         ]},
     ]
-    norm, images = APIServer._extract_images(srv, messages)
+    norm, images, _videos = APIServer._extract_images(srv, messages)
     assert len(images) == 1 and images[0].shape == (28, 28, 3)
     assert norm[0]["content"] == "look: <|vision_start|><|image_pad|> ok?"
 

@@ -102,6 +102,7 @@ class ModelConfig:
     vision: dict | None = None
     mrope_section: list[int] = field(default_factory=list)
     image_token_id: int = -1
+    video_token_id: int = -1
     vision_start_token_id: int = -1
 
     def __post_init__(self) -> None:

@@ -116,6 +116,7 @@ class LLMEngine:
         self._decoders: dict[int, IncrementalDecoder] = {}
         self._active_requests: dict[str, Request] = {}
         self._image_processor = None
+        self._video_processor = None
         self._encoder_cache = None
         # async schedule-overlap state
         self._pending: deque[_Pending] = deque()
@@ -247,6 +248,7 @@ class LLMEngine:
         priority: int = 0,
         offline: bool = False,
         images: list | None = None,
+        videos: list | None = None,
     ) -> Request:
         if prompt_token_ids is None:
             if prompt is None or self.tokenizer is None:
@@ -255,11 +257,11 @@ class LLMEngine:
         if not prompt_token_ids:
             raise ValueError("prompt must contain at least one token")
         mm_state = None
-        if images:
+        if images or videos:
             if not getattr(self.runner.model, "is_vlm", False):
                 raise ValueError("this model does not accept images")
             prompt_token_ids, mm_state = self._process_images(
-                prompt_token_ids, images
+                prompt_token_ids, images, videos
             )
         max_len = self.config.scheduler.max_model_len
         if len(prompt_token_ids) + 1 > max_len:
@@ -320,15 +322,24 @@ class LLMEngine:
                 )
         return req
 
-    def _process_images(self, prompt_token_ids, images):
+    def _process_images(self, prompt_token_ids, images, videos=None):
         """Vision intake (reference VLM master prompt processing +
-        encoder path, vlm_master.h:44): preprocess each image, encode
-        through the tower (with the content-hash EncoderCache), expand
-        the image placeholder tokens, compute M-RoPE positions."""
+        encoder path, vlm_master.h:44 + video processors,
+        qwen2_vl_video_processor.h:30): preprocess each image/video,
+        encode through the tower (with the content-hash EncoderCache),
+        expand the placeholder tokens, compute M-RoPE positions.
+
+        Placeholders are matched in prompt order: each image token
+        consumes the next image, each video token the next video. A
+        video may be an ``[T, H, W, 3]`` array or a ``(frames, fps)``
+        pair (fps drives frame sampling + qwen2.5-vl temporal rope)."""
         import numpy as np
 
         from xllm_tpu.processors.image import ImageProcessor
+        from xllm_tpu.processors.video import VideoProcessor
 
+        images = list(images or [])
+        videos = list(videos or [])
         model = self.runner.model
         if self._image_processor is None:
             vc = model.vision_cfg
@@ -337,43 +348,71 @@ class LLMEngine:
                 merge_size=vc.spatial_merge_size,
                 temporal_patch_size=vc.temporal_patch_size,
             )
+            self._video_processor = VideoProcessor(
+                patch_size=vc.patch_size,
+                merge_size=vc.spatial_merge_size,
+                temporal_patch_size=vc.temporal_patch_size,
+            )
             from xllm_tpu.framework.encoder_cache import EncoderCache
 
             self._encoder_cache = EncoderCache()
-        proc = self._image_processor
+        img_proc = self._image_processor
+        vid_proc = self._video_processor
         img_tok = model.image_token_id
+        vid_tok = getattr(model, "video_token_id", -1)
         if img_tok < 0:
             raise ValueError("model config lacks image_token_id")
-        placeholders = [
-            i for i, t in enumerate(prompt_token_ids) if t == img_tok
-        ]
-        if len(placeholders) != len(images):
+        n_img_ph = sum(1 for t in prompt_token_ids if t == img_tok)
+        n_vid_ph = sum(1 for t in prompt_token_ids if t == vid_tok)
+        if n_img_ph != len(images):
             raise ValueError(
-                f"{len(images)} images but {len(placeholders)} image tokens"
+                f"{len(images)} images but {n_img_ph} image tokens"
             )
-        grids, all_embeds = [], []
-        for img in images:
-            img = np.asarray(img)
-            patches, grid = proc(img)
+        if n_vid_ph != len(videos):
+            raise ValueError(
+                f"{len(videos)} videos but {n_vid_ph} video tokens"
+            )
+
+        def encode_media(patches, grid, proc):
             key = proc.content_hash(patches)
             emb = self._encoder_cache.get(key)
             if emb is None:
                 emb = self.runner.encode_image(patches, grid)
                 self._encoder_cache.put(key, emb)
-            grids.append(grid)
-            all_embeds.append(emb)
-        # expand each placeholder to its image's LLM-token count
-        out_tokens: list[int] = []
-        mm_positions: list[int] = []
-        img_i = 0
+            return emb
+
+        # media in PROMPT order (grids/embeds interleave images + videos)
+        grids, all_embeds, spans, spgs = [], [], [], []
+        img_i = vid_i = 0
         for t in prompt_token_ids:
             if t == img_tok:
-                n = proc.num_llm_tokens(grids[img_i])
+                patches, grid = img_proc(np.asarray(images[img_i]))
+                all_embeds.append(encode_media(patches, grid, img_proc))
+                grids.append(grid)
+                spans.append((img_tok, img_proc.num_llm_tokens(grid)))
+                spgs.append(0.0)
+                img_i += 1
+            elif t == vid_tok:
+                v = videos[vid_i]
+                frames, fps = (v if isinstance(v, tuple) else (v, 0.0))
+                patches, grid, spg = vid_proc(np.asarray(frames), fps)
+                all_embeds.append(encode_media(patches, grid, vid_proc))
+                grids.append(grid)
+                spans.append((vid_tok, vid_proc.num_llm_tokens(grid)))
+                spgs.append(spg)
+                vid_i += 1
+        # expand each placeholder to its media's LLM-token count
+        out_tokens: list[int] = []
+        mm_positions: list[int] = []
+        m_i = 0
+        for t in prompt_token_ids:
+            if t == img_tok or t == vid_tok:
+                tok, n = spans[m_i]
                 mm_positions.extend(
                     range(len(out_tokens), len(out_tokens) + n)
                 )
-                out_tokens.extend([img_tok] * n)
-                img_i += 1
+                out_tokens.extend([tok] * n)
+                m_i += 1
             else:
                 out_tokens.append(t)
         from xllm_tpu.models.qwen2_vl import get_rope_index
@@ -381,6 +420,11 @@ class LLMEngine:
         mrope, offset = get_rope_index(
             out_tokens, img_tok, grids,
             merge_size=model.vision_cfg.spatial_merge_size,
+            video_token_id=vid_tok if vid_tok >= 0 else -9,
+            second_per_grid_ts=spgs,
+            tokens_per_second=getattr(
+                model, "vision_tokens_per_second", 0.0
+            ),
         )
         embeds = np.concatenate(all_embeds, axis=0)
         return out_tokens, (

@@ -127,6 +127,7 @@ def model_config_from_hf_dict(cfg: dict, model_path: str = "") -> ModelConfig:
         rs = cfg.get("rope_scaling") or {}
         mc.mrope_section = list(rs.get("mrope_section", []) or [])
         mc.image_token_id = cfg.get("image_token_id", -1)
+        mc.video_token_id = cfg.get("video_token_id", -1)
         mc.vision_start_token_id = cfg.get("vision_start_token_id", -1)
     return mc
 

@@ -36,33 +36,49 @@ def get_rope_index(
     image_token_id: int,
     grids: list[tuple[int, int, int]],
     merge_size: int = 2,
+    video_token_id: int = -9,
+    second_per_grid_ts: list[float] | None = None,
+    tokens_per_second: float = 0.0,
 ) -> tuple[np.ndarray, int]:
     """qwen2-vl M-RoPE position ids for an (expanded) prompt.
 
     Returns (positions [3, N] int32, rope_offset): text tokens advance all
-    three components together; an image span of grid (t, gh, gw) uses
-    t/h/w lattice positions starting at the running offset; after the
-    span the text counter resumes at offset + max(span dims).
+    three components together; an image/video span of grid (t, gh, gw)
+    uses t/h/w lattice positions starting at the running offset; after the
+    span the text counter resumes past the span's max position.
     rope_offset = next position for generated tokens minus N (so decode
     rope position = (num_tokens - 1) + rope_offset).
+
+    Video spans (reference video processors + VLM mrope): with
+    ``tokens_per_second > 0`` (qwen2.5-vl) the temporal index advances by
+    wall-clock seconds per temporal grid step; otherwise (qwen2-vl) it
+    advances by one per step. ``grids``/``second_per_grid_ts`` are per
+    media item in prompt order (images and videos interleaved).
     """
     n = len(token_ids)
     pos = np.zeros((3, n), np.int64)
     st = 0  # running position offset
     i = 0
     img_i = 0
+    media_toks = {image_token_id, video_token_id}
     while i < n:
-        if token_ids[i] == image_token_id and img_i < len(grids):
+        if token_ids[i] in media_toks and img_i < len(grids):
             t, gh, gw = grids[img_i]
             lh, lw = gh // merge_size, gw // merge_size
             span = t * lh * lw
-            t_idx = np.repeat(np.arange(t), lh * lw)
+            t_steps = np.arange(t)
+            if token_ids[i] == video_token_id and tokens_per_second > 0:
+                spg = 1.0
+                if second_per_grid_ts and img_i < len(second_per_grid_ts):
+                    spg = second_per_grid_ts[img_i]
+                t_steps = (t_steps * spg * tokens_per_second).astype(np.int64)
+            t_idx = np.repeat(t_steps, lh * lw)
             h_idx = np.tile(np.repeat(np.arange(lh), lw), t)
             w_idx = np.tile(np.arange(lw), t * lh)
             pos[0, i : i + span] = st + t_idx
             pos[1, i : i + span] = st + h_idx
             pos[2, i : i + span] = st + w_idx
-            st = st + max(t, lh, lw)
+            st = st + max(int(t_idx.max()) + 1, lh, lw)
             i += span
             img_i += 1
         else:
@@ -127,6 +143,11 @@ class Qwen2VLModel(DenseDecoderModel):
             cfg.mrope_section or (16, 24, 24)
         )
         self.image_token_id = cfg.image_token_id
+        self.video_token_id = getattr(cfg, "video_token_id", -1)
+        # qwen2.5-vl temporal M-RoPE scale (absent/0 for qwen2-vl)
+        self.vision_tokens_per_second = float(
+            vc.get("tokens_per_second", 0.0) or 0.0
+        )
 
     # ------------------------------------------------------------------
     def init_params(self, rng: jax.Array) -> dict:

@@ -154,9 +154,20 @@ class VisionEncoder:
         return rot(q), rot(k)
 
     def encode(
-        self, params: dict, patches: jnp.ndarray, grid_h: int, grid_w: int
+        self,
+        params: dict,
+        patches: jnp.ndarray,
+        grid_h: int,
+        grid_w: int,
+        grid_t: int = 1,
     ) -> jnp.ndarray:
-        """[N, patch_dim] -> merged LLM-space embeddings [N/m^2, hidden]."""
+        """[N, patch_dim] -> merged LLM-space embeddings [N/m^2, hidden].
+
+        ``grid_t > 1`` is the video path (reference video processors,
+        qwen2_vl_video_processor.h:30): N = grid_t*grid_h*grid_w patch
+        rows, temporal groups share the (h, w) rope lattice, and
+        attention is block-diagonal per temporal group (HF Qwen2-VL
+        cu_seqlens repeat h*w per t)."""
         c = self.cfg
         heads, dh = c.num_heads, self.head_dim
         x = jnp.dot(
@@ -165,6 +176,13 @@ class VisionEncoder:
         ).astype(self.dtype)
         n = x.shape[0]
         pos_hw = self._rot_pos(grid_h, grid_w)
+        seg_bias = None
+        if grid_t > 1:
+            pos_hw = jnp.tile(pos_hw, (grid_t, 1))
+            seg = jnp.arange(n, dtype=jnp.int32) // (grid_h * grid_w)
+            seg_bias = jnp.where(
+                seg[:, None] == seg[None, :], 0.0, -jnp.inf
+            )[None]  # [1, N, N] broadcast over heads
 
         def ln(v, w, b):
             mu = jnp.mean(v.astype(jnp.float32), axis=-1, keepdims=True)
@@ -184,6 +202,8 @@ class VisionEncoder:
             scores = jnp.einsum(
                 "nhd,mhd->hnm", q, k, preferred_element_type=jnp.float32
             ) * (dh**-0.5)
+            if seg_bias is not None:
+                scores = scores + seg_bias
             probs = jax.nn.softmax(scores, axis=-1)
             att = jnp.einsum(
                 "hnm,mhd->nhd", probs.astype(v.dtype), v,

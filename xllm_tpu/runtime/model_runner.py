@@ -927,14 +927,16 @@ class ModelRunner:
         if self._encode_image_fn is None:
             model = self.model
 
-            @partial(jax.jit, static_argnames=("gh", "gw"))
-            def enc(params, patches, gh, gw):
-                return model.vision.encode(params["visual"], patches, gh, gw)
+            @partial(jax.jit, static_argnames=("gh", "gw", "gt"))
+            def enc(params, patches, gh, gw, gt):
+                return model.vision.encode(
+                    params["visual"], patches, gh, gw, grid_t=gt
+                )
 
             self._encode_image_fn = enc
-        _, gh, gw = grid
+        gt, gh, gw = grid
         out = self._encode_image_fn(
-            self.params, self._put(jnp.asarray(patches)), gh=gh, gw=gw
+            self.params, self._put(jnp.asarray(patches)), gh=gh, gw=gw, gt=gt
         )
         return np.asarray(out)
 

@@ -445,7 +445,7 @@ class APIServer:
         if self.chat_template is None:
             return _error(400, "server has no chat template; use /v1/completions")
         try:
-            messages, images = self._extract_images(messages)
+            messages, images, videos = self._extract_images(messages)
         except ValueError as e:
             return _error(400, str(e))
         try:
@@ -457,6 +457,8 @@ class APIServer:
         gen_kwargs: dict = {"prompt": prompt}
         if images:
             gen_kwargs["images"] = images
+        if videos:
+            gen_kwargs["videos"] = videos
         return await self._run(
             request, body, gen_kwargs, chat=True, endpoint="chat"
         )
@@ -475,14 +477,43 @@ class APIServer:
             return tok.decode(ids)
         return "<|vision_start|><|image_pad|>"
 
-    def _extract_images(self, messages: list) -> tuple[list, list]:
-        """OpenAI multi-part chat content: pull out image_url parts
-        (base64 data URLs), replace with placeholder markup, return
-        (normalized messages, decoded numpy images)."""
+    def _video_placeholder(self) -> str:
+        """Prompt markup for one video (reference video prompt processing,
+        qwen2_vl_prompt_processor.cpp video branch)."""
+        mc = self.config.model
+        tok = self.engine.tokenizer
+        if tok is not None and getattr(mc, "video_token_id", -1) >= 0:
+            ids = [mc.video_token_id]
+            if mc.vision_start_token_id >= 0:
+                ids = [mc.vision_start_token_id] + ids
+            return tok.decode(ids)
+        return "<|vision_start|><|video_pad|>"
+
+    @staticmethod
+    def _decode_data_image(url: str):
+        """data: URL -> PIL image (all frames for animated formats)."""
         import base64
         import io
 
+        from PIL import Image
+
+        raw = base64.b64decode(url.split(",", 1)[1])
+        return Image.open(io.BytesIO(raw))
+
+    def _extract_images(self, messages: list) -> tuple[list, list, list]:
+        """OpenAI multi-part chat content: pull out image_url / video
+        parts (base64 data URLs), replace with placeholder markup, return
+        (normalized messages, decoded numpy images, videos).
+
+        Video inputs (zero-egress deployment: no container decoders):
+        - ``{"type": "video_url", "video_url": {"url": "data:image/gif;..."}}``
+          — animated GIF/APNG/WebP frames via PIL;
+        - ``{"type": "video", "frames": [dataurl, ...], "fps": 2.0}``
+          — an explicit frame list."""
+        import numpy as np
+
         images: list = []
+        videos: list = []
         norm = []
         for m in messages:
             content = m.get("content")
@@ -502,20 +533,57 @@ class APIServer:
                                 "only base64 data: image URLs are supported"
                             )
                         try:
-                            import numpy as np
-                            from PIL import Image
-
-                            raw = base64.b64decode(url.split(",", 1)[1])
-                            img = Image.open(io.BytesIO(raw)).convert("RGB")
+                            img = self._decode_data_image(url).convert("RGB")
                             images.append(np.asarray(img))
                         except ValueError:
                             raise
                         except Exception as e:
                             raise ValueError(f"bad image data: {e}")
                         parts.append(self._image_placeholder())
+                    elif t in ("video_url", "video"):
+                        fps = float(b.get("fps", 0.0) or 0.0)
+                        try:
+                            if t == "video":
+                                frames = [
+                                    np.asarray(
+                                        self._decode_data_image(u).convert(
+                                            "RGB"
+                                        )
+                                    )
+                                    for u in b.get("frames", [])
+                                ]
+                                if not frames:
+                                    raise ValueError("video without frames")
+                            else:
+                                url = b.get("video_url")
+                                if isinstance(url, dict):
+                                    url = url.get("url", "")
+                                url = url or ""
+                                if not url.startswith("data:"):
+                                    raise ValueError(
+                                        "only base64 data: video URLs are "
+                                        "supported (animated gif/webp/apng)"
+                                    )
+                                from PIL import ImageSequence
+
+                                im = self._decode_data_image(url)
+                                frames = [
+                                    np.asarray(f.convert("RGB"))
+                                    for f in ImageSequence.Iterator(im)
+                                ]
+                                if fps <= 0:
+                                    dur = im.info.get("duration", 0)
+                                    if dur:
+                                        fps = 1000.0 / float(dur)
+                        except ValueError:
+                            raise
+                        except Exception as e:
+                            raise ValueError(f"bad video data: {e}")
+                        videos.append((np.stack(frames), fps))
+                        parts.append(self._video_placeholder())
                 m = dict(m, content="".join(parts))
             norm.append(m)
-        return norm, images
+        return norm, images, videos
 
     # ------------------------------------------------------------------
     async def _run(

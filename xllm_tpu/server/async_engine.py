@@ -77,6 +77,7 @@ class AsyncLLMEngine:
         priority: int = 0,
         offline: bool = False,
         images: list | None = None,
+        videos: list | None = None,
     ):
         """Async generator of cumulative RequestOutputs (last has finished=True)."""
         loop = asyncio.get_running_loop()
@@ -92,6 +93,7 @@ class AsyncLLMEngine:
                 priority=priority,
                 offline=offline,
                 images=images,
+                videos=videos,
             ), stream, done)
         )
         self._wake.set()
