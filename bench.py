@@ -53,6 +53,24 @@ DECODE_TOKENS = 128
 PREFILL_PROMPTS = 16
 PREFILL_LEN = 2048
 
+# qwen3-8B-class config — BASELINE.json's north-star model (8B FP8 on
+# v5e; fp8 weights ~8.2 GB + KV fit the 16 GiB HBM)
+MODEL_8B = ModelConfig(
+    model_type="qwen3",
+    vocab_size=151936,
+    hidden_size=4096,
+    intermediate_size=12288,
+    num_hidden_layers=36,
+    num_attention_heads=32,
+    num_key_value_heads=8,
+    head_dim=128,
+    qk_norm=True,
+    rope_theta=1000000.0,
+    max_position_embeddings=4096,
+)
+BATCH_8B = 64
+DECODE_TOKENS_8B = 64
+
 # v5e: 16 GiB HBM @ ~819 GB/s; ~394 bf16 TFLOP/s
 HBM_BW = 819e9
 
@@ -78,18 +96,23 @@ def _roofline_tokens_per_sec(
     return batch / step_time
 
 
-def _make_engine(quant: str = "") -> LLMEngine:
+def _make_engine(
+    quant: str = "",
+    model: ModelConfig = MODEL,
+    batch: int = BATCH,
+    num_blocks: int = 1100,
+) -> LLMEngine:
     cfg = EngineConfig(
-        model=MODEL,
+        model=model,
         # explicit block count: the tunnel hides memory_stats, and the
         # fallback pool would be too small for this batch
-        cache=CacheConfig(block_size=64, num_blocks=1100),
+        cache=CacheConfig(block_size=64, num_blocks=num_blocks),
         scheduler=SchedulerConfig(
-            max_seqs_per_batch=BATCH,
+            max_seqs_per_batch=batch,
             max_tokens_per_batch=8192,
             max_tokens_per_chunk_for_prefill=2048,
             max_model_len=PREFILL_LEN + DECODE_TOKENS + 8,
-            decode_batch_buckets=[BATCH],
+            decode_batch_buckets=[batch],
             prefill_token_buckets=[512, 2048],
             prefill_row_buckets=[1, 4],
         ),
@@ -99,12 +122,18 @@ def _make_engine(quant: str = "") -> LLMEngine:
     return LLMEngine(config=cfg, tokenizer=None)
 
 
-def _decode_phase(engine: LLMEngine, tag: str) -> dict:
+def _decode_phase(
+    engine: LLMEngine,
+    tag: str,
+    batch: int = BATCH,
+    decode_tokens: int = DECODE_TOKENS,
+) -> dict:
     rng = np.random.default_rng(0)
-    sp = SamplingParams(temperature=0.0, max_tokens=DECODE_TOKENS,
+    vocab = engine.config.model.vocab_size
+    sp = SamplingParams(temperature=0.0, max_tokens=decode_tokens,
                        ignore_eos=True)
-    for i in range(BATCH):
-        ids = rng.integers(1, MODEL.vocab_size - 1, size=PROMPT_LEN).tolist()
+    for i in range(batch):
+        ids = rng.integers(1, vocab - 1, size=PROMPT_LEN).tolist()
         engine.add_request(prompt_token_ids=ids, sampling_params=sp,
                            request_id=f"{tag}-{i}")
     prefill_steps = 0
@@ -130,10 +159,62 @@ def _decode_phase(engine: LLMEngine, tag: str) -> dict:
         engine.step()
         steps += 1
     dt = time.perf_counter() - t0
-    timed_tokens = BATCH * DECODE_TOKENS - generated_before
+    timed_tokens = batch * decode_tokens - generated_before
     return {
         "tok_s": timed_tokens / dt,
         "tpot_ms": dt / max(steps, 1) * 1e3,
+    }
+
+
+def _latency_phase(engine: LLMEngine, n_requests: int = 32) -> dict:
+    """p50/p95 TTFT and p50 TPOT under continuous batching with staggered
+    arrivals (BASELINE.json north-star latency metrics). TTFT includes the
+    schedule-overlap fixup lag — what a streaming client actually sees."""
+    rng = np.random.default_rng(7)
+    vocab = engine.config.model.vocab_size
+    sp = SamplingParams(temperature=0.0, max_tokens=32, ignore_eos=True)
+    submit_at: dict[str, float] = {}
+    first_tok: dict[str, float] = {}
+    done_at: dict[str, float] = {}
+    pending = [
+        (f"lat-{i}",
+         rng.integers(1, vocab - 1, size=int(PROMPT_LEN * 2)).tolist())
+        for i in range(n_requests)
+    ]
+    inflight = 0
+    while pending or engine.has_unfinished():
+        # staggered arrivals: 4 new requests per engine step while any
+        # remain (a steady mixed prefill+decode load)
+        for _ in range(4):
+            if pending:
+                rid, ids = pending.pop()
+                submit_at[rid] = time.perf_counter()
+                engine.add_request(
+                    prompt_token_ids=ids, sampling_params=sp, request_id=rid
+                )
+                inflight += 1
+        for out in engine.step():
+            if out.request_id not in submit_at:
+                continue
+            now = time.perf_counter()
+            if out.request_id not in first_tok and out.outputs and len(
+                out.outputs[0].token_ids
+            ) >= 1:
+                first_tok[out.request_id] = now
+            if out.finished:
+                done_at[out.request_id] = now
+    ttfts = sorted(
+        first_tok[r] - submit_at[r] for r in first_tok
+    )
+    tpots = sorted(
+        (done_at[r] - first_tok[r]) / max(sp.max_tokens - 1, 1)
+        for r in done_at if r in first_tok
+    )
+    pct = lambda a, q: a[min(int(q * len(a)), len(a) - 1)] if a else 0.0
+    return {
+        "ttft_p50_ms": pct(ttfts, 0.50) * 1e3,
+        "ttft_p95_ms": pct(ttfts, 0.95) * 1e3,
+        "tpot_p50_ms": pct(tpots, 0.50) * 1e3,
     }
 
 
@@ -162,9 +243,16 @@ def _prefill_phase(engine: LLMEngine) -> float:
 
 
 def main() -> None:
+    import os
+
     engine = _make_engine()
     bf16 = _decode_phase(engine, "bf16")
     prefill_tok_s = _prefill_phase(engine)
+    lat = {}
+    try:
+        lat = _latency_phase(engine)
+    except Exception as e:  # the primary metric must survive
+        print(f"# latency phase failed: {e}", flush=True)
 
     # int8 weight-only engine (new compile set); release the bf16
     # engine's HBM first (weights + KV pool)
@@ -173,26 +261,49 @@ def main() -> None:
     engine8 = _make_engine("int8")
     int8 = _decode_phase(engine8, "int8")
 
+    # 8B-class FP8 — BASELINE.json's north-star config (skippable via
+    # XLLM_BENCH_SKIP_8B=1; wrapped so the primary metric survives)
+    fp8_8b = {}
+    roofline_8b = _roofline_tokens_per_sec(
+        MODEL_8B, BATCH_8B, PROMPT_LEN + DECODE_TOKENS_8B // 2, 1
+    )
+    if not os.environ.get("XLLM_BENCH_SKIP_8B"):
+        try:
+            engine8.runner.sleep(2)
+            del engine8
+            eng_8b = _make_engine(
+                "fp8_e4m3", model=MODEL_8B, batch=BATCH_8B, num_blocks=250
+            )
+            fp8_8b = _decode_phase(
+                eng_8b, "fp8-8b", batch=BATCH_8B,
+                decode_tokens=DECODE_TOKENS_8B,
+            )
+        except Exception as e:
+            print(f"# 8B fp8 phase failed: {e}", flush=True)
+
     roofline_bf16 = _roofline_tokens_per_sec(
         MODEL, BATCH, PROMPT_LEN + DECODE_TOKENS // 2, 2
     )
     roofline_int8 = _roofline_tokens_per_sec(
         MODEL, BATCH, PROMPT_LEN + DECODE_TOKENS // 2, 1
     )
-    print(
-        json.dumps(
-            {
-                "metric": "decode_throughput_qwen3_1.7b_bf16_b128",
-                "value": round(bf16["tok_s"], 1),
-                "unit": "tokens/s",
-                "vs_baseline": round(bf16["tok_s"] / roofline_bf16, 4),
-                "tpot_ms": round(bf16["tpot_ms"], 2),
-                "prefill_tok_s": round(prefill_tok_s, 0),
-                "int8_tok_s": round(int8["tok_s"], 1),
-                "int8_vs_roofline": round(int8["tok_s"] / roofline_int8, 4),
-            }
-        )
-    )
+    line = {
+        "metric": "decode_throughput_qwen3_1.7b_bf16_b128",
+        "value": round(bf16["tok_s"], 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(bf16["tok_s"] / roofline_bf16, 4),
+        "tpot_ms": round(bf16["tpot_ms"], 2),
+        "prefill_tok_s": round(prefill_tok_s, 0),
+        "int8_tok_s": round(int8["tok_s"], 1),
+        "int8_vs_roofline": round(int8["tok_s"] / roofline_int8, 4),
+    }
+    for k, v in lat.items():
+        line[k] = round(v, 2)
+    if fp8_8b:
+        line["fp8_8b_tok_s"] = round(fp8_8b["tok_s"], 1)
+        line["fp8_8b_vs_roofline"] = round(fp8_8b["tok_s"] / roofline_8b, 4)
+        line["fp8_8b_tpot_ms"] = round(fp8_8b["tpot_ms"], 2)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
