@@ -113,7 +113,8 @@ def load_params(
     cfg: ModelConfig, shardings: dict | None = None, dtype=None
 ) -> dict:
     """Family-dispatching checkpoint loader (reference ModelRegistry loaders)."""
-    if cfg.model_type == "qwen3_next":
+    if cfg.model_type in ("qwen3_next", "qwen3_5", "qwen3_5_text",
+                          "qwen3_5_moe_text"):
         return load_qwen3_next_params(cfg, shardings, dtype)
     if cfg.kv_lora_rank > 0:
         return load_mla_params(cfg, shardings, dtype)
@@ -157,11 +158,56 @@ def load_qwen3_next_params(
                 sh = sh[part]
         return jax.device_put(arr, sh)
 
+    # qwen3.5 checkpoints nest the LM under model.language_model.
+    # (reference Qwen3_5ForCausalLM::load_model prefix, qwen3_5.h:55-59)
+    prefix = (
+        "model.language_model."
+        if "model.language_model.embed_tokens.weight" in reader
+        else "model."
+    )
+
     def g(name):
-        return reader.get("model." + name).astype(np.float32)
+        return reader.get(prefix + name).astype(np.float32)
 
     def centered(name):
         return g(name) + 1.0
+
+    def fused_qkvz(i):
+        """Fused per-k-head-interleaved qkvz weight [out, D]. qwen3.5
+        ships split in_proj_qkv/in_proj_z tensors (reference
+        merge_qkvz_from_split_activations,
+        qwen3_5_gated_delta_net.cpp:64-98) — merge the WEIGHTS into the
+        qwen3-next layout, a fixed output-channel permutation."""
+        base = f"layers.{i}.linear_attn."
+        if prefix + base + "in_proj_qkvz.weight" in reader:
+            return g(base + "in_proj_qkvz.weight")
+        hk = cfg.linear_num_key_heads
+        hv = cfg.linear_num_value_heads
+        dk, dv = cfg.linear_key_head_dim, cfg.linear_value_head_dim
+        r = hv // hk
+        qkv = g(base + "in_proj_qkv.weight")
+        z = g(base + "in_proj_z.weight")
+        d = qkv.shape[1]
+        key_dim = hk * dk
+        q = qkv[:key_dim].reshape(hk, dk, d)
+        k = qkv[key_dim : 2 * key_dim].reshape(hk, dk, d)
+        v = qkv[2 * key_dim :].reshape(hk, r * dv, d)
+        zz = z.reshape(hk, r * dv, d)
+        return np.concatenate([q, k, v, zz], axis=1).reshape(-1, d)
+
+    def fused_ba(i):
+        base = f"layers.{i}.linear_attn."
+        if prefix + base + "in_proj_ba.weight" in reader:
+            return g(base + "in_proj_ba.weight")
+        hk = cfg.linear_num_key_heads
+        hv = cfg.linear_num_value_heads
+        r = hv // hk
+        b = g(base + "in_proj_b.weight")
+        a = g(base + "in_proj_a.weight")
+        d = b.shape[1]
+        return np.concatenate(
+            [b.reshape(hk, r, d), a.reshape(hk, r, d)], axis=1
+        ).reshape(-1, d)
 
     lin_ids = [i for i in range(L) if (i + 1) % interval != 0]
     full_ids = [i for i in range(L) if (i + 1) % interval == 0]
@@ -180,13 +226,9 @@ def load_qwen3_next_params(
         lin_ids,
         lambda i: centered(f"layers.{i}.post_attention_layernorm.weight")))
     gp["lin_qkvz_w"] = regroup(stack(
-        lin_ids,
-        lambda i: np.ascontiguousarray(
-            g(f"layers.{i}.linear_attn.in_proj_qkvz.weight").T)))
+        lin_ids, lambda i: np.ascontiguousarray(fused_qkvz(i).T)))
     gp["lin_ba_w"] = regroup(stack(
-        lin_ids,
-        lambda i: np.ascontiguousarray(
-            g(f"layers.{i}.linear_attn.in_proj_ba.weight").T)))
+        lin_ids, lambda i: np.ascontiguousarray(fused_ba(i).T)))
     gp["lin_conv_w"] = regroup(stack(
         lin_ids,
         lambda i: g(f"layers.{i}.linear_attn.conv1d.weight")[:, 0, :]))

@@ -34,6 +34,16 @@ _ARCH_MAP = {
 def model_config_from_hf_dict(cfg: dict, model_path: str = "") -> ModelConfig:
     archs = cfg.get("architectures", [])
     model_type = cfg.get("model_type", "")
+    # qwen3.5 nests the LM config under text_config (reference
+    # LOAD_ARG_TEXT_OR_ROOT, qwen3_5.h:69-180); flatten it over the root
+    if model_type in ("qwen3_5", "qwen3_5_text", "qwen3_5_moe_text") or any(
+        a.startswith("Qwen3_5") for a in archs
+    ):
+        merged = dict(cfg)
+        merged.update(cfg.get("text_config", {}) or {})
+        merged["model_type"] = "qwen3_5"
+        cfg = merged
+        model_type = "qwen3_5"
     for a in archs:
         if a in _ARCH_MAP:
             model_type = _ARCH_MAP[a]
@@ -104,7 +114,7 @@ def model_config_from_hf_dict(cfg: dict, model_path: str = "") -> ModelConfig:
         # convention (not glm4-dense's interleaved pairs)
         mc.scoring_func = "sigmoid"
         mc.rope_interleaved = False
-    if model_type == "qwen3_next":
+    if model_type in ("qwen3_next", "qwen3_5"):
         mc.qk_norm = True
         mc.full_attention_interval = cfg.get("full_attention_interval", 4)
         mc.linear_conv_kernel_dim = cfg.get("linear_conv_kernel_dim", 4)

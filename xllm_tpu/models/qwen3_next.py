@@ -48,7 +48,8 @@ from xllm_tpu.ops.rope import apply_rope, rope_inv_freq
 from xllm_tpu.runtime.forward_params import BatchedPrefillInput, DecodeInput
 
 
-@ModelRegistry.register("qwen3_next")
+@ModelRegistry.register("qwen3_next", "qwen3_5", "qwen3_5_text",
+                        "qwen3_5_moe_text")
 class Qwen3NextModel(DenseDecoderModel):
     supports_batched_prefill = True
     is_hybrid = True  # linear-attention state: engine disables spec/beam/
