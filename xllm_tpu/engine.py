@@ -300,12 +300,13 @@ class LLMEngine:
             offline=offline,
         )
         if mm_state is not None:
-            embeds, positions, mrope, offset = mm_state
+            embeds, positions, mrope, offset, deepstack = mm_state
             for seq in req.sequences:
                 seq.mm_embeds = embeds
                 seq.mm_positions = positions
                 seq.mrope_positions = mrope
                 seq.rope_offset = offset
+                seq.mm_deepstack = deepstack
         if sampling_params.use_beam_search:
             # beam requests: only sequences[0] prefills; the rest are a
             # fork pool driven by the BeamRunner (beam_searcher.cpp:21)
@@ -343,16 +344,33 @@ class LLMEngine:
         model = self.runner.model
         if self._image_processor is None:
             vc = model.vision_cfg
-            self._image_processor = ImageProcessor(
+            # checkpoint preprocessing config (reference image processors
+            # read the HF preprocessor_config.json the same way)
+            pp: dict = {}
+            mp = self.config.model.model_path
+            if mp:
+                import json
+                import os
+
+                for fname in ("preprocessor_config.json",
+                              "video_preprocessor_config.json"):
+                    fpath = os.path.join(mp, fname)
+                    if os.path.exists(fpath):
+                        with open(fpath) as f:
+                            pp = {**json.load(f), **pp}
+            kw = dict(
                 patch_size=vc.patch_size,
                 merge_size=vc.spatial_merge_size,
                 temporal_patch_size=vc.temporal_patch_size,
+                image_mean=pp.get("image_mean"),
+                image_std=pp.get("image_std"),
             )
-            self._video_processor = VideoProcessor(
-                patch_size=vc.patch_size,
-                merge_size=vc.spatial_merge_size,
-                temporal_patch_size=vc.temporal_patch_size,
-            )
+            if pp.get("min_pixels"):
+                kw["min_pixels"] = pp["min_pixels"]
+            if pp.get("max_pixels"):
+                kw["max_pixels"] = pp["max_pixels"]
+            self._image_processor = ImageProcessor(**kw)
+            self._video_processor = VideoProcessor(**kw)
             from xllm_tpu.framework.encoder_cache import EncoderCache
 
             self._encoder_cache = EncoderCache()
@@ -379,15 +397,19 @@ class LLMEngine:
             if emb is None:
                 emb = self.runner.encode_image(patches, grid)
                 self._encoder_cache.put(key, emb)
-            return emb
+            if isinstance(emb, tuple):
+                return emb  # (embeds, deepstack)
+            return emb, None
 
         # media in PROMPT order (grids/embeds interleave images + videos)
-        grids, all_embeds, spans, spgs = [], [], [], []
+        grids, all_embeds, all_ds, spans, spgs = [], [], [], [], []
         img_i = vid_i = 0
         for t in prompt_token_ids:
             if t == img_tok:
                 patches, grid = img_proc(np.asarray(images[img_i]))
-                all_embeds.append(encode_media(patches, grid, img_proc))
+                emb, ds = encode_media(patches, grid, img_proc)
+                all_embeds.append(emb)
+                all_ds.append(ds)
                 grids.append(grid)
                 spans.append((img_tok, img_proc.num_llm_tokens(grid)))
                 spgs.append(0.0)
@@ -396,10 +418,22 @@ class LLMEngine:
                 v = videos[vid_i]
                 frames, fps = (v if isinstance(v, tuple) else (v, 0.0))
                 patches, grid, spg = vid_proc(np.asarray(frames), fps)
-                all_embeds.append(encode_media(patches, grid, vid_proc))
-                grids.append(grid)
+                emb, ds = encode_media(patches, grid, vid_proc)
+                all_embeds.append(emb)
+                all_ds.append(ds)
                 spans.append((vid_tok, vid_proc.num_llm_tokens(grid)))
-                spgs.append(spg)
+                if getattr(model, "video_grid_per_frame", False):
+                    # qwen3-vl: each temporal group is its own t=1 rope
+                    # grid (HF get_rope_index repeat_interleaves video
+                    # grids; the reference processor adds timestamp TEXT
+                    # tokens between frames — temporal info rides the
+                    # prompt)
+                    gt, gh, gw = grid
+                    grids.extend([(1, gh, gw)] * gt)
+                    spgs.extend([spg] * gt)
+                else:
+                    grids.append(grid)
+                    spgs.append(spg)
                 vid_i += 1
         # expand each placeholder to its media's LLM-token count
         out_tokens: list[int] = []
@@ -427,8 +461,14 @@ class LLMEngine:
             ),
         )
         embeds = np.concatenate(all_embeds, axis=0)
+        deepstack = None
+        if any(d is not None for d in all_ds):
+            deepstack = np.concatenate(
+                [d for d in all_ds if d is not None], axis=1
+            )  # [K, n_mm, D]
         return out_tokens, (
-            embeds, np.asarray(mm_positions, np.int64), mrope, offset
+            embeds, np.asarray(mm_positions, np.int64), mrope, offset,
+            deepstack,
         )
 
     def abort_request(self, request_id: str) -> None:

@@ -118,6 +118,7 @@ class Sequence:
         # vision embeddings + their token positions, M-RoPE position ids
         # for the prompt, and the rope offset for generated tokens
         self.mm_embeds = None  # np [n_mm, D]
+        self.mm_deepstack = None  # np [K, n_mm, D] (qwen3-vl DeepStack)
         self.mm_positions = None  # np [n_mm] ascending prompt positions
         self.mrope_positions = None  # np [3, num_prompt_tokens]
         self.rope_offset = 0

@@ -252,6 +252,7 @@ class DenseDecoderModel:
         positions: jnp.ndarray,
         attn_fn,
         mlp_fn,  # (lp, h) -> mlp output
+        post_layer_fn=None,  # (x, layer_idx) -> x (DeepStack injection)
     ):
         """One lax.scan over a homogeneous layer stack -> (x, k, v, aux)."""
         c = self.cfg
@@ -279,6 +280,8 @@ class DenseDecoderModel:
                     mlp_out, lp["post_mlp_layernorm"], c.rms_norm_eps
                 )
             x = x + mlp_out
+            if post_layer_fn is not None:
+                x = post_layer_fn(x, layer_idx)
             return (x, k_all, v_all), self._scan_aux
 
         n = stack["input_layernorm"].shape[0]
@@ -297,10 +300,11 @@ class DenseDecoderModel:
         positions: jnp.ndarray,
         slot_mapping: jnp.ndarray,
         attn_fn,  # (q, k, v, k_all, v_all, layer_idx) -> (attn, k_all, v_all)
+        post_layer_fn=None,
     ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         x, k_all, v_all, aux = self._run_stack(
             params["layers"], 0, x, k_all, v_all, positions, attn_fn,
-            self._mlp,
+            self._mlp, post_layer_fn=post_layer_fn,
         )
         # stacked per-layer expert counts [L, E] (None for dense models)
         self._expert_counts = aux
@@ -403,9 +407,25 @@ class DenseDecoderModel:
             pos = inp.mrope_positions.transpose(1, 0, 2).reshape(3, p * s)
         else:
             pos = inp.positions.reshape(-1)
+        post_layer_fn = None
+        if getattr(inp, "deepstack_embeds", None) is not None:
+            # DeepStack (qwen3-vl / reference oxygen.h:36-95): add visual
+            # feature map k at image rows after decoder layer k
+            ds = inp.deepstack_embeds.reshape(
+                inp.deepstack_embeds.shape[0], p * s, -1
+            ).astype(x.dtype)
+            n_ds = ds.shape[0]
+
+            def post_layer_fn(h, layer_idx):
+                feat = jax.lax.dynamic_index_in_dim(
+                    ds, jnp.minimum(layer_idx, n_ds - 1), keepdims=False
+                )
+                return h + jnp.where(layer_idx < n_ds, feat, 0.0)
+
         x, k_all, v_all = self._run_layers(
             params, k_all, v_all, x, pos,
             inp.slot_mapping.reshape(-1), attn_fn,
+            post_layer_fn=post_layer_fn,
         )
         x = x.reshape(p, s, -1)
         idx = (

@@ -44,11 +44,33 @@ class SafetensorsReader:
                 for name in f.keys():
                     self.name_to_file[name] = "model.safetensors"
         self._handles: dict[str, object] = {}
+        # multimodal checkpoints (qwen3-vl, qwen3.5) nest the LM under
+        # model.language_model. — alias "model.X" to it transparently so
+        # every family loader works on nested checkpoints
+        self._lm_prefix = ""
+        if (
+            "model.language_model.embed_tokens.weight" in self.name_to_file
+            and "model.embed_tokens.weight" not in self.name_to_file
+        ):
+            self._lm_prefix = "model.language_model."
+
+    def _resolve(self, name: str) -> str:
+        if (
+            self._lm_prefix
+            and name not in self.name_to_file
+            and name.startswith("model.")
+            and not name.startswith("model.language_model.")
+        ):
+            alias = self._lm_prefix + name[len("model."):]
+            if alias in self.name_to_file:
+                return alias
+        return name
 
     def __contains__(self, name: str) -> bool:
-        return name in self.name_to_file
+        return self._resolve(name) in self.name_to_file
 
     def get(self, name: str) -> np.ndarray:
+        name = self._resolve(name)
         fname = self.name_to_file[name]
         if fname not in self._handles:
             self._handles[fname] = safe_open(
@@ -120,7 +142,10 @@ def load_params(
         return load_mla_params(cfg, shardings, dtype)
     params = load_dense_params(cfg, shardings, dtype)
     if cfg.vision is not None:
-        params["visual"] = load_vision_params(cfg, shardings, dtype)
+        if cfg.model_type in ("qwen3_vl", "qwen3_vl_moe"):
+            params["visual"] = load_vision3_params(cfg, shardings, dtype)
+        else:
+            params["visual"] = load_vision_params(cfg, shardings, dtype)
     return params
 
 
@@ -745,7 +770,21 @@ def _load_moe_mlp(
         )
 
     gus, downs = [], []
+    batched = (
+        f"model.layers.{first_layer}.mlp.experts.gate_up_proj" in reader
+    )
     for i in lids:
+        if batched:
+            # qwen3-vl-moe convention: ONE [E, D, 2I]/[E, I, D] tensor per
+            # layer (HF Qwen3VLMoeTextExperts), gate|up halves — already
+            # our layout
+            gus.append(
+                reader.get(f"model.layers.{i}.mlp.experts.gate_up_proj")
+            )
+            downs.append(
+                reader.get(f"model.layers.{i}.mlp.experts.down_proj")
+            )
+            continue
         gus.append(
             np.stack(
                 [
@@ -846,3 +885,92 @@ def load_mtp_head_params(
     reader.close()
     out["layers"] = layers
     return out
+
+
+def load_vision3_params(
+    cfg: ModelConfig, shardings: dict | None = None, dtype=None
+) -> dict:
+    """qwen3-vl vision-tower weights (HF ``model.visual.*`` keys) into
+    the Qwen3VisionEncoder param tree (models/vision3.py init_params
+    layout, incl. the deepstack mergers)."""
+    import jax.numpy as jnp
+
+    dt = dtype or jnp.bfloat16
+    reader = SafetensorsReader(cfg.model_path)
+    vc = cfg.vision or {}
+    depth = int(vc.get("depth", 27))
+    n_ds = len(vc.get("deepstack_visual_indexes", (0, 1, 2)))
+    prefix = (
+        "model.visual." if "model.visual.pos_embed.weight" in reader
+        else "visual."
+    )
+
+    def put(name: str, arr: np.ndarray):
+        if arr.dtype != dt:
+            arr = arr.astype(dt)
+        sh = None
+        if shardings is not None:
+            sh = shardings["visual"]
+            for part in name.split("."):
+                if isinstance(sh, (list, tuple)):
+                    sh = sh[int(part)]
+                else:
+                    sh = sh[part]
+        return jax.device_put(arr, sh)
+
+    def g(name):
+        return reader.get(prefix + name).astype(np.float32)
+
+    blocks: dict[str, list] = {}
+
+    def blk(pname, hf, transpose=False):
+        ts = []
+        for i in range(depth):
+            t = g(f"blocks.{i}.{hf}")
+            ts.append(np.ascontiguousarray(t.T) if transpose else t)
+        blocks[pname] = np.stack(ts, axis=0)
+
+    blk("norm1_w", "norm1.weight")
+    blk("norm1_b", "norm1.bias")
+    blk("norm2_w", "norm2.weight")
+    blk("norm2_b", "norm2.bias")
+    blk("qkv_w", "attn.qkv.weight", transpose=True)
+    blk("qkv_b", "attn.qkv.bias")
+    blk("proj_w", "attn.proj.weight", transpose=True)
+    blk("proj_b", "attn.proj.bias")
+    blk("fc1_w", "mlp.linear_fc1.weight", transpose=True)
+    blk("fc1_b", "mlp.linear_fc1.bias")
+    blk("fc2_w", "mlp.linear_fc2.weight", transpose=True)
+    blk("fc2_b", "mlp.linear_fc2.bias")
+
+    def merger(hf_prefix, pname):
+        return {
+            "ln_w": put(f"{pname}.ln_w", g(hf_prefix + "norm.weight")),
+            "ln_b": put(f"{pname}.ln_b", g(hf_prefix + "norm.bias")),
+            "fc1_w": put(f"{pname}.fc1_w", np.ascontiguousarray(
+                g(hf_prefix + "linear_fc1.weight").T)),
+            "fc1_b": put(f"{pname}.fc1_b", g(hf_prefix + "linear_fc1.bias")),
+            "fc2_w": put(f"{pname}.fc2_w", np.ascontiguousarray(
+                g(hf_prefix + "linear_fc2.weight").T)),
+            "fc2_b": put(f"{pname}.fc2_b", g(hf_prefix + "linear_fc2.bias")),
+        }
+
+    pe = g("patch_embed.proj.weight")  # [dim, C, Tp, ph, pw]
+    params = {
+        "patch_embed_w": put(
+            "patch_embed_w",
+            np.ascontiguousarray(pe.reshape(pe.shape[0], -1).T),
+        ),
+        "patch_embed_b": put("patch_embed_b", g("patch_embed.proj.bias")),
+        "pos_embed": put("pos_embed", g("pos_embed.weight")),
+        "blocks": {k: put(f"blocks.{k}", v) for k, v in blocks.items()},
+        "merger": merger("merger.", "merger"),
+        "ds_mergers": [
+            merger(f"deepstack_merger_list.{k}.", f"ds_mergers.{k}")
+            for k in range(n_ds)
+        ],
+    }
+    logger.info("loaded qwen3-vl vision tower (%d blocks, %d deepstack)",
+                depth, n_ds)
+    reader.close()
+    return params

@@ -27,6 +27,8 @@ _ARCH_MAP = {
     "MiMoForCausalLM": "mimo",
     "Qwen3NextForCausalLM": "qwen3_next",
     "Qwen2VLForConditionalGeneration": "qwen2_vl",
+    "Qwen3VLForConditionalGeneration": "qwen3_vl",
+    "Qwen3VLMoeForConditionalGeneration": "qwen3_vl_moe",
     "Qwen2_5_VLForConditionalGeneration": "qwen2_5_vl",
 }
 
@@ -48,6 +50,21 @@ def model_config_from_hf_dict(cfg: dict, model_path: str = "") -> ModelConfig:
         if a in _ARCH_MAP:
             model_type = _ARCH_MAP[a]
             break
+    if model_type in ("qwen3_vl", "qwen3_vl_moe") or any(
+        a in ("Qwen3VLForConditionalGeneration",
+              "Qwen3VLMoeForConditionalGeneration") for a in archs
+    ):
+        # qwen3-vl nests the LM under text_config; flatten it over the
+        # root (vision_config stays nested)
+        merged = dict(cfg)
+        merged.update(cfg.get("text_config", {}) or {})
+        cfg = merged
+        model_type = (
+            "qwen3_vl_moe"
+            if "moe" in str(cfg.get("model_type", "")) or any(
+                "Moe" in a for a in archs)
+            else "qwen3_vl"
+        )
     eos = cfg.get("eos_token_id", [])
     if isinstance(eos, int):
         eos = [eos]
@@ -127,6 +144,17 @@ def model_config_from_hf_dict(cfg: dict, model_path: str = "") -> ModelConfig:
         )
         if not cfg.get("partial_rotary_factor"):
             mc.partial_rotary_factor = 0.25
+    if model_type in ("qwen3_vl", "qwen3_vl_moe"):
+        # qwen3 text backbone (qk_norm, no attention bias) + v3 tower +
+        # DeepStack (reference xllm/models/vlm/qwen3_vl.h)
+        mc.qk_norm = True
+        mc.attention_bias = False
+        mc.vision = dict(cfg.get("vision_config", {}) or {})
+        rs = cfg.get("rope_scaling") or {}
+        mc.mrope_section = list(rs.get("mrope_section", []) or [])
+        mc.image_token_id = cfg.get("image_token_id", -1)
+        mc.video_token_id = cfg.get("video_token_id", -1)
+        mc.vision_start_token_id = cfg.get("vision_start_token_id", -1)
     if model_type in ("qwen2_vl", "qwen2_5_vl"):
         # VLM extras: vision tower config + M-RoPE sections + marker tokens.
         # HF nests the tower under "vision_config"; mrope sections live in

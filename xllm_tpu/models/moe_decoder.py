@@ -134,21 +134,24 @@ class MoeDecoderModel(DenseDecoderModel):
 
     # ------------------------------------------------------------------
     def _run_layers(
-        self, params, k_all, v_all, x, positions, slot_mapping, attn_fn
+        self, params, k_all, v_all, x, positions, slot_mapping, attn_fn,
+        post_layer_fn=None,
     ):
         if self.n_dense == 0:
             return super()._run_layers(
-                params, k_all, v_all, x, positions, slot_mapping, attn_fn
+                params, k_all, v_all, x, positions, slot_mapping, attn_fn,
+                post_layer_fn=post_layer_fn,
             )
         from xllm_tpu.ops.norms import rms_norm
 
         x, k_all, v_all, _ = self._run_stack(
             params["dense_layers"], 0, x, k_all, v_all, positions, attn_fn,
             lambda lp, h: DenseDecoderModel._mlp(self, lp, h),
+            post_layer_fn=post_layer_fn,
         )
         x, k_all, v_all, aux = self._run_stack(
             params["layers"], self.n_dense, x, k_all, v_all, positions,
-            attn_fn, self._mlp,
+            attn_fn, self._mlp, post_layer_fn=post_layer_fn,
         )
         self._expert_counts = aux  # [n_moe, E] (None unless collecting)
         self._prenorm_hidden = x

@@ -89,20 +89,40 @@ def get_rope_index(
     return pos.astype(np.int32), int(rope_offset)
 
 
+def mrope_slot_components(
+    half: int, sections: tuple[int, int, int], interleaved: bool = False
+) -> np.ndarray:
+    """Which (t=0, h=1, w=2) component drives each frequency slot.
+
+    Chunked (qwen2-vl): [TTT...HHH...WWW]. Interleaved (qwen3-vl,
+    HF apply_interleaved_mrope): slot j%3==1 takes H while j < 3*sec_h,
+    j%3==2 takes W while j < 3*sec_w, T everywhere else — preserving
+    frequency continuity across components."""
+    sec = np.zeros(half, np.int32)
+    if interleaved:
+        for j in range(half):
+            if j % 3 == 1 and j < 3 * sections[1]:
+                sec[j] = 1
+            elif j % 3 == 2 and j < 3 * sections[2]:
+                sec[j] = 2
+    else:
+        sec[sections[0] : sections[0] + sections[1]] = 1
+        sec[sections[0] + sections[1] :] = 2
+    return sec
+
+
 def apply_mrope(
     q: jnp.ndarray,  # [T, Hq, D]
     k: jnp.ndarray,  # [T, Hkv, D]
     positions3: jnp.ndarray,  # [3, T]
     inv_freq: jnp.ndarray,  # [D/2]
     sections: tuple[int, int, int],
+    interleaved: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Multimodal rotary embedding: the D/2 frequency slots are split into
     (t, h, w) sections; slot j uses component section(j)'s position."""
     half = inv_freq.shape[0]
-    sec = np.zeros(half, np.int32)
-    sec[sections[0] : sections[0] + sections[1]] = 1
-    sec[sections[0] + sections[1] :] = 2
-    comp = jnp.asarray(sec)  # [half]
+    comp = jnp.asarray(mrope_slot_components(half, sections, interleaved))
     pos = positions3.astype(jnp.float32)  # [3, T]
     pos_per_slot = pos[comp, :]  # [half, T] -> component position per slot
     freqs = pos_per_slot.T * inv_freq[None, :]  # [T, half]
@@ -144,6 +164,7 @@ class Qwen2VLModel(DenseDecoderModel):
         )
         self.image_token_id = cfg.image_token_id
         self.video_token_id = getattr(cfg, "video_token_id", -1)
+        self.mrope_interleaved = bool(getattr(cfg, "mrope_interleaved", False))
         # qwen2.5-vl temporal M-RoPE scale (absent/0 for qwen2-vl)
         self.vision_tokens_per_second = float(
             vc.get("tokens_per_second", 0.0) or 0.0
@@ -182,13 +203,15 @@ class Qwen2VLModel(DenseDecoderModel):
             k = rms_norm(k, lp["k_norm"], c.rms_norm_eps)
         if positions.ndim == 2:
             q, k = apply_mrope(
-                q, k, positions, inv_freq, self.mrope_section
+                q, k, positions, inv_freq, self.mrope_section,
+                interleaved=self.mrope_interleaved,
             )
         else:
             # text-only rows: all three components equal -> plain rope
             q, k = apply_mrope(
                 q, k, jnp.broadcast_to(positions[None], (3, t)),
                 inv_freq, self.mrope_section,
+                interleaved=self.mrope_interleaved,
             )
         return q, k, v
 

@@ -71,12 +71,24 @@ class ImageProcessor:
         temporal_patch_size: int = 2,
         min_pixels: int = 56 * 56,
         max_pixels: int = 14 * 14 * 4 * 1280,
+        image_mean=None,
+        image_std=None,
     ):
         self.patch_size = patch_size
         self.merge_size = merge_size
         self.temporal_patch_size = temporal_patch_size
         self.min_pixels = min_pixels
         self.max_pixels = max_pixels
+        # checkpoint-specific normalization (preprocessor_config.json;
+        # e.g. qwen3-vl ships 0.5/0.5 rather than the CLIP constants)
+        self.mean = (
+            np.asarray(image_mean, np.float32)
+            if image_mean is not None else _MEAN
+        )
+        self.std = (
+            np.asarray(image_std, np.float32)
+            if image_std is not None else _STD
+        )
 
     def content_hash(self, image: np.ndarray) -> str:
         """Stable key for the encoder cache (reference encoder_cache.h:29)."""
@@ -98,7 +110,7 @@ class ImageProcessor:
             h, w, factor, self.min_pixels, self.max_pixels
         )
         img = _bilinear_resize(image.astype(np.float32), oh, ow)
-        img = (img - _MEAN) / _STD
+        img = (img - self.mean) / self.std
         img = img.transpose(2, 0, 1)  # [C, H, W]
         # temporal axis: a still image repeats to temporal_patch_size
         tp = self.temporal_patch_size

@@ -51,6 +51,8 @@ class VideoProcessor:
         target_fps: float = 2.0,
         min_frames: int = 4,
         max_frames: int = 768,
+        image_mean=None,
+        image_std=None,
     ):
         self.patch_size = patch_size
         self.merge_size = merge_size
@@ -60,6 +62,14 @@ class VideoProcessor:
         self.target_fps = target_fps
         self.min_frames = min_frames
         self.max_frames = max_frames
+        self.mean = (
+            np.asarray(image_mean, np.float32)
+            if image_mean is not None else _MEAN
+        )
+        self.std = (
+            np.asarray(image_std, np.float32)
+            if image_std is not None else _STD
+        )
 
     def content_hash(self, patches: np.ndarray) -> str:
         import hashlib
@@ -101,7 +111,7 @@ class VideoProcessor:
         resized = np.stack(
             [_bilinear_resize(f.astype(np.float32), oh, ow) for f in frames]
         )
-        resized = (resized - _MEAN) / _STD
+        resized = (resized - self.mean) / self.std
         vid = resized.transpose(0, 3, 1, 2)  # [T, C, H, W]
         c = vid.shape[1]
         ps, m = self.patch_size, self.merge_size

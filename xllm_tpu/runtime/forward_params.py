@@ -66,6 +66,9 @@ class BatchedPrefillInput:
     extra_mask: jnp.ndarray | None = None  # [P, S] bool
     # M-RoPE explicit (t, h, w) position ids (qwen2-vl prefill rows)
     mrope_positions: jnp.ndarray | None = None  # [P, 3, S] int32
+    # DeepStack (qwen3-vl, reference oxygen.h:36-95): map k is added to
+    # the hidden states at image rows after decoder layer k
+    deepstack_embeds: jnp.ndarray | None = None  # [K, P, S, D]
 
 
 @jax.tree_util.register_dataclass

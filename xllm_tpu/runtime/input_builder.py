@@ -168,11 +168,22 @@ def build_batched_prefill_input(
         seq.mm_embeds is not None or seq.mrope_positions is not None
         for seq, _ in items
     )
-    extra_embeds = extra_mask = mrope_positions = None
+    extra_embeds = extra_mask = mrope_positions = deepstack = None
+    n_ds = max(
+        (
+            seq.mm_deepstack.shape[0]
+            for seq, _ in items
+            if getattr(seq, "mm_deepstack", None) is not None
+        ),
+        default=0,
+    )
     if vlm:
         extra_embeds = np.zeros((p_pad, s_pad, hidden_size), np.float32)
         extra_mask = np.zeros((p_pad, s_pad), bool)
         mrope_positions = np.zeros((p_pad, 3, s_pad), np.int32)
+        if n_ds:
+            deepstack = np.zeros((n_ds, p_pad, s_pad, hidden_size),
+                                 np.float32)
     samples_flags = []
     for (seq, n), i in zip(items, rows):
         start = seq.num_computed_tokens
@@ -194,10 +205,13 @@ def build_batched_prefill_input(
             if seq.mm_embeds is not None:
                 lo = np.searchsorted(seq.mm_positions, start)
                 hi = np.searchsorted(seq.mm_positions, end)
+                ds = getattr(seq, "mm_deepstack", None)
                 for r in range(lo, hi):
                     col = int(seq.mm_positions[r]) - start
                     extra_embeds[i, col] = seq.mm_embeds[r]
                     extra_mask[i, col] = True
+                    if ds is not None:
+                        deepstack[:, i, col] = ds[:, r]
         for j, pos in enumerate(range(start, end)):
             slot_mapping[i, j] = seq.block_ids[pos // block_size] * block_size + (
                 pos % block_size
@@ -225,6 +239,7 @@ def build_batched_prefill_input(
         extra_embeds=extra_embeds,
         extra_mask=extra_mask,
         mrope_positions=mrope_positions,
+        deepstack_embeds=deepstack,
     )
     if cp_size > 1 and s_pad % (2 * cp_size) == 0:
         from xllm_tpu.parallel.cp import inverse_order, zigzag_order
@@ -251,6 +266,9 @@ def build_batched_prefill_input(
                 mrope_positions[:, :, perm]
                 if mrope_positions is not None
                 else None
+            ),
+            deepstack_embeds=(
+                deepstack[:, :, perm] if deepstack is not None else None
             ),
         )
     return inp, samples_flags, rows

@@ -938,6 +938,9 @@ class ModelRunner:
         out = self._encode_image_fn(
             self.params, self._put(jnp.asarray(patches)), gh=gh, gw=gw, gt=gt
         )
+        if isinstance(out, tuple):
+            # qwen3-vl tower: (merged embeds, deepstack feature maps)
+            return np.asarray(out[0]), np.asarray(out[1])
         return np.asarray(out)
 
     def run_prefill_embed(self, seq: Sequence, num_new_tokens: int) -> np.ndarray:
