@@ -502,3 +502,55 @@ def test_chat_image_url_extraction():
                  "image_url": {"url": "http://example.com/x.png"}},
             ]},
         ])
+
+
+def test_sample_endpoint(server_client):
+    """/v1/sample (reference sample_service_impl.cpp): each occurrence of
+    the selector literal samples the model's distribution at the position
+    before it — one forward, one choice per slot."""
+    client, loop = server_client
+
+    async def go():
+        # 'w9' appears twice -> two slots; greedy + top_logprobs
+        r = await client.post("/v1/sample", json={
+            "prompt": "w1 w2 w9 w3 w4 w9 w5",
+            "selector": {"type": "literal", "value": "w9"},
+            "temperature": 0.0,
+            "top_logprobs": 3,
+        })
+        assert r.status == 200, await r.text()
+        body = await r.json()
+        assert body["object"] == "sample_completion"
+        assert len(body["choices"]) == 2
+        for c in body["choices"]:
+            assert c["finish_reason"] == "selector_match"
+            assert len(c["logprobs"]["token_ids"]) == 3
+            assert c["logprobs"]["token_logprobs"][0] >= \
+                c["logprobs"]["token_logprobs"][1]
+        assert body["usage"]["completion_tokens"] == 2
+
+        # greedy sampling is deterministic across calls
+        r2 = await client.post("/v1/sample", json={
+            "prompt": "w1 w2 w9 w3 w4 w9 w5",
+            "selector": {"value": "w9"},
+            "temperature": 0.0,
+        })
+        b2 = await r2.json()
+        assert [c["logprobs"]["token_ids"][0] for c in b2["choices"]] == [
+            c["logprobs"]["token_ids"][0] for c in body["choices"]
+        ]
+
+        # validation errors
+        r = await client.post("/v1/sample", json={"prompt": "w1"})
+        assert r.status == 400
+        r = await client.post("/v1/sample", json={
+            "prompt": "w1", "selector": {"type": "regex", "value": "x"},
+        })
+        assert r.status == 400
+        # selector absent from the prompt -> empty choices
+        r = await client.post("/v1/sample", json={
+            "prompt": "w1 w2", "selector": {"value": "w9"},
+        })
+        assert (await r.json())["choices"] == []
+
+    loop.run_until_complete(go())

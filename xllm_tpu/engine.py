@@ -323,6 +323,75 @@ class LLMEngine:
                 )
         return req
 
+    def sample_slots(
+        self,
+        prompt_token_ids: list[int],
+        slot_positions: list[int],
+        temperature: float = 0.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
+        seed: int = -1,
+        num_top: int = 0,
+    ) -> list[dict]:
+        """Multi-position sampling (reference /v1/sample,
+        sample_service_impl.cpp:130): sample the model's next-token
+        distribution at each slot position in ONE prompt forward — slot
+        at position p draws from the logits after prefix[:p] (the
+        reference's token_position-1 source, sample_slot.cpp:49-52).
+
+        Synchronous; runs between engine steps (route through the async
+        engine's call op under a live server). Returns one dict per slot:
+        {token_id, logprob, top_ids, top_logprobs}.
+        """
+        n = len(prompt_token_ids)
+        if not slot_positions:
+            return []
+        if any(p < 0 or p >= n for p in slot_positions):
+            raise ValueError("slot position out of range")
+        max_chunk = max(self.config.scheduler.prefill_token_buckets)
+        if n > max_chunk:
+            raise ValueError(
+                f"prompt length {n} exceeds the single-dispatch sample "
+                f"limit {max_chunk}"
+            )
+        from xllm_tpu.framework.request import StoppingChecker
+
+        seq = Sequence(
+            prompt_token_ids=list(prompt_token_ids),
+            sampling_params=SamplingParams(max_tokens=1, ignore_eos=True),
+            stopping=StoppingChecker(
+                max_new_tokens=1,
+                max_model_len=self.config.scheduler.max_model_len,
+                ignore_eos=True,
+            ),
+        )
+        seq.slot_id = self.runner.trash_slot
+        if not self.block_manager.allocate(seq, n):
+            raise RuntimeError("KV pool exhausted for sample request")
+        try:
+            rows = np.asarray(
+                [max(p - 1, 0) for p in slot_positions], np.int32
+            )
+            tokens, lps, top_ids, top_lps = self.runner.run_sample_slots(
+                seq, rows, temperature, top_k, top_p, seed, num_top
+            )
+            # the forward wrote every prompt token's KV — mark computed so
+            # freeing can legitimately donate the blocks to the prefix cache
+            seq.num_computed_tokens = n
+        finally:
+            self.block_manager.free(seq)
+        out = []
+        for j in range(len(slot_positions)):
+            item = {
+                "token_id": int(tokens[j]),
+                "logprob": float(lps[j]),
+            }
+            if top_ids is not None:
+                item["top_ids"] = [int(t) for t in top_ids[j]]
+                item["top_logprobs"] = [float(x) for x in top_lps[j]]
+            out.append(item)
+        return out
+
     def _process_images(self, prompt_token_ids, images, videos=None):
         """Vision intake (reference VLM master prompt processing +
         encoder path, vlm_master.h:44 + video processors,

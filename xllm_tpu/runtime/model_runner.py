@@ -115,6 +115,7 @@ class ModelRunner:
         self._prefill_fn = None
         self._decode_fn = None
         self._embed_fn = None
+        self._sample_slots_fn = None
         self._inject_fn = None
         self._seed_fn = None
         self._copy_blocks_fn = None
@@ -975,6 +976,85 @@ class ModelRunner:
             self.params, self.k_cache, self.v_cache, self._put(inp)
         )
         return np.asarray(vec)
+
+    def run_sample_slots(
+        self,
+        seq: Sequence,
+        source_rows: np.ndarray,  # [n] prompt rows whose logits to sample
+        temperature: float,
+        top_k: int,
+        top_p: float,
+        seed: int,
+        num_top: int = 0,
+    ):
+        """Multi-position sampling over ONE prompt forward.
+
+        Counterpart of the reference's /v1/sample service (reference
+        xllm/api_service/sample_service_impl.cpp:130-230 +
+        sample_slot.cpp:49-52: each selector occurrence samples from the
+        logits at token_position-1). One dispatch: batched prefill with
+        the FULL hidden returned, gather the slot rows, final-norm +
+        lm_head + the fused sampler. Synchronous fetch.
+        Returns (tokens [n], logprobs [n], top_ids [n, num_top],
+        top_lps [n, num_top])."""
+        from xllm_tpu.ops.norms import rms_norm
+        from xllm_tpu.runtime.sampler import sample as fused_sample
+
+        sc = self.config.scheduler
+        inp, _, rows = build_batched_prefill_input(
+            [(seq, seq.num_tokens)],
+            self.block_size,
+            sc.prefill_token_buckets,
+            sc.prefill_row_buckets,
+            self.max_blocks_per_seq,
+            self.trash_slot,
+            self.dp_size,
+            self.null_blocks,
+            cp_size=self.cp_size,
+            hidden_size=self.config.model.hidden_size,
+        )
+        if self._sample_slots_fn is None:
+            model = self.model
+
+            @partial(
+                jax.jit, donate_argnums=(1, 2), static_argnames=("num_top",)
+            )
+            def step(params, k_cache, v_cache, inp, row_idx, srows, si,
+                     num_top):
+                _, k_cache, v_cache, pre = model.prefill_batched(
+                    params, k_cache, v_cache, inp, return_hidden=True
+                )
+                hidden = rms_norm(
+                    pre[row_idx], params["norm"],
+                    self.config.model.rms_norm_eps,
+                )[srows]  # [n, D]
+                logits = model.compute_logits(params, hidden).astype(
+                    jnp.float32
+                )
+                out = fused_sample(logits, si, num_top=num_top)
+                return (k_cache, v_cache) + tuple(out)
+
+            self._sample_slots_fn = step
+        n = len(source_rows)
+        si = SamplingInput(
+            temperature=np.full(n, temperature, np.float32),
+            top_k=np.full(n, top_k, np.int32),
+            top_p=np.full(n, top_p, np.float32),
+            key=(
+                jax.random.key(seed)
+                if seed >= 0 else self._next_key()
+            ),
+        )
+        res = self._sample_slots_fn(
+            self.params, self.k_cache, self.v_cache, self._put(inp),
+            np.int32(rows[0]), np.asarray(source_rows, np.int32),
+            self._put(si), num_top=num_top,
+        )
+        self.k_cache, self.v_cache = res[0], res[1]
+        out = tuple(np.asarray(x) for x in res[2:])
+        if num_top:
+            return out  # tokens, logprobs, top_ids, top_lps
+        return out[0], out[1], None, None
 
     def run_verify(
         self, seq: Sequence, draft_tokens: list[int]

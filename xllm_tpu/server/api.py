@@ -100,6 +100,7 @@ class APIServer:
         app.router.add_post("/v1/chat/completions", self.chat_completions)
         app.router.add_post("/v1/embeddings", self.embeddings)
         app.router.add_post("/v1/rerank", self.rerank)
+        app.router.add_post("/v1/sample", self.sample)
         app.router.add_post("/v1/messages", self.anthropic_messages)
         app.router.add_get("/v1/models", self.models)
         app.router.add_get("/health", self.health)
@@ -266,6 +267,83 @@ class APIServer:
         return await self._run(
             request, body, kwargs, chat=False, endpoint="completions"
         )
+
+    async def sample(self, request: web.Request) -> web.Response:
+        """Multi-position sampling (reference /v1/sample,
+        sample_service_impl.cpp:130-230): one prompt forward; every
+        occurrence of the selector literal samples from the logits at the
+        position before it (sample_slot.cpp:49-52)."""
+        try:
+            body = await request.json()
+        except Exception:
+            return _error(400, "invalid JSON body")
+        prompt = body.get("prompt")
+        if not prompt:
+            return _error(400, "prompt is required")
+        selector = body.get("selector") or {}
+        if selector.get("type", "literal") != "literal":
+            return _error(400, "selector.type must be literal")
+        literal = selector.get("value", "")
+        if not literal:
+            return _error(400, "selector.value is required")
+        tok = self.engine.tokenizer
+        if tok is None:
+            return _error(400, "server has no tokenizer")
+        lit_ids = tok.encode(literal)
+        if len(lit_ids) != 1:
+            return _error(
+                400, "selector.value must map to exactly one token"
+            )
+        prompt_ids = tok.encode(prompt)
+        positions = [i for i, t in enumerate(prompt_ids) if t == lit_ids[0]]
+        num_top = int(body.get("top_logprobs", 0) or 0)
+        created = int(time.time())
+        rid = "sample-" + uuid.uuid4().hex[:24]
+        choices = []
+        if positions:
+            try:
+                slots = await self.engine.call(
+                    "sample_slots",
+                    prompt_ids,
+                    positions,
+                    temperature=float(body.get("temperature", 0.0) or 0.0),
+                    top_k=int(body.get("top_k", 0) or 0),
+                    top_p=float(body.get("top_p", 1.0) or 1.0),
+                    seed=int(body.get("seed", -1)),
+                    num_top=num_top,
+                )
+            except ValueError as e:
+                return _error(400, str(e))
+            for j, s in enumerate(slots):
+                lp = {
+                    "tokens": [tok.decode([s["token_id"]])],
+                    "token_ids": [s["token_id"]],
+                    "token_logprobs": [s["logprob"]],
+                }
+                if "top_ids" in s:
+                    lp = {
+                        "tokens": [tok.decode([t]) for t in s["top_ids"]],
+                        "token_ids": s["top_ids"],
+                        "token_logprobs": s["top_logprobs"],
+                    }
+                choices.append({
+                    "index": j,
+                    "text": tok.decode([s["token_id"]]),
+                    "logprobs": lp,
+                    "finish_reason": "selector_match",
+                })
+        return web.json_response({
+            "id": rid,
+            "object": "sample_completion",
+            "created": created,
+            "model": self.model_name,
+            "choices": choices,
+            "usage": {
+                "prompt_tokens": len(prompt_ids),
+                "completion_tokens": len(choices),
+                "total_tokens": len(prompt_ids) + len(choices),
+            },
+        })
 
     async def rerank(self, request: web.Request) -> web.Response:
         """Jina/Cohere-style /v1/rerank (reference RerankServiceImpl,

@@ -118,6 +118,15 @@ class AsyncLLMEngine:
             with self._streams_lock:
                 self._streams.pop(req_id, None)
 
+    async def call(self, method: str, *args, **kwargs):
+        """Run an engine method on the engine thread (e.g. sample_slots,
+        sleep/wakeup) serialized against steps."""
+        loop = asyncio.get_running_loop()
+        done = loop.create_future()
+        self._intake.put(("call", (method, args, kwargs, loop), None, done))
+        self._wake.set()
+        return await done
+
     def abort(self, request_id: str) -> None:
         self._intake.put(("abort", request_id, None, None))
         self._wake.set()
@@ -137,6 +146,16 @@ class AsyncLLMEngine:
                 drained += 1
                 if kind == "abort":
                     eng.abort_request(payload)
+                    continue
+                if kind == "call":
+                    # run an engine method on the engine thread (between
+                    # steps) and resolve the caller's future
+                    method, args, kwargs, loop = payload
+                    try:
+                        result = getattr(eng, method)(*args, **kwargs)
+                        loop.call_soon_threadsafe(done.set_result, result)
+                    except Exception as e:
+                        loop.call_soon_threadsafe(done.set_exception, e)
                     continue
                 try:
                     req = eng.add_request(**payload)
