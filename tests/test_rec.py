@@ -154,3 +154,47 @@ class TestEngine:
         assert r2.items.shape == (2,)
         assert np.isfinite(r1.scores).all()
         eng.stop()
+
+
+def test_rec_completions_endpoint():
+    """/v1/rec/completions (reference rec_completion_service_impl.cpp):
+    text_completion-shaped response whose choices are recommended catalog
+    items with semantic ids + beam scores."""
+    import asyncio
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from xllm_tpu.rec.service import RecServer
+
+    vocab = RecVocab(CATALOG, vocab_size=32)
+    eng = RecEngine(tiny_cfg(), vocab, beam_width=8, seed=3)
+    eng.start()
+    server = RecServer(eng, model_name="tiny-rec")
+    loop = asyncio.new_event_loop()
+    client = TestClient(TestServer(server.build_app()), loop=loop)
+    loop.run_until_complete(client.start_server())
+    try:
+        async def go():
+            r = await client.get("/health")
+            assert r.status == 200
+            r = await client.post("/v1/rec/completions", json={
+                "behavior_tokens": [5, 9, 2, 17], "n": 3,
+            })
+            assert r.status == 200, await r.text()
+            body = await r.json()
+            assert body["object"] == "text_completion"
+            assert 1 <= len(body["choices"]) <= 3
+            for c in body["choices"]:
+                assert 0 <= c["item_id"] < len(CATALOG)
+                assert len(c["semantic_ids"]) == CATALOG.shape[1]
+            # scores descend
+            scores = [c["score"] for c in body["choices"]]
+            assert scores == sorted(scores, reverse=True)
+            r = await client.post("/v1/rec/completions", json={})
+            assert r.status == 400
+
+        loop.run_until_complete(go())
+    finally:
+        loop.run_until_complete(client.close())
+        loop.close()
+        eng.stop()
