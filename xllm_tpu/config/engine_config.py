@@ -79,6 +79,11 @@ class ModelConfig:
     qk_nope_head_dim: int = 0
     qk_rope_head_dim: int = 0
     v_head_dim: int = 0
+    # DSA: deepseek-v3.2 sparse attention (reference deepseek_v32.h:224-232
+    # — lightning indexer + per-query top-k token selection). 0 = dense.
+    index_topk: int = 0
+    index_n_heads: int = 64
+    index_head_dim: int = 128
     # deepseek MoE structure
     first_k_dense_replace: int = 0
     n_shared_experts: int = 0

@@ -498,6 +498,15 @@ def load_mla_params(
             out["q_b_proj_w"] = T(f"{p}.q_b_proj.weight")
         else:
             out["q_proj_w"] = T(f"{p}.q_proj.weight")
+        if cfg.index_topk > 0:
+            # deepseek-v3.2 lightning indexer (reference indexer.cpp
+            # wq_b/wk/k_norm/weights_proj under self_attn.indexer.*)
+            ip = f"{p}.indexer"
+            out["idx_wq_b"] = T(f"{ip}.wq_b.weight")
+            out["idx_wk"] = T(f"{ip}.wk.weight")
+            out["idx_k_norm_w"] = reader.get(f"{ip}.k_norm.weight")
+            out["idx_k_norm_b"] = reader.get(f"{ip}.k_norm.bias")
+            out["idx_weights_w"] = T(f"{ip}.weights_proj.weight")
         return out
 
     def stack_group(prefix, layer_ids, extra_fn):

@@ -58,6 +58,11 @@ class MlaDecoderModel(DenseDecoderModel):
             cfg.num_hidden_layers
         )
         self.n_moe = cfg.num_hidden_layers - self.n_dense
+        # DSA (deepseek-v3.2 sparse attention, reference deepseek_v32.h
+        # :224-232 + indexer.cpp): lightning indexer + top-k selection
+        self.dsa = cfg.index_topk > 0
+        self.idx_heads = cfg.index_n_heads
+        self.idx_dim = cfg.index_head_dim
 
     # ------------------------------------------------------------------
     def _attn_params(self, key, n_layers):
@@ -88,6 +93,18 @@ class MlaDecoderModel(DenseDecoderModel):
             p["q_b_proj_w"] = w(next(ks), L, qr, H * (nope + rope))
         else:
             p["q_proj_w"] = w(next(ks), L, D, H * (nope + rope))
+        if self.dsa:
+            # lightning indexer (reference indexer.cpp:54-92): wq_b on the
+            # q_a-normed low-rank query, wk + layernorm on hidden, per-head
+            # weights projection
+            hi, di = self.idx_heads, self.idx_dim
+            q_in = qr if qr > 0 else D
+            kq = jax.random.split(key, 4)
+            p["idx_wq_b"] = w(kq[0], L, q_in, hi * di)
+            p["idx_wk"] = w(kq[1], L, D, di)
+            p["idx_k_norm_w"] = jnp.ones((L, di), self.dtype)
+            p["idx_k_norm_b"] = jnp.zeros((L, di), self.dtype)
+            p["idx_weights_w"] = w(kq[2], L, D, hi)
         return p
 
     def init_params(self, rng: jax.Array) -> dict:
@@ -152,6 +169,13 @@ class MlaDecoderModel(DenseDecoderModel):
             attn["q_b_proj_w"] = P(None, None, TP_AXIS)
         else:
             attn["q_proj_w"] = P(None, None, TP_AXIS)
+        if self.dsa:
+            # the indexer is tiny and MQA-shaped: replicate
+            attn["idx_wq_b"] = P()
+            attn["idx_wk"] = P()
+            attn["idx_k_norm_w"] = P()
+            attn["idx_k_norm_b"] = P()
+            attn["idx_weights_w"] = P()
         out = {"embed_tokens": P(TP_AXIS, None), "norm": P()}
         if not c.tie_word_embeddings:
             out["lm_head"] = P(None, TP_AXIS)
@@ -188,11 +212,20 @@ class MlaDecoderModel(DenseDecoderModel):
 
     def kv_bytes_per_token(self) -> int:
         bytes_per_el = 2 if self.dtype == jnp.bfloat16 else 4
-        return self.cfg.num_hidden_layers * self.dk_pad * bytes_per_el
+        per = self.dk_pad + (self.idx_dim if self.dsa else 0)
+        return self.cfg.num_hidden_layers * per * bytes_per_el
 
     def new_kv_cache(self, num_blocks, block_size, dtype=None):
         dt = dtype or self.dtype
         cache = jnp.zeros(self.kv_cache_shape(num_blocks, block_size), dt)
+        if self.dsa:
+            # the indexer-K cache rides the otherwise-unused v slot, so
+            # donation / PD transfer / host offload treat it generically
+            idx = jnp.zeros(
+                (self.cfg.num_hidden_layers, num_blocks, 1, block_size,
+                 self.idx_dim), dt,
+            )
+            return cache, idx
         # v-cache slot unused: latent pages serve both K and V
         return cache, jnp.zeros((1,), dt)
 
@@ -208,6 +241,7 @@ class MlaDecoderModel(DenseDecoderModel):
             qa = rms_norm(qa, lp["q_a_norm"], c.rms_norm_eps)
             q = self._linear(lp, "q_b_proj_w", qa).astype(h.dtype)
         else:
+            qa = h
             q = self._linear(lp, "q_proj_w", h).astype(h.dtype)
         q = q.reshape(t, H, nope + rope)
         q_nope, q_pe = q[..., :nope], q[..., nope:]
@@ -231,7 +265,7 @@ class MlaDecoderModel(DenseDecoderModel):
             pad = self.dk_pad - self.dk
             q_eff = jnp.pad(q_eff, ((0, 0), (0, 0), (0, pad)))
             lat_new = jnp.pad(lat_new, ((0, 0), (0, pad)))
-        return q_eff, lat_new
+        return q_eff, lat_new, qa
 
     def _mla_out(self, lp, out_lat, t):
         """[T, H, kvr] latent attention output -> [T, D] residual add."""
@@ -283,8 +317,11 @@ class MlaDecoderModel(DenseDecoderModel):
             x, cache = carry
             lp, li = xs
             h = rms_norm(x, lp["input_layernorm"], c.rms_norm_eps)
-            q_eff, lat_new = self._mla_qkv(lp, h, positions, inv_freq)
-            out_lat, cache = attn_fn(q_eff, lat_new, cache, li)
+            q_eff, lat_new, qa = self._mla_qkv(lp, h, positions, inv_freq)
+            idx = (
+                self._indexer(lp, h, qa, positions) if self.dsa else None
+            )
+            out_lat, cache = attn_fn(q_eff, lat_new, cache, li, idx)
             x = x + self._mla_out(lp, out_lat, t).astype(x.dtype)
             h2 = rms_norm(x, lp["post_attention_layernorm"], c.rms_norm_eps)
             x = x + mlp_fn(lp, h2)
@@ -311,7 +348,10 @@ class MlaDecoderModel(DenseDecoderModel):
 
     # ------------------------------------------------------------------
     def prefill(self, params, k_all, v_all, inp: PrefillInput, num_logits=1):
-        def attn_fn(q_eff, lat_new, cache, li):
+        if self.dsa:
+            return self._dsa_prefill(params, k_all, v_all, inp, num_logits)
+
+        def attn_fn(q_eff, lat_new, cache, li, idx=None):
             return mla_prefill_attention_write(
                 q_eff, lat_new, cache, li, inp.slot_mapping, inp.block_table,
                 inp.q_offset, inp.kv_len, self.scale, self.dv,
@@ -331,7 +371,12 @@ class MlaDecoderModel(DenseDecoderModel):
         BatchInputBuilder, batch_input_builder.h:53)."""
         p, s = inp.token_ids.shape
 
-        def attn_fn(q_eff, lat_new, cache, li):
+        if self.dsa:
+            return self._dsa_prefill_batched(
+                params, k_all, v_all, inp, num_logits, return_hidden
+            )
+
+        def attn_fn(q_eff, lat_new, cache, li, idx=None):
             q4 = q_eff.reshape(p, s, *q_eff.shape[1:])
             l3 = lat_new.reshape(p, s, lat_new.shape[-1])
             out, cache = mla_prefill_attention_write_batched(
@@ -358,7 +403,10 @@ class MlaDecoderModel(DenseDecoderModel):
         return hidden, k_all, v_all
 
     def decode(self, params, k_all, v_all, inp: DecodeInput, token_ids):
-        def attn_fn(q_eff, lat_new, cache, li):
+        if self.dsa:
+            return self._dsa_decode(params, k_all, v_all, inp, token_ids)
+
+        def attn_fn(q_eff, lat_new, cache, li, idx=None):
             return mla_decode_attention_write(
                 q_eff, lat_new, cache, li, inp.slot_mapping, inp.block_tables,
                 inp.seq_lens, self.scale, self.dv,
@@ -366,4 +414,198 @@ class MlaDecoderModel(DenseDecoderModel):
 
         x = params["embed_tokens"][token_ids]
         x, k_all = self._forward(params, k_all, x, inp.positions, attn_fn)
+        return x, k_all, v_all
+
+    # ------------------------------------------------------------------
+    # DSA: deepseek-v3.2 lightning indexer + top-k sparse attention
+    # (reference indexer.cpp:33-340, deepseek_sparse_attention.cpp,
+    # deepseek_v32.h:224-232)
+    # ------------------------------------------------------------------
+    def _indexer(self, lp, h, qa, positions):
+        """-> (q_idx [T, Hi, Di], k_idx [T, Di], w_idx [T, Hi])."""
+        from xllm_tpu.ops.dsa import (
+            hadamard_matrix,
+            rope_front,
+            rotate_activation,
+        )
+        from xllm_tpu.ops.norms import layer_norm as _ln
+
+        c = self.cfg
+        t = h.shape[0]
+        hi, di = self.idx_heads, self.idx_dim
+        rope_dim = c.qk_rope_head_dim
+        inv_freq = rope_inv_freq(rope_dim, c.rope_theta, None)
+        had = jnp.asarray(hadamard_matrix(di))
+
+        q = self._linear(lp, "idx_wq_b", qa).astype(h.dtype)
+        q = q.reshape(t, hi, di)
+        q = rope_front(q, positions, rope_dim, inv_freq)
+        q = rotate_activation(q, had)
+
+        k = self._linear(lp, "idx_wk", h).astype(jnp.float32)
+        k = _ln(k, lp["idx_k_norm_w"], lp["idx_k_norm_b"], c.rms_norm_eps)
+        k = k.astype(h.dtype)
+        k = rope_front(k, positions, rope_dim, inv_freq)
+        k = rotate_activation(k, had)
+
+        w = self._linear(lp, "idx_weights_w", h).astype(jnp.float32)
+        return q, k, w
+
+    def _dsa_write(self, cache, li, slots, vals):
+        """Scatter rows into a paged cache [L, NB, 1, bs, D]."""
+        bs = cache.shape[3]
+        return cache.at[li, slots // bs, 0, slots % bs, :].set(
+            vals.astype(cache.dtype)
+        )
+
+    def _dsa_attend_rows(
+        self, q_eff, idx_q, idx_w, lat_pages, idxk_pages, row_pos, kv_len
+    ):
+        """Masked top-k latent attention for one sequence's rows.
+
+        q_eff [S, H, Dk], idx_q [S, Hi, Di], idx_w [S, Hi];
+        lat_pages [KV, Dk], idxk_pages [KV, Di]; row_pos [S] absolute
+        positions; kv_len scalar. -> out_lat [S, H, dv].
+        """
+        from xllm_tpu.ops.dsa import index_scores, topk_mask
+
+        c = self.cfg
+        kv = lat_pages.shape[0]
+        pos = jnp.arange(kv, dtype=jnp.int32)
+        valid = (pos[None, :] <= row_pos[:, None]) & (
+            pos[None, :] < kv_len
+        )  # [S, KV] causal + length
+        scores = index_scores(idx_q, idx_w, idxk_pages)  # [S, KV]
+        keep = topk_mask(scores, valid, c.index_topk)  # [S, KV]
+
+        logits = jnp.einsum(
+            "shd,jd->shj", q_eff, lat_pages,
+            preferred_element_type=jnp.float32,
+        ) * self.scale
+        logits = jnp.where(keep[:, None, :], logits, -jnp.inf)
+        probs = jax.nn.softmax(logits, axis=-1)
+        probs = jnp.nan_to_num(probs, nan=0.0)  # all-masked pad rows
+        out = jnp.einsum(
+            "shj,jd->shd", probs.astype(lat_pages.dtype),
+            lat_pages[:, : self.dv],
+            preferred_element_type=jnp.float32,
+        )
+        return out.astype(q_eff.dtype)
+
+    def _dsa_prefill_batched(self, params, k_all, v_all, inp, num_logits=1,
+                             return_hidden=False):
+        p, s = inp.token_ids.shape
+
+        def attn_fn(q_eff, lat_new, cache, li, idx):
+            lat_c, idxk_c = cache
+            idx_q, idx_k, idx_w = idx
+            slots = inp.slot_mapping.reshape(-1)
+            lat_c = self._dsa_write(lat_c, li, slots, lat_new)
+            idxk_c = self._dsa_write(idxk_c, li, slots, idx_k)
+            # gather this batch's pages dense: [P, KV, D]
+            lat_pages = lat_c[li][inp.block_tables][:, :, 0].reshape(
+                p, -1, lat_c.shape[-1]
+            )
+            idxk_pages = idxk_c[li][inp.block_tables][:, :, 0].reshape(
+                p, -1, idxk_c.shape[-1]
+            )
+            q4 = q_eff.reshape(p, s, *q_eff.shape[1:])
+            iq = idx_q.reshape(p, s, *idx_q.shape[1:])
+            iw = idx_w.reshape(p, s, idx_w.shape[-1])
+            row_pos = inp.positions
+            out = jax.vmap(self._dsa_attend_rows)(
+                q4, iq, iw, lat_pages, idxk_pages, row_pos, inp.kv_lens
+            )
+            return out.reshape(p * s, *out.shape[2:]), (lat_c, idxk_c)
+
+        x = params["embed_tokens"][inp.token_ids.reshape(-1)]
+        x, (k_all, v_all) = self._forward(
+            params, (k_all, v_all), x, inp.positions.reshape(-1), attn_fn
+        )
+        x = x.reshape(p, s, -1)
+        idx = (
+            inp.logits_idx[:, None]
+            - (num_logits - 1)
+            + jnp.arange(num_logits, dtype=jnp.int32)[None, :]
+        ).clip(0)
+        hidden = jnp.take_along_axis(x, idx[..., None], axis=1)
+        if return_hidden:
+            pre = self._prenorm_hidden.reshape(p, s, -1)
+            return hidden, k_all, v_all, pre
+        return hidden, k_all, v_all
+
+    def _dsa_prefill(self, params, k_all, v_all, inp, num_logits=1):
+        """Single-sequence prefill via the batched core (embed/sample)."""
+        from xllm_tpu.runtime.forward_params import BatchedPrefillInput
+
+        t = inp.token_ids.shape[0]
+        binp = BatchedPrefillInput(
+            token_ids=inp.token_ids[None],
+            positions=inp.positions[None],
+            slot_mapping=inp.slot_mapping[None],
+            block_tables=inp.block_table[None],
+            kv_lens=inp.kv_len[None],
+            q_offsets=inp.q_offset[None],
+            logits_idx=inp.logits_idx[None],
+            sample_slots=jnp.zeros((1,), jnp.int32),
+            hist_slots=jnp.zeros((1,), jnp.int32),
+        )
+        hidden, k_all, v_all = self._dsa_prefill_batched(
+            params, k_all, v_all, binp, num_logits
+        )
+        return hidden[0], k_all, v_all
+
+    def _dsa_decode(self, params, k_all, v_all, inp, token_ids):
+        b = token_ids.shape[0]
+
+        def attn_fn(q_eff, lat_new, cache, li, idx):
+            lat_c, idxk_c = cache
+            idx_q, idx_k, idx_w = idx
+            bs = lat_c.shape[3]
+            slots = inp.slot_mapping
+            lat_c = self._dsa_write(lat_c, li, slots, lat_new)
+            idxk_c = self._dsa_write(idxk_c, li, slots, idx_k)
+            # index scores over the dense gathered index-K pages, then
+            # gather ONLY the top-k latent rows (the HBM saving)
+            idxk_pages = idxk_c[li][inp.block_tables][:, :, 0].reshape(
+                b, -1, idxk_c.shape[-1]
+            )  # [B, KV, Di]
+            from xllm_tpu.ops.dsa import index_scores
+
+            kv = idxk_pages.shape[1]
+            scores = index_scores(
+                idx_q[:, None], idx_w[:, None], idxk_pages
+            )[:, 0]  # [B, KV]
+            pos = jnp.arange(kv, dtype=jnp.int32)
+            valid = pos[None, :] < inp.seq_lens[:, None]
+            scores = jnp.where(valid, scores, -jnp.inf)
+            kk = min(self.cfg.index_topk, kv)
+            _, sel = jax.lax.top_k(scores, kk)  # [B, kk] positions
+            sel_valid = jnp.take_along_axis(valid, sel, axis=1)
+            # position -> global slot -> latent row gather
+            sel_blocks = jnp.take_along_axis(
+                inp.block_tables, sel // bs, axis=1
+            )
+            sel_slots = sel_blocks * bs + sel % bs  # [B, kk]
+            lat_flat = lat_c[li][:, 0].reshape(-1, lat_c.shape[-1])
+            lat_sel = lat_flat[sel_slots]  # [B, kk, Dk]
+
+            logits = jnp.einsum(
+                "bhd,bjd->bhj", q_eff, lat_sel,
+                preferred_element_type=jnp.float32,
+            ) * self.scale
+            logits = jnp.where(sel_valid[:, None, :], logits, -jnp.inf)
+            probs = jax.nn.softmax(logits, axis=-1)
+            probs = jnp.nan_to_num(probs, nan=0.0)
+            out = jnp.einsum(
+                "bhj,bjd->bhd", probs.astype(lat_sel.dtype),
+                lat_sel[..., : self.dv],
+                preferred_element_type=jnp.float32,
+            ).astype(q_eff.dtype)
+            return out, (lat_c, idxk_c)
+
+        x = params["embed_tokens"][token_ids]
+        x, (k_all, v_all) = self._forward(
+            params, (k_all, v_all), x, inp.positions, attn_fn
+        )
         return x, k_all, v_all

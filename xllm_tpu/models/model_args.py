@@ -21,6 +21,8 @@ _ARCH_MAP = {
     "MistralForCausalLM": "llama",
     "DeepseekV2ForCausalLM": "deepseek_v2",
     "DeepseekV3ForCausalLM": "deepseek_v2",
+    "DeepseekV32ForCausalLM": "deepseek_v32",
+    "Glm5ForCausalLM": "glm_moe_dsa",
     "Glm4ForCausalLM": "glm4",
     "Glm4MoeForCausalLM": "glm4_moe",
     "MiniMaxM2ForCausalLM": "minimax_m2",
@@ -125,6 +127,14 @@ def model_config_from_hf_dict(cfg: dict, model_path: str = "") -> ModelConfig:
         topk_group=cfg.get("topk_group") or 1,
         eos_token_ids=eos,
     )
+    if model_type in ("deepseek_v32", "glm_moe_dsa") or cfg.get(
+        "index_topk"
+    ):
+        # DSA (reference deepseek_v32.h:224-232, glm5.h:21-43 shares the
+        # arch): lightning indexer dims + top-k selection size
+        mc.index_topk = cfg.get("index_topk", 2048)
+        mc.index_n_heads = cfg.get("index_n_heads", 64)
+        mc.index_head_dim = cfg.get("index_head_dim", 128)
     if model_type == "glm4_moe":
         # sigmoid routing + correction bias are hardcoded in the HF
         # Glm4MoeTopkRouter; partial rope uses the llama rotate-half

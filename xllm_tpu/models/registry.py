@@ -54,6 +54,10 @@ def get_model_class(model_type: str) -> type:
     # kimi-k2 is the deepseek-v3 architecture with noaux_tc routing
     # (reference kimi_k2.h REGISTER_CAUSAL_MODEL(kimi_k2, DeepseekV2...))
     ModelRegistry._registry.setdefault("kimi_k2", MlaDecoderModel)
+    # DSA families: deepseek-v3.2 + glm5 share the MLA arch with the
+    # lightning indexer (reference deepseek_v32.h, glm5.h:21-43)
+    ModelRegistry._registry.setdefault("deepseek_v32", MlaDecoderModel)
+    ModelRegistry._registry.setdefault("glm_moe_dsa", MlaDecoderModel)
     # minimax-m2: GQA + partial rotary + per-layer MoE with sigmoid/noaux
     # routing (reference minimax_m2.h) -> the generic MoE decoder
     ModelRegistry._registry.setdefault("minimax_m2", MoeDecoderModel)
