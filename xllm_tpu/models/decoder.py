@@ -473,10 +473,16 @@ class DenseDecoderModel:
         return x, k_all, v_all
 
     def compute_logits(self, params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
-        """[N, D] -> [N, V] fp32."""
+        """[N, D] -> [N, V] in model dtype (f32 MXU accumulation).
+
+        Materializing bf16 logits halves the sampler's HBM traffic — the
+        write here plus every full-vocab reduction in ``sample`` — and the
+        cast fuses into the matmul epilogue. Reductions that need f32
+        (logsumexp) upcast per-tile without an extra [N, V] copy."""
         head = (
             params["embed_tokens"].T
             if self.cfg.tie_word_embeddings
             else params["lm_head"]
         )
-        return jnp.dot(hidden, head, preferred_element_type=jnp.float32)
+        logits = jnp.dot(hidden, head, preferred_element_type=jnp.float32)
+        return logits.astype(self.dtype)

@@ -300,17 +300,22 @@ class ModelRunner:
     def _build_step_fns(self) -> None:
         model = self.model
 
-        @partial(jax.jit, donate_argnums=(1, 2, 5, 6))
+        @partial(
+            jax.jit, donate_argnums=(1, 2, 5, 6),
+            static_argnames=("need_logprobs",),
+        )
         def prefill_step(
             params, k_cache, v_cache, inp: PrefillInput, si, last_tokens,
-            token_hist, slot, hist_slot,
+            token_hist, slot, hist_slot, need_logprobs=True,
         ):
             hidden, k_cache, v_cache = model.prefill(params, k_cache, v_cache, inp)
             logits = model.compute_logits(params, hidden)
             token_hist = token_hist.at[hist_slot, inp.positions].set(
                 inp.token_ids
             )
-            tokens, logprobs = sample(logits, si)
+            tokens, logprobs = sample(
+                logits, si, need_logprobs=need_logprobs
+            )
             # mid-prompt chunks pass slot = trash_slot
             last_tokens = last_tokens.at[slot].set(tokens[0])
             return k_cache, v_cache, tokens, logprobs, last_tokens, token_hist
@@ -318,11 +323,11 @@ class ModelRunner:
         @partial(
             jax.jit,
             donate_argnums=(1, 2, 5, 6),
-            static_argnames=("use_penalties", "num_top"),
+            static_argnames=("use_penalties", "num_top", "need_logprobs"),
         )
         def decode_step(
             params, k_cache, v_cache, inp: DecodeInput, si, last_tokens,
-            token_hist, use_penalties=False, num_top=0,
+            token_hist, use_penalties=False, num_top=0, need_logprobs=True,
         ):
             token_ids = last_tokens[inp.slot_ids]
             # record each row's input token (the previous sample) so the
@@ -335,7 +340,7 @@ class ModelRunner:
             )
             logits = model.compute_logits(params, hidden)
             hist = token_hist[inp.slot_ids] if use_penalties else None
-            out = sample(logits, si, hist, num_top)
+            out = sample(logits, si, hist, num_top, need_logprobs)
             tokens, logprobs = out[0], out[1]
             tops = out[2:] if num_top else (None, None)
             last_tokens = last_tokens.at[inp.slot_ids].set(tokens)
@@ -369,11 +374,12 @@ class ModelRunner:
         @partial(
             jax.jit,
             donate_argnums=(1, 2, 5, 6),
-            static_argnames=("use_penalties", "num_top"),
+            static_argnames=("use_penalties", "num_top", "need_logprobs"),
         )
         def batched_prefill_step(
             params, k_cache, v_cache, inp: BatchedPrefillInput, si,
             last_tokens, token_hist, use_penalties=False, num_top=0,
+            need_logprobs=True,
         ):
             hidden, k_cache, v_cache = model.prefill_batched(
                 params, k_cache, v_cache, inp
@@ -383,7 +389,7 @@ class ModelRunner:
                 inp.hist_slots[:, None], inp.positions
             ].set(inp.token_ids)
             hist = token_hist[inp.hist_slots] if use_penalties else None
-            out = sample(logits, si, hist, num_top)
+            out = sample(logits, si, hist, num_top, need_logprobs)
             tokens, logprobs = out[0], out[1]
             tops = out[2:] if num_top else (None, None)
             last_tokens = last_tokens.at[inp.sample_slots].set(tokens)
@@ -443,12 +449,12 @@ class ModelRunner:
         @partial(
             jax.jit,
             donate_argnums=(2, 3, 4, 5, 7, 8, 9),
-            static_argnames=("use_penalties",),
+            static_argnames=("use_penalties", "need_logprobs"),
         )
         def mtp_prefill_step(
             params, head_params, k_cache, v_cache, dk, dv,
             inp: BatchedPrefillInput, si, last_tokens, token_hist,
-            hidden_ring, use_penalties=False,
+            hidden_ring, use_penalties=False, need_logprobs=True,
         ):
             hidden, k_cache, v_cache, pre = model.prefill_batched(
                 params, k_cache, v_cache, inp, return_hidden=True
@@ -461,7 +467,9 @@ class ModelRunner:
                 inp.hist_slots[:, None], inp.positions
             ].set(inp.token_ids)
             hist = token_hist[inp.hist_slots] if use_penalties else None
-            tokens, logprobs = sample(logits, si, hist)
+            tokens, logprobs = sample(
+                logits, si, hist, need_logprobs=need_logprobs
+            )
             last_tokens = last_tokens.at[inp.sample_slots].set(tokens)
             last_pre = jnp.take_along_axis(
                 pre, inp.logits_idx[:, None, None], axis=1
@@ -543,11 +551,12 @@ class ModelRunner:
         @partial(
             jax.jit,
             donate_argnums=(2, 3, 5, 6, 7),
-            static_argnames=("use_penalties",),
+            static_argnames=("use_penalties", "need_logprobs"),
         )
         def mtp_decode_step(
             params, head_params, k_cache, v_cache, inp: DecodeInput, si,
             last_tokens, token_hist, hidden_ring, use_penalties=False,
+            need_logprobs=True,
         ):
             token_ids = last_tokens[inp.slot_ids]
             token_hist = token_hist.at[inp.slot_ids, inp.positions].set(
@@ -558,7 +567,9 @@ class ModelRunner:
             )
             logits = model.compute_logits(params, hidden)
             hist = token_hist[inp.slot_ids] if use_penalties else None
-            tokens, logprobs = sample(logits, si, hist)
+            tokens, logprobs = sample(
+                logits, si, hist, need_logprobs=need_logprobs
+            )
             last_tokens = last_tokens.at[inp.slot_ids].set(tokens)
             pre = model._prenorm_hidden
             hidden_ring = hidden_ring.at[inp.slot_ids].set(
@@ -676,6 +687,7 @@ class ModelRunner:
             self.token_hist,
             np.int32(slot),
             np.int32(seq.slot_id),
+            need_logprobs=self._need_lp([seq]),
         )
         return tokens, logprobs, samples_token
 
@@ -731,6 +743,7 @@ class ModelRunner:
                 self.token_hist,
                 self.hidden_ring,
                 use_penalties=use_penalties,
+                need_logprobs=self._need_lp([seq for seq, _ in items]),
             )
             return tokens, logprobs, samples_flags, rows, (None, None)
         num_top = self._num_top([seq for seq, _ in items])
@@ -747,6 +760,7 @@ class ModelRunner:
             self.token_hist,
             use_penalties=use_penalties,
             num_top=num_top,
+            need_logprobs=self._need_lp([seq for seq, _ in items]),
         )
         self._accumulate_loads(counts)
         return tokens, logprobs, samples_flags, rows, tops
@@ -897,7 +911,9 @@ class ModelRunner:
                     params, k_cache, v_cache, inp, token_ids
                 )
                 logits = model.compute_logits(params, hidden)
-                logprobs = jax.nn.log_softmax(logits, axis=-1)
+                logprobs = jax.nn.log_softmax(
+                    logits.astype(jnp.float32), axis=-1
+                )
                 vals, ids = jax.lax.top_k(logprobs, width)
                 return k_cache, v_cache, vals, ids
 
@@ -1126,6 +1142,7 @@ class ModelRunner:
                 self.token_hist,
                 self.hidden_ring,
                 use_penalties=use_penalties,
+                need_logprobs=self._need_lp(seqs),
             )
             return tokens, logprobs, rows, (None, None)
         num_top = self._num_top(seqs)
@@ -1142,6 +1159,7 @@ class ModelRunner:
             self.token_hist,
             use_penalties=use_penalties,
             num_top=num_top,
+            need_logprobs=self._need_lp(seqs),
         )
         self._accumulate_loads(counts)
         return tokens, logprobs, rows, tops
@@ -1151,6 +1169,13 @@ class ModelRunner:
     # (reference EplbManager data flow llm_engine.cpp:994-1008 and
     # EplbExecutor, eplb_executor.h:29)
     # ------------------------------------------------------------------
+    def _need_lp(self, seqs) -> bool:
+        """Static logprobs flag for the batch: the exact logsumexp pass
+        only runs when some request reports logprobs."""
+        return any(
+            seq.sampling_params.logprobs is not None for seq in seqs
+        )
+
     def _num_top(self, seqs) -> int:
         """Static top-logprobs width for the batch: 0 or 20 (OpenAI cap)
         to bound compile variants."""

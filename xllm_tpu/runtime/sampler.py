@@ -62,11 +62,13 @@ def _penalize(
 
 
 def sample(
-    logits: jnp.ndarray,  # [N, V] fp32
+    logits: jnp.ndarray,  # [N, V] f32 or bf16 (model dtype)
     si: SamplingInput,
     hist: jnp.ndarray | None = None,  # [N, T] rows of the history ring
     num_top: int = 0,  # also return the top-K alternatives (OpenAI
     # top_logprobs; reference sampler logprobs path, sampler.cpp:29)
+    need_logprobs: bool = True,  # static: skip the exact logsumexp pass
+    # over [N, V] when no request in the batch reports logprobs
 ):
     """-> (token_ids [N] int32, logprobs [N] f32 of the chosen token
     [, top_ids [N, num_top] int32, top_logprobs [N, num_top] f32])."""
@@ -76,6 +78,7 @@ def sample(
     top_vals, top_idx = jax.lax.approx_max_k(
         logits, k, recall_target=0.95, aggregate_to_topk=True
     )  # [N, k] descending
+    top_vals = top_vals.astype(jnp.float32)
     if hist is not None:
         top_vals = _penalize(top_vals, top_idx, hist, si)
         # penalties can reorder candidates: greedy = best penalized cand
@@ -115,9 +118,17 @@ def sample(
 
     tokens = jnp.where(si.temperature == 0.0, greedy, sampled).astype(jnp.int32)
 
-    # logprob of the chosen token under the raw (temperature-free) model dist
-    logz = jax.nn.logsumexp(logits, axis=-1)
-    chosen = jnp.take_along_axis(logits, tokens[:, None], axis=-1)[:, 0]
+    if not need_logprobs and num_top == 0:
+        # no request in the batch reports logprobs: skip the exact
+        # full-vocab logsumexp pass (the values are never surfaced)
+        return tokens, jnp.zeros((n,), jnp.float32)
+
+    # logprob of the chosen token under the raw (temperature-free) model
+    # dist; the f32 upcast fuses into the reduction loop (no [N, V] copy)
+    logz = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)
+    chosen = jnp.take_along_axis(logits, tokens[:, None], axis=-1)[
+        :, 0
+    ].astype(jnp.float32)
     logprobs = chosen - logz
     if num_top > 0:
         # raw-logit candidates (pre-penalty: alternatives report the model
@@ -126,5 +137,7 @@ def sample(
             logits, min(num_top, k), recall_target=0.95,
             aggregate_to_topk=True,
         )
-        return tokens, logprobs, raw_idx, raw_vals - logz[:, None]
+        return tokens, logprobs, raw_idx, (
+            raw_vals.astype(jnp.float32) - logz[:, None]
+        )
     return tokens, logprobs
