@@ -296,3 +296,65 @@ def test_v32_checkpoint_loading(tmp_path):
     assert lp["idx_wq_b"].shape == (1, 24, hi * di)
     assert lp["idx_weights_w"].shape == (1, 48, hi)
     assert params["moe_layers"]["idx_wq_b"].shape == (1, 24, hi * di)
+
+
+def test_dsa_sp_engine_matches_single_device():
+    """Prefill sequence-parallelism for DSA models: the reference gates
+    prefill-SP to its sparse-attention families (deepseek v3.2/v4,
+    deepseek_sparse_attention.cpp; master gating in options SP docs). On
+    TPU the same capability is the ``cp`` mesh axis — the chunk's token
+    dim is zigzag-sharded and GSPMD gathers indexer-K/latent pages for
+    the top-k attention. Engine token parity (cp=2, tp=2) vs single dev."""
+    import numpy as np
+
+    from xllm_tpu.config import (
+        CacheConfig,
+        EngineConfig,
+        ModelConfig,
+        ParallelConfig,
+        SchedulerConfig,
+    )
+    from xllm_tpu.engine import LLMEngine
+    from xllm_tpu.framework.sampling_params import SamplingParams
+
+    def cfg(cp=1, tp=1):
+        return EngineConfig(
+            model=ModelConfig(
+                model_type="deepseek_v32", dtype="float32", vocab_size=512,
+                hidden_size=128, intermediate_size=256,
+                num_hidden_layers=2, num_attention_heads=4,
+                num_key_value_heads=4, q_lora_rank=96, kv_lora_rank=64,
+                qk_nope_head_dim=32, qk_rope_head_dim=16, v_head_dim=32,
+                index_topk=48, index_n_heads=4, index_head_dim=32,
+                max_position_embeddings=512,
+            ),
+            cache=CacheConfig(num_blocks=64, block_size=16),
+            scheduler=SchedulerConfig(
+                max_seqs_per_batch=4, max_tokens_per_batch=512,
+                decode_batch_buckets=[4], prefill_token_buckets=[64, 128],
+                prefill_row_buckets=[1, 4], max_model_len=512,
+            ),
+            parallel=ParallelConfig(cp_size=cp, tp_size=tp),
+        )
+
+    rng = np.random.default_rng(11)
+    # long prompt spans chunks (sparse top-k < prompt length); short one
+    # rides the same batched dispatch
+    prompts = [rng.integers(1, 500, size=n).tolist() for n in (200, 90)]
+
+    def run(c):
+        eng = LLMEngine(c)
+        for i, ids in enumerate(prompts):
+            eng.add_request(
+                prompt_token_ids=ids,
+                sampling_params=SamplingParams(
+                    temperature=0.0, max_tokens=8, ignore_eos=True
+                ),
+                request_id=f"r{i}",
+            )
+        outs = {o.request_id: o for o in eng.generate_all(timeout_s=300)}
+        return [outs[f"r{i}"].outputs[0].token_ids for i in range(len(prompts))]
+
+    base = run(cfg())
+    sp = run(cfg(cp=2, tp=2))
+    assert sp == base
