@@ -181,6 +181,10 @@ class SchedulerConfig:
     # zero_eviction_scheduler.h:22-35): admit a prompt only if the pool can
     # hold its whole projected footprint, avoiding mid-stream preemption
     enable_zero_eviction: bool = False
+    # preempt running offline requests at the next step boundary when an
+    # interruption is published (reference --enable_forward_interruption,
+    # interruption_bus.h:22, pd_ooc_scheduler.cpp:885-888)
+    enable_forward_interruption: bool = False
     max_model_len: int = 0  # 0 -> model max_position_embeddings
     # decode-batch and prefill-length jit buckets (graph-mode equivalent)
     decode_batch_buckets: list[int] = field(default_factory=list)

@@ -87,8 +87,20 @@ class OOCPrefillNode:
         if self._online or inflight_online:
             # ONLINE step: admit online only; offline waits even if the
             # engine has room (all-online-or-all-offline batches)
+            if (
+                self._online
+                and inflight_offline
+                and self.prefill.engine.config.scheduler
+                .enable_forward_interruption
+            ):
+                # online work arrived mid-OFFLINE_PREFILL: publish an
+                # interruption so the engine preempts the offline chunks
+                # at the next step boundary instead of draining them
+                # (reference pd_ooc_scheduler.cpp:885-888 publish site)
+                self.prefill.engine.interruption_bus.publish(True)
             while self._online and len(self._inflight_kind) < self.max_inflight:
-                if inflight_offline:
+                if inflight_offline and not self.prefill.engine.config \
+                        .scheduler.enable_forward_interruption:
                     break  # finish draining offline work first
                 p, sp, cb, rid = self._online.popleft()
                 rid = self.prefill.submit(p, sp, cb, request_id=rid)
@@ -98,7 +110,7 @@ class OOCPrefillNode:
             while self._offline and len(self._inflight_kind) < self.max_inflight:
                 p, sp, _, rid = self._offline.popleft()
                 rid = self.prefill.submit(
-                    p, sp, self._offline_done, request_id=rid
+                    p, sp, self._offline_done, request_id=rid, offline=True
                 )
                 self._inflight_kind[rid] = True
             self.last_status = StepStatus.OFFLINE_PREFILL

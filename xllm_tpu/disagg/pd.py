@@ -153,12 +153,14 @@ class AsyncPrefillInstance:
         sampling_params: SamplingParams,
         on_ready,
         request_id: str | None = None,
+        offline: bool = False,
     ) -> str:
         request_id = request_id or f"pd-{uuid.uuid4().hex[:16]}"
         req = self.engine.add_request(
             prompt_token_ids=list(prompt_token_ids),
             sampling_params=sampling_params,
             request_id=request_id,
+            offline=offline,
         )
         self._inflight[request_id] = (req, on_ready)
         return request_id

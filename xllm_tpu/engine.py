@@ -113,6 +113,12 @@ class LLMEngine:
             self.scheduler = ContinuousScheduler(
                 sc, self.block_manager, self.profile_manager
             )
+        # forward interruption (reference InterruptionBus,
+        # interruption_bus.h:22; consumed at the step boundary — the TPU
+        # analog of aborting the forward, see common/interruption.py)
+        from xllm_tpu.common.interruption import InterruptionBus
+
+        self.interruption_bus = InterruptionBus()
         self._decoders: dict[int, IncrementalDecoder] = {}
         self._active_requests: dict[str, Request] = {}
         self._image_processor = None
@@ -567,6 +573,13 @@ class LLMEngine:
     # ------------------------------------------------------------------
     def step(self) -> list[RequestOutput]:
         t_step0 = time.perf_counter() if self.profile_manager else 0.0
+        if (
+            self.config.scheduler.enable_forward_interruption
+            and self.interruption_bus.consume()
+        ):
+            for req in self.scheduler.handle_prefill_interruption():
+                for seq in req.sequences:
+                    self._release_slot(seq)
         out = self.scheduler.schedule()
         for req in out.preempted_requests:
             for seq in req.sequences:

@@ -324,6 +324,24 @@ class ContinuousScheduler:
         ]
 
     # ------------------------------------------------------------------
+    def handle_prefill_interruption(self) -> list[Request]:
+        """Preempt every running OFFLINE request back to the waiting heap
+        (reference PDOOCScheduler::handle_prefill_interruption,
+        pd_ooc_scheduler.cpp:432-465): online prompts take the next chunk
+        budget immediately instead of waiting for offline prefills to
+        drain. Returns the preempted requests (the engine releases their
+        ring slots)."""
+        out = SchedulerOutput()
+        for req in [r for r in self.running if r.offline]:
+            self._preempt(req, out)
+        if out.preempted_requests:
+            logger.info(
+                "forward interruption: preempted %d offline requests",
+                len(out.preempted_requests),
+            )
+        return out.preempted_requests
+
+    # ------------------------------------------------------------------
     def free_finished(self) -> list[Request]:
         """Release finished requests; returns them for response processing."""
         done = []
