@@ -132,3 +132,66 @@ def test_double_free_assertion():
     seq.block_ids = bids
     with pytest.raises(AssertionError):
         bm.free(seq)
+
+
+def test_sliding_window_release_bounds_kv():
+    """Sliding-window page recycling (reference SlidingWindowBlockManager):
+    a window-attention model generating far past its window keeps only
+    ~window tokens of KV live, and the recycled pages don't change the
+    output vs an unbounded pool."""
+    import numpy as np
+
+    from xllm_tpu.config import (
+        CacheConfig,
+        EngineConfig,
+        ModelConfig,
+        SchedulerConfig,
+    )
+    from xllm_tpu.engine import LLMEngine
+    from xllm_tpu.framework.sampling_params import SamplingParams
+
+    def cfg(num_blocks):
+        return EngineConfig(
+            model=ModelConfig(
+                model_type="llama", dtype="float32", vocab_size=97,
+                hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+                num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+                sliding_window=16, max_position_embeddings=512,
+                eos_token_ids=[0],
+            ),
+            cache=CacheConfig(block_size=4, num_blocks=num_blocks,
+                              enable_prefix_cache=False),
+            scheduler=SchedulerConfig(
+                max_seqs_per_batch=2, max_tokens_per_chunk_for_prefill=32,
+                max_model_len=512, decode_batch_buckets=[2],
+                prefill_token_buckets=[8, 32],
+            ),
+        )
+
+    rng = np.random.default_rng(5)
+    prompt = [int(x) for x in rng.integers(1, 90, 24)]
+    sp = SamplingParams(temperature=0.0, max_tokens=96, ignore_eos=True)
+
+    def run(num_blocks):
+        eng = LLMEngine(cfg(num_blocks))
+        eng.add_request(prompt_token_ids=prompt, sampling_params=sp,
+                        request_id="w")
+        peak = 0
+        outs = []
+        while eng.has_unfinished():
+            for o in eng.step():
+                if o.finished:
+                    outs.append(o)
+            peak = max(peak, eng.block_manager.num_used_blocks)
+        assert eng.block_manager.num_used_blocks == 0
+        return outs[0].outputs[0].token_ids, peak
+
+    # 24 prompt + 96 generated = 120 tokens = 30 pages unbounded; a
+    # 16-block pool (15 usable) only works if out-of-window pages recycle
+    toks_small, peak_small = run(16)
+    toks_big, peak_big = run(64)
+    assert toks_small == toks_big
+    assert len(toks_small) == 96
+    # live pages stay near the window footprint (window 16 tokens = 4
+    # pages + the growing tail page + fixup lag slack)
+    assert peak_small <= 10, peak_small

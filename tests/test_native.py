@@ -70,6 +70,18 @@ def test_block_manager_equivalence_fuzz():
             else:
                 py.free(s_py)
                 cc.free(s_cc)
+        elif op < 0.7 and live:
+            # sliding-window release on a random live sequence
+            i = int(rng.integers(0, len(live)))
+            s_py, s_cc = live[i]
+            w = int(rng.integers(1, 14))
+            r_py = py.release_out_of_window(s_py, w)
+            r_cc = cc.release_out_of_window(s_cc, w)
+            assert r_py == r_cc, step
+            assert s_py.block_ids == s_cc.block_ids or (
+                [b == py.null_block for b in s_py.block_ids]
+                == [b == cc.null_block for b in s_cc.block_ids]
+            ), step
         elif live:
             i = int(rng.integers(0, len(live)))
             s_py, s_cc = live.pop(i)

@@ -687,8 +687,13 @@ class LLMEngine:
                     verified.append(seq)
 
         if decode_seqs:
+            window = self.config.model.sliding_window or 0
             for seq in decode_seqs:
                 self._assign_slot(seq)
+                if window > 0:
+                    # sliding-window models: recycle pages that fell out of
+                    # the attention window (reference SlidingWindowBlockManager)
+                    self.block_manager.release_out_of_window(seq, window)
             tokens, logprobs, rows, tops = self.runner.run_decode(decode_seqs)
             for seq in decode_seqs:
                 seq.num_computed_tokens += 1

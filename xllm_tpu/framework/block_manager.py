@@ -74,6 +74,7 @@ class BlockManager:
             (i, None) for i in range(1, num_blocks)
         )
         # per-sequence block hashes already inserted (seq_id -> count)
+        self._released: dict = {}
         self._seq_num_hashed: dict[int, int] = {}
 
     @property
@@ -178,10 +179,42 @@ class BlockManager:
 
     def free(self, seq: Sequence) -> None:
         """Release all blocks of a finished/preempted sequence."""
+        null = self.null_block
         for b in reversed(seq.block_ids):
-            self._unref_block(b - self.base)
+            if b != null:  # out-of-window entries already released
+                self._unref_block(b - self.base)
         seq.reset_kv()
         self._seq_num_hashed.pop(seq.seq_id, None)
+        self._released.pop(seq.seq_id, None)
+
+    def release_out_of_window(self, seq: Sequence, window: int) -> int:
+        """Free pages fully below the sliding-attention window, pointing
+        their table entries at the null block (reference
+        SlidingWindowBlockManager, kv_cache_manager.h:28-78 variant list).
+
+        Every future decode position p attends only kv >= p+1-window, and
+        p grows monotonically, so pages whose last token index is below
+        ``num_tokens - window`` can never be read again — the window mask
+        in the attention kernels already voids whatever the recycled (or
+        null) pages hold. Returns the number of pages released."""
+        if window <= 0:
+            return 0
+        bs = self.block_size
+        dead = max(0, seq.num_tokens - window) // bs
+        done = self._released.get(seq.seq_id, 0)
+        if dead <= done:
+            return 0
+        null = self.null_block
+        for i in range(done, dead):
+            b = seq.block_ids[i]
+            if b != null:
+                self._unref_block(b - self.base)
+                seq.block_ids[i] = null
+        self._released[seq.seq_id] = dead
+        # recycled pages make further prefix caching of this sequence
+        # meaningless (and hashing freed blocks would corrupt the cache)
+        self._seq_num_hashed[seq.seq_id] = 10**9
+        return dead - done
 
     def cache_computed_blocks(self, seq: Sequence) -> None:
         """Insert full computed blocks into the prefix cache.
@@ -338,15 +371,19 @@ def _fork_blocks_impl(mgr, parent_ids: list[int], child) -> tuple[int, int] | No
     bs = mgr.block_size
     tail_partial = num_tokens % bs != 0
     shared = parent_ids[:-1] if tail_partial and parent_ids else parent_ids
+    # out-of-window entries (sliding-window release) stay null: shared by
+    # name only, never ref-counted
+    null = mgr.null_block
+    refable = [b for b in shared if b != null]
     copy_pair = None
     if tail_partial and parent_ids:
         if not mgr.has_capacity(1):
             return None
-        mgr.ref_blocks(shared)
+        mgr.ref_blocks(refable)
         fresh = mgr.alloc_raw_block()
         copy_pair = (parent_ids[-1], fresh)
         child.block_ids = list(shared) + [fresh]
     else:
-        mgr.ref_blocks(shared)
+        mgr.ref_blocks(refable)
         child.block_ids = list(shared)
     return copy_pair

@@ -40,6 +40,7 @@ class NativeBlockManager:
         self.enable_prefix_cache = enable_prefix_cache
         self.hierarchy = hierarchy
         # seq_id -> (num_hashed_blocks, chain_hash)
+        self._released: dict = {}
         self._seq_chain: dict[int, tuple[int, int]] = {}
         self._ev_blocks = np.zeros(4096, np.int32)
         self._ev_hashes = np.zeros(4096, np.uint64)
@@ -134,10 +135,39 @@ class NativeBlockManager:
 
     def free(self, seq: Sequence) -> None:
         if seq.block_ids:
-            arr = np.asarray(seq.block_ids, np.int32) - self.base
-            self._lib.bc_free_blocks(self._h, arr, len(arr))
+            null = self.null_block
+            ids = [b for b in seq.block_ids if b != null]
+            if ids:
+                arr = np.asarray(ids, np.int32) - self.base
+                self._lib.bc_free_blocks(self._h, arr, len(arr))
         seq.reset_kv()
         self._seq_chain.pop(seq.seq_id, None)
+        self._released.pop(seq.seq_id, None)
+
+    def release_out_of_window(self, seq: Sequence, window: int) -> int:
+        """Sliding-window page release (see the python backend's docstring
+        — operation-equivalent, tests/test_native.py fuzz)."""
+        if window <= 0:
+            return 0
+        bs = self.block_size
+        dead = max(0, seq.num_tokens - window) // bs
+        done = self._released.get(seq.seq_id, 0)
+        if dead <= done:
+            return 0
+        null = self.null_block
+        ids = []
+        for i in range(done, dead):
+            b = seq.block_ids[i]
+            if b != null:
+                ids.append(b - self.base)
+                seq.block_ids[i] = null
+        if ids:
+            arr = np.asarray(ids, np.int32)
+            self._lib.bc_free_blocks(self._h, arr, len(arr))
+            self._drain_evictions()
+        self._released[seq.seq_id] = dead
+        self._seq_chain[seq.seq_id] = (10**9, 0)  # stop prefix hashing
+        return dead - done
 
     def cache_computed_blocks(self, seq: Sequence) -> None:
         if not self.enable_prefix_cache:
