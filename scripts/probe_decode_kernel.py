@@ -19,6 +19,7 @@ from xllm_tpu.ops.pallas.decode_attention import (
     paged_decode_attention_write_v4_tpu as v4,
     paged_decode_attention_write_v5_tpu as v5,
     paged_decode_attention_write_v6_tpu as v6,
+    paged_decode_attention_write_v7_tpu as v7,
 )
 
 B, HKV, G, D, BS = 128, 8, 2, 128, 64
@@ -102,9 +103,16 @@ def run(tag, kern=v4, **kw):
 
 
 res = {}
-res["v6_s2"] = run("v6_s2", kern=v6)
-res["v6_s4"] = run("v6_s4", kern=v6, split_override=4)
-res["v6_s2_n12"] = run("v6_s2_n12", kern=v6, nslots_override=12)
-res["v6_s1"] = run("v6_s1", kern=v6, split_override=1)
+res["v7_n6"] = run("v7_n6", kern=v7)
+res["v7_n8"] = run("v7_n8", kern=v7, nslots_override=8)
+res["v7_n4"] = run("v7_n4", kern=v7, nslots_override=4)
 res["v5_s2"] = run("v5_s2", kern=v5)
+res["v6_s2"] = run("v6_s2", kern=v6)
+res["v6_s1"] = run("v6_s1", kern=v6, split_override=1)
+res["v6_s2_n12"] = run("v6_s2_n12", kern=v6, nslots_override=12)
+res["v6_s2_n16"] = run("v6_s2_n16", kern=v6, nslots_override=16)
+res["v6_s1_n16"] = run("v6_s1_n16", kern=v6, split_override=1,
+                       nslots_override=16)
+res["v5_s2_n16"] = run("v5_s2_n16", kern=v5, nslots_override=16)
+res["v5_s1"] = run("v5_s1", kern=v5, split_override=1)
 print(json.dumps(res), flush=True)

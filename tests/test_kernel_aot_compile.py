@@ -259,3 +259,56 @@ def test_decode_v5_fp8_kv_compiles(tpu_aot):
         ((B,), jnp.int32),
         scale=D**-0.5,
     )
+
+
+def test_decode_v7_compiles(tpu_aot):
+    from xllm_tpu.ops.pallas.decode_attention import (
+        paged_decode_attention_write_v7_tpu,
+    )
+
+    cache = _kv_shapes()
+    tpu_aot(
+        paged_decode_attention_write_v7_tpu,
+        ((B, HQ, D), jnp.bfloat16),
+        ((B, HKV, D), jnp.bfloat16),
+        ((B, HKV, D), jnp.bfloat16),
+        cache, cache,
+        ((), jnp.int32),
+        ((B,), jnp.int32),
+        ((B, NB), jnp.int32),
+        ((B,), jnp.int32),
+        scale=D**-0.5,
+    )
+    tpu_aot(
+        paged_decode_attention_write_v7_tpu,
+        ((B, HQ, D), jnp.bfloat16),
+        ((B, HKV, D), jnp.bfloat16),
+        ((B, HKV, D), jnp.bfloat16),
+        cache, cache,
+        ((), jnp.int32),
+        ((B,), jnp.int32),
+        ((B, NB), jnp.int32),
+        ((B,), jnp.int32),
+        scale=D**-0.5,
+        window=1024,
+    )
+
+
+def test_decode_v7_fp8_kv_compiles(tpu_aot):
+    from xllm_tpu.ops.pallas.decode_attention import (
+        paged_decode_attention_write_v7_tpu,
+    )
+
+    cache = ((L, NBLK, HKV, BS, D), jnp.float8_e4m3fn)
+    tpu_aot(
+        paged_decode_attention_write_v7_tpu,
+        ((B, HQ, D), jnp.bfloat16),
+        ((B, HKV, D), jnp.float8_e4m3fn),
+        ((B, HKV, D), jnp.float8_e4m3fn),
+        cache, cache,
+        ((), jnp.int32),
+        ((B,), jnp.int32),
+        ((B, NB), jnp.int32),
+        ((B,), jnp.int32),
+        scale=D**-0.5,
+    )

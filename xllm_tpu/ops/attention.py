@@ -51,6 +51,24 @@ def decode_attention_write(
     """Write each sequence's new K/V row, then attend. -> (out, k, v)."""
     if _use_pallas(q.shape[-1]):
         kver = os.environ.get("XLLM_DECODE_KERNEL", "v5")
+        if kver == "v7":
+            from xllm_tpu.ops.pallas.decode_attention import (
+                paged_decode_attention_write_v7_tpu,
+            )
+
+            return paged_decode_attention_write_v7_tpu(
+                q, k_new, v_new, k_all, v_all, layer_idx, slot_mapping,
+                block_tables, seq_lens, scale, window=window,
+            )
+        if kver == "v6":
+            from xllm_tpu.ops.pallas.decode_attention import (
+                paged_decode_attention_write_v6_tpu,
+            )
+
+            return paged_decode_attention_write_v6_tpu(
+                q, k_new, v_new, k_all, v_all, layer_idx, slot_mapping,
+                block_tables, seq_lens, scale, window=window,
+            )
         if kver == "v5":
             from xllm_tpu.ops.pallas.decode_attention import (
                 paged_decode_attention_write_v5_tpu,

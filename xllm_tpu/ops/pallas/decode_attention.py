@@ -1544,3 +1544,338 @@ def paged_decode_attention_write_v6_tpu(
         v_all,
     )
     return out, k_all, v_all
+
+
+def _decode_kernel_v7(
+    # scalar prefetch
+    layer_ref,  # [1] int32
+    block_tables_ref,  # [B, NB] int32 (tight columns)
+    seq_lens_ref,  # [B] int32 (incl. current token)
+    slot_ref,  # [B] int32 (current token's slot)
+    pages_ref,  # [B] int32 page count per sequence
+    cum_pairs_ref,  # [B+1] int32 cumulative PAIR counts (global ring)
+    seq_of_pair_ref,  # [B*ceil(NB/2)] int32 owning seq of each pair
+    # inputs
+    q_ref,  # [1, Hkv*G, D] VMEM
+    k_new_ref,  # [1, Hkv, D] VMEM
+    v_new_ref,
+    k_in,  # [L, NB, Hkv, bs, D] ANY (aliased)
+    v_in,
+    # outputs
+    o_ref,  # [1, Hkv*G, D] VMEM
+    k_out,
+    v_out,
+    # scratch
+    k_buf,  # [NSLOTS, 2*Hkv, bs, D]  (pair ring: two pages per slot)
+    v_buf,
+    sem,  # DMA [2, NSLOTS, 2]  (k/v, slot, page-half)
+    k_patch,
+    v_patch,
+    w_sem,  # DMA [2]
+    pend_ref,  # SMEM [1]
+    cursor_ref,  # SMEM [1]: next global PAIR to issue
+    *,
+    scale: float,
+    block_size: int,
+    window: int = 0,
+):
+    """v7: v6's stripped scalar path on PAGE-PAIR tiles.
+
+    v6 measured issue-rate bound: per-page fixed costs (issue + sem waits
+    + the [Hq, Hkv*bs] softmax ops) exceed the ~360 ns page DMA, capping
+    effective bandwidth. v7 halves every per-page fixed cost by making
+    the ring slot TWO consecutive pages of one sequence:
+
+    - one flash iteration per pair: s = q [Hq, D] @ k_pair^T [D, 2*Hkv*bs]
+      — VPU ops amortize over 1024 columns instead of 512;
+    - one conditional issue + 4 semaphore waits per PAIR (v6: per page);
+    - odd tails skip the second half's DMA; its columns mask out through
+      the causal compare (kv_idx >= n_cached), and the ring is zeroed at
+      program 0 so unwritten halves hold finite values (0 * p == 0 in the
+      p @ v accumulation, never NaN).
+
+    Same contract as v4/v5/v6: fused write+attend, caches aliased in
+    place (reference fused attention ops, xllm/core/kernels/ops_api.h:27).
+    """
+    del k_in, v_in
+    b = pl.program_id(0)
+    nprog = pl.num_programs(0)
+
+    layer = layer_ref[0]
+    seq_len = seq_lens_ref[b]
+    nblks = pl.cdiv(seq_len, block_size)
+    last = nblks - 1
+    npairs = pl.cdiv(seq_len, 2 * block_size)
+    rows_q, d = q_ref.shape[1], q_ref.shape[2]
+    hkv = k_new_ref.shape[1]
+    g = rows_q // hkv
+    n_cached = seq_len - 1
+    base = cum_pairs_ref[b]
+    total_pairs = cum_pairs_ref[nprog]
+    nslots = k_buf.shape[0]
+    bs = block_size
+    cols = 2 * hkv * bs  # pair tile width
+
+    @pl.when(b == 0)
+    def _():
+        pend_ref[0] = 0
+        cursor_ref[0] = 0
+        # unwritten pair halves must hold FINITE values (see docstring)
+        k_buf[...] = jnp.zeros_like(k_buf)
+        v_buf[...] = jnp.zeros_like(v_buf)
+
+    def issue_pair(gp):
+        iseq = seq_of_pair_ref[gp]
+        j = gp - cum_pairs_ref[iseq]
+        p0 = 2 * j
+        slot = jax.lax.rem(gp, nslots)
+        blk0 = block_tables_ref[iseq, p0]
+        pltpu.make_async_copy(
+            k_out.at[layer, blk0], k_buf.at[slot, pl.ds(0, hkv)],
+            sem.at[0, slot, 0],
+        ).start()
+        pltpu.make_async_copy(
+            v_out.at[layer, blk0], v_buf.at[slot, pl.ds(0, hkv)],
+            sem.at[1, slot, 0],
+        ).start()
+
+        @pl.when(p0 + 1 < pages_ref[iseq])
+        def _():
+            blk1 = block_tables_ref[iseq, p0 + 1]
+            pltpu.make_async_copy(
+                k_out.at[layer, blk1], k_buf.at[slot, pl.ds(hkv, hkv)],
+                sem.at[0, slot, 1],
+            ).start()
+            pltpu.make_async_copy(
+                v_out.at[layer, blk1], v_buf.at[slot, pl.ds(hkv, hkv)],
+                sem.at[1, slot, 1],
+            ).start()
+
+    # prologue: fill the pair ring (steady state: one failed check)
+    def prologue_cond(gp):
+        return gp < jnp.minimum(base + nslots, total_pairs)
+
+    gp0 = jax.lax.while_loop(
+        prologue_cond,
+        lambda gp: (issue_pair(gp), gp + 1)[1],
+        cursor_ref[0],
+    )
+    cursor_ref[0] = gp0
+
+    # static tile maps: query-head x kv-head block diagonal (repeats per
+    # half) and each column's token offset within the pair
+    ci = jax.lax.broadcasted_iota(jnp.int32, (rows_q, cols), 1)
+    hc = (ci % (hkv * bs)) // bs
+    hr = jax.lax.broadcasted_iota(jnp.int32, (rows_q, cols), 0) // g
+    diag_bias = jnp.where(hc == hr, 0.0, _NEG_INF).astype(jnp.float32)
+    col_off = (ci // (hkv * bs)) * bs + ci % bs  # token offset in pair
+
+    @pl.when(seq_len > 0)
+    def _():
+        q = q_ref[0]  # [Hkv*G, D]
+        k_new_p = jnp.repeat(k_new_ref[0], g, axis=0)
+        v_new_p = jnp.repeat(v_new_ref[0], g, axis=0)
+        m0 = (
+            jnp.sum(q.astype(jnp.float32) * k_new_p.astype(jnp.float32),
+                    axis=-1, keepdims=True) * scale
+        )
+        l0 = jnp.ones((rows_q, 1), jnp.float32)
+        acc0 = v_new_p.astype(jnp.float32)
+        win_lo = jnp.maximum(seq_len - window, 0) if window > 0 else 0
+
+        def body(i, carry):
+            m, l, acc = carry
+            gp = cursor_ref[0]
+
+            @pl.when(gp < jnp.minimum(base + i + nslots, total_pairs))
+            def _():
+                issue_pair(gp)
+                cursor_ref[0] = gp + 1
+
+            slot = jax.lax.rem(base + i, nslots)
+            p0 = 2 * i
+            for which in (0, 1):
+                pltpu.make_async_copy(
+                    k_buf.at[slot, pl.ds(0, hkv)],
+                    k_buf.at[slot, pl.ds(0, hkv)],
+                    sem.at[which, slot, 0],
+                ).wait()
+
+            @pl.when(p0 + 1 < nblks)
+            def _():
+                for which in (0, 1):
+                    pltpu.make_async_copy(
+                        k_buf.at[slot, pl.ds(hkv, hkv)],
+                        k_buf.at[slot, pl.ds(hkv, hkv)],
+                        sem.at[which, slot, 1],
+                    ).wait()
+
+            k_flat = _mxu(k_buf[slot]).reshape(cols, d)
+            v_flat = _mxu(v_buf[slot]).reshape(cols, d)
+            s = jax.lax.dot_general(
+                q, k_flat,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale + diag_bias
+            limit = n_cached - p0 * bs
+            s = jnp.where(col_off < limit, s, _NEG_INF)
+            if window > 0:
+                lo_lim = win_lo - p0 * bs
+                s = jnp.where(col_off >= lo_lim, s, _NEG_INF)
+
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(v_flat.dtype), v_flat,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, l_new, acc * alpha + pv
+
+        m, l, acc = jax.lax.fori_loop(0, npairs, body, (m0, l0, acc0))
+        o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+        # tail-page patch + write-back, out of the hot loop (see v6)
+        @pl.when(pend_ref[0] == 1)
+        def _():
+            pltpu.make_async_copy(k_patch, k_patch, w_sem.at[0]).wait()
+            pltpu.make_async_copy(v_patch, v_patch, w_sem.at[1]).wait()
+
+        slot_last = jax.lax.rem(base + last // 2, nslots)
+        half0 = jax.lax.rem(last, 2) * hkv
+        off = jax.lax.rem(slot_ref[b], bs)
+        row = jax.lax.broadcasted_iota(jnp.int32, (hkv, bs, d), 1)
+        k_patch[...] = jnp.where(
+            row == off,
+            k_new_ref[0][:, None, :].astype(k_patch.dtype),
+            k_buf[slot_last, pl.ds(half0, hkv)],
+        )
+        v_patch[...] = jnp.where(
+            row == off,
+            v_new_ref[0][:, None, :].astype(v_patch.dtype),
+            v_buf[slot_last, pl.ds(half0, hkv)],
+        )
+        blk = block_tables_ref[b, last]
+        pltpu.make_async_copy(k_patch, k_out.at[layer, blk], w_sem.at[0]).start()
+        pltpu.make_async_copy(v_patch, v_out.at[layer, blk], w_sem.at[1]).start()
+        pend_ref[0] = 1
+
+    @pl.when(seq_len == 0)
+    def _():
+        o_ref[0] = jnp.zeros_like(o_ref[0])
+
+    @pl.when((b == nprog - 1) & (pend_ref[0] == 1))
+    def _():
+        pltpu.make_async_copy(k_patch, k_patch, w_sem.at[0]).wait()
+        pltpu.make_async_copy(v_patch, v_patch, w_sem.at[1]).wait()
+        pend_ref[0] = 0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "interpret", "window", "split_override",
+                     "nslots_override"),
+)
+def paged_decode_attention_write_v7_tpu(
+    q: jnp.ndarray,  # [B, Hq, D]
+    k_new: jnp.ndarray,  # [B, Hkv, D]
+    v_new: jnp.ndarray,
+    k_all: jnp.ndarray,  # [L, NB, Hkv, bs, D]
+    v_all: jnp.ndarray,
+    layer_idx: jnp.ndarray,  # [] int32
+    slot_mapping: jnp.ndarray,  # [B] int32
+    block_tables: jnp.ndarray,  # [B, NB_used] int32
+    seq_lens: jnp.ndarray,  # [B] int32 (incl. current token)
+    scale: float,
+    interpret: bool = False,
+    window: int = 0,
+    split_override: int = 0,  # unused (kept for the probe harness)
+    nslots_override: int = 0,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """-> (out [B, Hq, D], k_all, v_all) — caches updated in place."""
+    del split_override
+    b, hq, d = q.shape
+    _, _, hkv, bs, _ = k_all.shape
+    g = hq // hkv
+    assert hq == hkv * g
+    nslots = nslots_override or 6  # pairs in flight (12 pages)
+    nb = block_tables.shape[1]
+    npair_cols = -(-nb // 2)
+
+    pages = jax.lax.div(seq_lens + bs - 1, bs)
+    pairs = jax.lax.div(pages + 1, 2)
+    cum_pairs = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(pairs).astype(jnp.int32)]
+    )
+    seq_of_pair = jnp.searchsorted(
+        cum_pairs[1:], jnp.arange(b * npair_cols, dtype=jnp.int32),
+        side="right",
+    ).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, hq, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, hkv, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, hkv, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, hq, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nslots, 2 * hkv, bs, d), k_all.dtype),
+            pltpu.VMEM((nslots, 2 * hkv, bs, d), v_all.dtype),
+            pltpu.SemaphoreType.DMA((2, nslots, 2)),
+            pltpu.VMEM((hkv, bs, d), k_all.dtype),
+            pltpu.VMEM((hkv, bs, d), v_all.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_kernel_v7, scale=scale, block_size=bs, window=window
+    )
+    out, k_all, v_all = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, d), q.dtype),
+            jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
+            jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
+        ],
+        input_output_aliases={10: 1, 11: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        layer_idx.reshape(1),
+        block_tables,
+        seq_lens,
+        slot_mapping,
+        pages.astype(jnp.int32),
+        cum_pairs,
+        seq_of_pair,
+        q,
+        k_new,
+        v_new,
+        k_all,
+        v_all,
+    )
+    return out, k_all, v_all
