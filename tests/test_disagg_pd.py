@@ -312,3 +312,49 @@ def test_pd_ooc_online_offline_colocation():
         r.offline for rid, r in eng._active_requests.items()
         if rid.startswith("off-")
     )
+
+
+def _mla_config(dsa=False):
+    from xllm_tpu.config import (
+        CacheConfig,
+        EngineConfig,
+        ModelConfig,
+        SchedulerConfig,
+    )
+
+    kw = dict(index_topk=24, index_n_heads=4, index_head_dim=32) if dsa else {}
+    return EngineConfig(
+        model=ModelConfig(
+            model_type="deepseek_v32" if dsa else "deepseek_v2",
+            dtype="float32", vocab_size=256, hidden_size=128,
+            intermediate_size=256, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=4,
+            q_lora_rank=96, kv_lora_rank=64, qk_nope_head_dim=32,
+            qk_rope_head_dim=16, v_head_dim=32,
+            max_position_embeddings=256, eos_token_ids=[0], **kw),
+        cache=CacheConfig(block_size=8, num_blocks=32),
+        scheduler=SchedulerConfig(
+            max_seqs_per_batch=2, decode_batch_buckets=[2],
+            prefill_token_buckets=[32], max_model_len=128),
+    )
+
+
+def test_pd_mla_and_dsa_latent_cache():
+    """PD handoff for latent-cache families: MLA's dummy v slot (K and V
+    share latent pages) and DSA's indexer-K cache riding the v slot must
+    both survive extract -> wire -> inject with single-engine parity.
+    Regression: the generic gather crashed on MLA's 1-d dummy v array."""
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    rng = np.random.default_rng(4)
+    for dsa in (False, True):
+        prompt = [int(x) for x in rng.integers(1, 250, 29)]
+        single = LLMEngine(_mla_config(dsa))
+        single.add_request(prompt_token_ids=list(prompt), sampling_params=sp)
+        expect = single.generate_all()[0].outputs[0].token_ids
+
+        pre = PrefillInstance(LLMEngine(_mla_config(dsa)))
+        dec = DecodeInstance(LLMEngine(_mla_config(dsa)))
+        out = PDOrchestrator(pre, dec).generate(list(prompt), sp)
+        got = out.outputs[0].token_ids
+        assert got == expect, ("dsa" if dsa else "mla", got, expect)
+        assert dec.engine.block_manager.num_used_blocks == 0

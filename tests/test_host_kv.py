@@ -94,3 +94,38 @@ def test_e2e_engine_with_host_tier():
     assert out1 == out2
     assert hier.fetches > 0
     assert eng.block_manager.num_used_blocks == 0
+
+
+def test_e2e_mla_host_tier():
+    """Host tier with a latent-cache (MLA) family: the dummy v slot must
+    ride offload/prefetch untouched. Regression: init_host_kv sized the
+    host buffers from num_kv_heads/head_dim (wrong for latent pages) and
+    swap_out crashed on the 1-d dummy v array."""
+    from tests.test_disagg_pd import _mla_config
+    from xllm_tpu.engine import LLMEngine
+
+    cfg = _mla_config()
+    cfg.cache.num_blocks = 12  # tiny device pool forces eviction
+    cfg.cache.num_host_blocks = 32
+    eng = LLMEngine(cfg)
+    sp = SamplingParams(temperature=0.0, max_tokens=4, ignore_eos=True)
+    prompt = list(range(1, 30))
+
+    eng.add_request(prompt_token_ids=list(prompt), sampling_params=sp)
+    out1 = eng.generate_all()[0].outputs[0].token_ids
+
+    rng = np.random.default_rng(2)
+    for _ in range(3):
+        eng.add_request(
+            prompt_token_ids=[int(x) for x in rng.integers(30, 250, 40)],
+            sampling_params=sp,
+        )
+        eng.generate_all()
+    hier = eng.block_manager.hierarchy
+    assert hier.offloads > 0
+
+    eng.add_request(prompt_token_ids=list(prompt), sampling_params=sp)
+    out2 = eng.generate_all()[0].outputs[0].token_ids
+    assert out1 == out2
+    assert hier.fetches > 0
+    assert eng.block_manager.num_used_blocks == 0

@@ -1240,26 +1240,29 @@ class ModelRunner:
     # HBM<->host offload/prefetch — Mooncake-lite over the host bus)
     # ------------------------------------------------------------------
     def init_host_kv(self, num_host_blocks: int) -> None:
-        c = self.config.model
-        shape = (
-            num_host_blocks,
-            c.num_hidden_layers,
-            c.num_kv_heads,
-            self.block_size,
-            c.head_dim,
-        )
+        # shapes come from the LIVE cache arrays so latent families work:
+        # MLA's v slot is a 1-d dummy (K/V share latent pages) and DSA's
+        # holds the indexer-K cache — both ride the tier generically
         host_dt = np.float32 if self.model.dtype == jnp.float32 else np.float16
-        self.host_k = np.zeros(shape, host_dt)
-        self.host_v = np.zeros(shape, host_dt)
+        k_shape = (self.k_cache.shape[0],) + self.k_cache.shape[2:]
+        self.host_k = np.zeros((num_host_blocks,) + k_shape, host_dt)
+        self._paged_v = self.v_cache.ndim == 5
+        if self._paged_v:
+            v_shape = (self.v_cache.shape[0],) + self.v_cache.shape[2:]
+            self.host_v = np.zeros((num_host_blocks,) + v_shape, host_dt)
+        else:
+            self.host_v = np.zeros((num_host_blocks, 0), host_dt)
+        paged_v = self._paged_v
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def swapin(k_all, v_all, kc, vc, b):
             k_all = jax.lax.dynamic_update_slice_in_dim(
                 k_all, kc[:, None], b, axis=1
             )
-            v_all = jax.lax.dynamic_update_slice_in_dim(
-                v_all, vc[:, None], b, axis=1
-            )
+            if paged_v:
+                v_all = jax.lax.dynamic_update_slice_in_dim(
+                    v_all, vc[:, None], b, axis=1
+                )
             return k_all, v_all
 
         self._swapin_fn = swapin
@@ -1268,14 +1271,18 @@ class ModelRunner:
     def swap_out_block(self, dev_block: int, host_idx: int) -> None:
         """HBM block -> host DRAM (synchronous device fetch)."""
         self.host_k[host_idx] = np.asarray(self.k_cache[:, dev_block])
-        self.host_v[host_idx] = np.asarray(self.v_cache[:, dev_block])
+        if self._paged_v:
+            self.host_v[host_idx] = np.asarray(self.v_cache[:, dev_block])
 
     def write_host_block(
         self, host_idx: int, k_block: np.ndarray, v_block: np.ndarray
     ) -> None:
         """Fill a host-tier slot from wire bytes (global KV store fetch)."""
         self.host_k[host_idx] = k_block.astype(self.host_k.dtype, copy=False)
-        self.host_v[host_idx] = v_block.astype(self.host_v.dtype, copy=False)
+        if self._paged_v:
+            self.host_v[host_idx] = v_block.astype(
+                self.host_v.dtype, copy=False
+            )
 
     def swap_in_block(self, host_idx: int, dev_block: int) -> None:
         """Host DRAM block -> HBM (async dispatch; ordered before reads)."""
@@ -1300,14 +1307,17 @@ class ModelRunner:
         (llm_worker_impl.cpp:223-247).
         """
         if self._gather_blocks_fn is None:
+            # MLA stores K and V in one latent page array; its v slot is a
+            # 1-d dummy (or the DSA indexer-K cache) — gather paged arrays
+            # only (reference: latent caches transfer as one tensor)
+            paged_v = self.v_cache.ndim == 5
 
             @jax.jit
             def gather(k_all, v_all, ids):
                 # -> [n, L, Hkv, bs, D]
-                return (
-                    k_all[:, ids].swapaxes(0, 1),
-                    v_all[:, ids].swapaxes(0, 1),
-                )
+                k = k_all[:, ids].swapaxes(0, 1)
+                v = v_all[:, ids].swapaxes(0, 1) if paged_v else v_all
+                return k, v
 
             self._gather_blocks_fn = gather
         # bucket the block count (bounded jit shapes); pad gathers the
@@ -1338,11 +1348,13 @@ class ModelRunner:
         """Host arrays -> device KV blocks in ONE batched scatter (async
         dispatch; XLA orders it before later cache reads)."""
         if self._inject_fn is None:
+            paged_v = self.v_cache.ndim == 5
 
             @partial(jax.jit, donate_argnums=(0, 1))
             def inject(k_all, v_all, kc, vc, ids):
                 k_all = k_all.at[:, ids].set(kc.swapaxes(0, 1))
-                v_all = v_all.at[:, ids].set(vc.swapaxes(0, 1))
+                if paged_v:
+                    v_all = v_all.at[:, ids].set(vc.swapaxes(0, 1))
                 return k_all, v_all
 
             self._inject_fn = inject
@@ -1355,8 +1367,12 @@ class ModelRunner:
         ids = np.zeros(n_pad, np.int32)
         ids[:n] = block_ids
         kc = np.zeros((n_pad,) + k_blocks.shape[1:], k_blocks.dtype)
-        vc = np.zeros((n_pad,) + v_blocks.shape[1:], v_blocks.dtype)
-        kc[:n], vc[:n] = k_blocks, v_blocks
+        kc[:n] = k_blocks
+        if self.v_cache.ndim == 5:
+            vc = np.zeros((n_pad,) + v_blocks.shape[1:], v_blocks.dtype)
+            vc[:n] = v_blocks
+        else:  # MLA dummy v slot: pass it through untouched
+            vc = np.asarray(self.v_cache)
         self.k_cache, self.v_cache = self._inject_fn(
             self.k_cache, self.v_cache,
             jnp.asarray(kc, self.k_cache.dtype),
