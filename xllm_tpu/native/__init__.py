@@ -42,6 +42,33 @@ def _build() -> str:
     return _LIB_PATH
 
 
+def build_c_api() -> str:
+    """Build the embeddable C API (include/xllm_c.h) -> libxllm_c.so.
+
+    Links the CPython runtime: the C ABI fronts the Python-hosted engine
+    (reference xllm/c_api/llm.h — see native/src/c_api.cpp)."""
+    import sysconfig
+
+    os.makedirs(_BUILD, exist_ok=True)
+    src = os.path.join(_SRC, "c_api.cpp")
+    out = os.path.join(_BUILD, "libxllm_c.so")
+    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+        return out
+    inc = sysconfig.get_paths()["include"]
+    libdir = sysconfig.get_config_var("LIBDIR") or ""
+    ver = sysconfig.get_config_var("LDVERSION") or sysconfig.get_config_var(
+        "VERSION"
+    )
+    cmd = [
+        "g++", "-O2", "-std=c++17", "-shared", "-fPIC",
+        f"-I{inc}", src, "-o", out,
+        f"-L{libdir}", f"-lpython{ver}",
+        f"-Wl,-rpath,{libdir}",
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return out
+
+
 def load() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
