@@ -173,6 +173,17 @@ def _latency_phase(engine: LLMEngine, n_requests: int = 32) -> dict:
     rng = np.random.default_rng(7)
     vocab = engine.config.model.vocab_size
     sp = SamplingParams(temperature=0.0, max_tokens=32, ignore_eos=True)
+    # warm the mixed-load jit buckets (multi-row prefill + small decode
+    # batches) so compile time doesn't land in the timed TTFT tail — the
+    # reference precompiles its graph buckets the same way (warmup)
+    for i in range(8):
+        engine.add_request(
+            prompt_token_ids=rng.integers(
+                1, vocab - 1, size=int(PROMPT_LEN * 2)
+            ).tolist(),
+            sampling_params=sp, request_id=f"lat-warm-{i}",
+        )
+    engine.generate_all(timeout_s=600)
     submit_at: dict[str, float] = {}
     first_tok: dict[str, float] = {}
     done_at: dict[str, float] = {}

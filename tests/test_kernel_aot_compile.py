@@ -312,3 +312,14 @@ def test_decode_v7_fp8_kv_compiles(tpu_aot):
         ((B,), jnp.int32),
         scale=D**-0.5,
     )
+
+
+def test_matmul_bf16_v2_compiles(tpu_aot):
+    from xllm_tpu.ops.pallas.quant_matmul import matmul_bf16_v2
+
+    for k, n in ((2048, 4096), (2048, 2048), (6144, 2048), (2048, 12288)):
+        tpu_aot(
+            matmul_bf16_v2,
+            ((128, k), jnp.bfloat16),
+            ((k, n), jnp.bfloat16),
+        )

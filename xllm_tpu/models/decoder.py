@@ -19,6 +19,8 @@ decoder layers under xllm/core/layers/common/). TPU-native design decisions:
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
@@ -187,6 +189,17 @@ class DenseDecoderModel:
             from xllm_tpu.ops.quant import quant_matmul
 
             return quant_matmul(x, w, lp[name + "_scale"])
+        if (
+            os.environ.get("XLLM_BF16_MM") == "pallas"
+            and w.dtype == jnp.bfloat16
+            and x.shape[0] <= 256
+            and jax.default_backend() == "tpu"
+        ):
+            # decode-shape dots: stream weights through the split-DMA
+            # pipeline instead of XLA's (~660 GB/s) fetch
+            from xllm_tpu.ops.pallas.quant_matmul import matmul_bf16_v2
+
+            return matmul_bf16_v2(x, w)
         return jnp.dot(x, w, preferred_element_type=jnp.float32)
 
     # per-layer scan side-channel (expert load counts for EPLB); dense

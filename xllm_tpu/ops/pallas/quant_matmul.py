@@ -304,3 +304,19 @@ def quant_matmul_fp8_v2(
     x, w_q, scale, out_dtype=jnp.float32, interpret: bool = False
 ):
     return _qmm_v2(x, w_q, scale, out_dtype, interpret, act_quant=False)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def matmul_bf16_v2(
+    x, w, out_dtype=jnp.float32, interpret: bool = False
+):
+    """Unquantized bf16 matmul on the v2 split-DMA weight streamer.
+
+    XLA's decode-shape dots stream weights at ~660 GB/s on this rig; the
+    4-way split pipeline reaches ~700 (scripts/probe_streams.py) — at
+    decode batch the weight stream is the whole cost, so the same v2
+    skeleton serves bf16 (reference ppmatmul small-M weight-streaming
+    GEMM, docs/en/features/ppmatmul.md)."""
+    n = w.shape[1]
+    ones = jnp.ones((n,), jnp.float32)
+    return _qmm_v2(x, w, ones, out_dtype, interpret, act_quant=False)
