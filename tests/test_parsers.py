@@ -184,3 +184,48 @@ def test_kimi_k2_detector():
     assert len(res.tool_calls) == 1
     assert res.tool_calls[0].name == "search"
     assert "thinking" in res.content
+
+
+def test_partial_json_property_fuzz():
+    """Property-based sweep matching the reference's partial_json_parser
+    property suite (tests/function_call/partial_json_parser/
+    test_property_based.cpp): for random JSON documents, every streaming
+    prefix must parse without raising, and the full document must parse
+    to exactly json.loads' value."""
+    import json
+
+    import numpy as np
+
+    from xllm_tpu.parser.function_call import parse_partial_json
+
+    rng = np.random.default_rng(17)
+
+    def rand_value(depth=0):
+        kind = rng.integers(0, 7 if depth < 3 else 5)
+        if kind == 0:
+            return None
+        if kind == 1:
+            return bool(rng.integers(0, 2))
+        if kind == 2:
+            return int(rng.integers(-10**6, 10**6))
+        if kind == 3:
+            return round(float(rng.normal() * 100), 6)
+        if kind == 4:
+            chars = ' abc"\\\n\tüñ{}[],:'
+            n = int(rng.integers(0, 12))
+            return "".join(chars[i] for i in rng.integers(0, len(chars), n))
+        if kind == 5:
+            return [rand_value(depth + 1) for _ in range(rng.integers(0, 4))]
+        return {
+            f"k{i}": rand_value(depth + 1)
+            for i in range(rng.integers(0, 4))
+        }
+
+    for _ in range(60):
+        doc = json.dumps({"name": rand_value(), "args": rand_value()})
+        for cut in range(len(doc) + 1):
+            obj, used = parse_partial_json(doc[:cut])  # must never raise
+            assert used <= cut
+        obj, used = parse_partial_json(doc)
+        assert used == len(doc)
+        assert obj == json.loads(doc)
