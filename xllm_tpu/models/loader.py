@@ -144,8 +144,104 @@ def load_params(
     if cfg.vision is not None:
         if cfg.model_type in ("qwen3_vl", "qwen3_vl_moe"):
             params["visual"] = load_vision3_params(cfg, shardings, dtype)
+        elif cfg.model_type in ("glm4v", "glm4v_moe"):
+            params["visual"] = load_glm_vision_params(cfg, shardings, dtype)
         else:
             params["visual"] = load_vision_params(cfg, shardings, dtype)
+    return params
+
+
+def load_glm_vision_params(
+    cfg: ModelConfig, shardings: dict | None = None, dtype=None
+) -> dict:
+    """glm4v vision-tower weights (HF ``model.visual.*``/``visual.*``) into
+    the GlmVisionEncoder tree (models/vision_glm.py init_params layout) —
+    reference glm4v VLM weight mapping. The conv2d downsample reshapes to
+    a channel-major linear; RMS block norms carry no biases."""
+    import jax.numpy as jnp
+
+    dt = dtype or jnp.bfloat16
+    reader = SafetensorsReader(cfg.model_path)
+    vc = cfg.vision or {}
+    depth = int(vc.get("depth", 24))
+    prefix = (
+        "model.visual."
+        if "model.visual.patch_embed.proj.weight" in reader
+        else "visual."
+    )
+
+    def put(name: str, arr: np.ndarray):
+        if arr.dtype != dt:
+            arr = arr.astype(dt)
+        sh = None
+        if shardings is not None:
+            sh = shardings["visual"]
+            for part in name.split("."):
+                sh = sh[part]
+        return jax.device_put(arr, sh)
+
+    def g(name):
+        return reader.get(prefix + name).astype(np.float32)
+
+    blocks: dict[str, list] = {}
+
+    def blk(pname, hf, transpose=False):
+        ts = []
+        for i in range(depth):
+            t = g(f"blocks.{i}.{hf}")
+            ts.append(np.ascontiguousarray(t.T) if transpose else t)
+        blocks[pname] = np.stack(ts, axis=0)
+
+    blk("norm1_w", "norm1.weight")
+    blk("norm2_w", "norm2.weight")
+    blk("qkv_w", "attn.qkv.weight", transpose=True)
+    if prefix + "blocks.0.attn.qkv.bias" in reader:
+        blk("qkv_b", "attn.qkv.bias")
+    blk("proj_w", "attn.proj.weight", transpose=True)
+    blk("gate_w", "mlp.gate_proj.weight", transpose=True)
+    blk("up_w", "mlp.up_proj.weight", transpose=True)
+    blk("down_w", "mlp.down_proj.weight", transpose=True)
+
+    pe = g("patch_embed.proj.weight")  # [d, C, Tp, ph, pw]
+    ds = g("downsample.weight")  # [out, d, m, m]
+    params = {
+        "patch_embed_w": put(
+            "patch_embed_w", np.ascontiguousarray(pe.reshape(pe.shape[0], -1).T)
+        ),
+        "patch_embed_b": put("patch_embed_b", g("patch_embed.proj.bias")),
+        "post_conv_ln_w": put(
+            "post_conv_ln_w", g("post_conv_layernorm.weight")
+        ),
+        "pos_embed": put(
+            "pos_embed", g("embeddings.position_embedding.weight")
+        ),
+        "blocks": {k: put(f"blocks.{k}", v) for k, v in blocks.items()},
+        "post_ln_w": put("post_ln_w", g("post_layernorm.weight")),
+        "downsample_w": put(
+            "downsample_w", np.ascontiguousarray(ds.reshape(ds.shape[0], -1).T)
+        ),
+        "downsample_b": put("downsample_b", g("downsample.bias")),
+        "merger_proj_w": put(
+            "merger_proj_w", np.ascontiguousarray(g("merger.proj.weight").T)
+        ),
+        "merger_ln_w": put(
+            "merger_ln_w", g("merger.post_projection_norm.weight")
+        ),
+        "merger_ln_b": put(
+            "merger_ln_b", g("merger.post_projection_norm.bias")
+        ),
+        "merger_gate_w": put(
+            "merger_gate_w", np.ascontiguousarray(g("merger.gate_proj.weight").T)
+        ),
+        "merger_up_w": put(
+            "merger_up_w", np.ascontiguousarray(g("merger.up_proj.weight").T)
+        ),
+        "merger_down_w": put(
+            "merger_down_w", np.ascontiguousarray(g("merger.down_proj.weight").T)
+        ),
+    }
+    logger.info("loaded glm vision tower (%d blocks)", depth)
+    reader.close()
     return params
 
 

@@ -32,6 +32,8 @@ _ARCH_MAP = {
     "Qwen3VLForConditionalGeneration": "qwen3_vl",
     "Qwen3VLMoeForConditionalGeneration": "qwen3_vl_moe",
     "Qwen2_5_VLForConditionalGeneration": "qwen2_5_vl",
+    "Glm4vForConditionalGeneration": "glm4v",
+    "Glm4vMoeForConditionalGeneration": "glm4v_moe",
 }
 
 
@@ -66,6 +68,26 @@ def model_config_from_hf_dict(cfg: dict, model_path: str = "") -> ModelConfig:
             if "moe" in str(cfg.get("model_type", "")) or any(
                 "Moe" in a for a in archs)
             else "qwen3_vl"
+        )
+    if model_type in ("glm4v", "glm4v_moe") or any(
+        a in ("Glm4vForConditionalGeneration",
+              "Glm4vMoeForConditionalGeneration") for a in archs
+    ):
+        # glm4v nests the LM under text_config too; the text config
+        # carries None placeholders for the multimodal token ids, which
+        # must not clobber the top-level values
+        merged = dict(cfg)
+        merged.update({
+            k: v
+            for k, v in (cfg.get("text_config", {}) or {}).items()
+            if v is not None
+        })
+        cfg = merged
+        model_type = (
+            "glm4v_moe"
+            if "moe" in str(cfg.get("model_type", "")) or any(
+                "Moe" in a for a in archs)
+            else "glm4v"
         )
     eos = cfg.get("eos_token_id", [])
     if isinstance(eos, int):
@@ -165,6 +187,26 @@ def model_config_from_hf_dict(cfg: dict, model_path: str = "") -> ModelConfig:
         mc.image_token_id = cfg.get("image_token_id", -1)
         mc.video_token_id = cfg.get("video_token_id", -1)
         mc.vision_start_token_id = cfg.get("vision_start_token_id", -1)
+    if model_type in ("glm4v", "glm4v_moe"):
+        # glm4v: glm4 text backbone (sandwich norms, q/k/v bias, fused
+        # gate_up, partial-INTERLEAVED M-RoPE); glm4v_moe (GLM-4.5V):
+        # glm4_moe backbone (sigmoid noaux routing, chunked rotate-half
+        # partial M-RoPE, no sandwich norms) — HF modeling_glm4v[_moe]
+        if model_type == "glm4v":
+            mc.use_sandwich_norms = True
+            mc.attention_bias = True
+            mc.rope_interleaved = True
+        else:
+            mc.scoring_func = "sigmoid"
+            mc.rope_interleaved = False
+        if not cfg.get("partial_rotary_factor"):
+            mc.partial_rotary_factor = 0.5
+        mc.vision = dict(cfg.get("vision_config", {}) or {})
+        rs = cfg.get("rope_scaling") or {}
+        mc.mrope_section = list(rs.get("mrope_section", []) or [])
+        mc.image_token_id = cfg.get("image_token_id", -1)
+        mc.video_token_id = cfg.get("video_token_id", -1)
+        mc.vision_start_token_id = cfg.get("video_start_token_id", -1)
     if model_type in ("qwen2_vl", "qwen2_5_vl"):
         # VLM extras: vision tower config + M-RoPE sections + marker tokens.
         # HF nests the tower under "vision_config"; mrope sections live in

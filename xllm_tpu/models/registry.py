@@ -37,6 +37,7 @@ def get_model_class(model_type: str) -> type:
     from xllm_tpu.models.moe_decoder import MoeDecoderModel
 
     from xllm_tpu.models.mla_decoder import MlaDecoderModel
+    from xllm_tpu.models import glm4v  # noqa: F401 (registers glm4v)
     from xllm_tpu.models import qwen2_vl  # noqa: F401 (registers qwen2_vl)
     from xllm_tpu.models import qwen3_vl  # noqa: F401 (registers qwen3_vl)
     from xllm_tpu.models import qwen3_next  # noqa: F401 (registers)
