@@ -231,3 +231,22 @@ def test_quant_matmul_v2_matches_reference(m, k, n):
     np.testing.assert_allclose(
         np.asarray(out8), np.asarray(ref8), rtol=5e-2, atol=5e-2
     )
+
+
+def test_matmul_bf16_v2_interpret_parity():
+    """bf16 split-DMA streaming matmul == XLA dot (interpret mode)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from xllm_tpu.ops.pallas.quant_matmul import matmul_bf16_v2
+
+    rng = np.random.default_rng(0)
+    for m, k, n in ((128, 512, 1024), (64, 256, 512)):
+        x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+        w = jnp.asarray(rng.standard_normal((k, n)) * 0.05, jnp.bfloat16)
+        got = matmul_bf16_v2(x, w, interpret=True)
+        ref = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2
+        )
