@@ -168,3 +168,54 @@ def test_beam_frontier_logic_with_scripted_scores():
     assert hyps[0] == (20, 21)
     assert hyps[1] == (20, 22)
     assert eng.block_manager.num_used_blocks == 0
+
+
+def test_beam_matches_hf_generate(tmp_path):
+    """Beam outputs == HF generate(num_beams=W) on the same checkpoint
+    (raw cumulative-logprob scoring, early stop at W finished hypotheses
+    — HF length_penalty=0.0, early_stopping=True)."""
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    torch.manual_seed(0)
+    hf = Qwen3ForCausalLM(Qwen3Config(
+        vocab_size=97, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )).eval().float()
+    path = tmp_path / "beam_model"
+    hf.save_pretrained(path, safe_serialization=True)
+
+    from xllm_tpu.models.model_args import load_model_config
+
+    mc = load_model_config(str(path))
+    mc.dtype = "float32"
+    cfg = _cfg()
+    cfg.model = mc
+    eng = LLMEngine(cfg)
+
+    rng = np.random.default_rng(7)
+    prompt = [int(x) for x in rng.integers(1, 90, 13)]
+    w, n_new = 3, 6
+    with torch.no_grad():
+        out = hf.generate(
+            input_ids=torch.tensor([prompt]),
+            num_beams=w, num_return_sequences=w, do_sample=False,
+            max_new_tokens=n_new, length_penalty=0.0, early_stopping=True,
+            eos_token_id=None, pad_token_id=0,
+        )
+    want = [row[len(prompt):].tolist() for row in out]
+
+    eng.add_request(
+        prompt_token_ids=list(prompt),
+        sampling_params=SamplingParams(
+            use_beam_search=True, best_of=w, n=w, max_tokens=n_new,
+            temperature=0.0, ignore_eos=True,
+        ),
+        request_id="beam",
+    )
+    outs = eng.generate_all(timeout_s=300)
+    got = [s.token_ids for s in outs[0].outputs]
+    assert got == want, (got, want)
+    assert eng.block_manager.num_used_blocks == 0
