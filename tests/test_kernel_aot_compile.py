@@ -323,3 +323,17 @@ def test_matmul_bf16_v2_compiles(tpu_aot):
             ((128, k), jnp.bfloat16),
             ((k, n), jnp.bfloat16),
         )
+
+
+def test_own_gmm_fp8_compiles(tpu_aot):
+    from xllm_tpu.ops.pallas.gmm import gmm
+
+    E, D, I, M = 128, 2048, 768, 1024
+    offs = ((E + 1,), jnp.int32)
+    tpu_aot(
+        gmm, ((M, D), jnp.bfloat16), ((E, D, 2 * I), jnp.float8_e4m3fn),
+        offs,
+    )
+    tpu_aot(
+        gmm, ((M, I), jnp.bfloat16), ((E, I, D), jnp.float8_e4m3fn), offs,
+    )

@@ -355,3 +355,59 @@ def test_moe_mlp_ep_a2a_matches_ref():
     )(x_s, rw, gu_s, dn_s)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_gmm_fp8_weights_interpret_parity():
+    """own gmm with fp8_e4m3 expert weights (in-kernel upcast) + per-
+    (expert, channel) scales == dequantized oracle."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from xllm_tpu.ops.pallas.gmm import gmm as own_gmm
+    from xllm_tpu.ops.quant import quantize_fp8
+
+    rng = np.random.default_rng(3)
+    e, k, n, m = 4, 64, 128, 32
+    w = jnp.asarray(rng.standard_normal((e, k, n)) * 0.05, jnp.float32)
+    wq, scale = quantize_fp8(w)  # [E, K, N] f8, [E, N] f32
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+    sizes = np.array([10, 0, 14, 8], np.int32)
+    offs = jnp.asarray(np.concatenate([[0], np.cumsum(sizes)]), jnp.int32)
+    eid = np.repeat(np.arange(e), sizes)
+
+    got = np.asarray(
+        own_gmm(x, wq, offs, tm=8, tn=64, interpret=True)
+    ) * np.asarray(scale)[eid]
+    w_deq = np.asarray(wq.astype(jnp.float32)) * np.asarray(scale)[:, None, :]
+    want = np.stack([x[r] @ w_deq[eid[r]] for r in range(m)])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_moe_mlp_gmm_fp8_matches_dequant_ref():
+    """moe_mlp_gmm with fp8 expert stacks == moe_mlp_ref on dequantized
+    weights (scales applied on the f32 GEMM outputs)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from xllm_tpu.ops.moe import moe_mlp_gmm, moe_mlp_ref
+    from xllm_tpu.ops.quant import quantize_fp8
+
+    rng = np.random.default_rng(5)
+    t, d, i, e, k = 16, 32, 64, 4, 2
+    x = jnp.asarray(rng.standard_normal((t, d)) * 0.3, jnp.float32)
+    router = jnp.asarray(rng.standard_normal((d, e)) * 0.3, jnp.float32)
+    gu = jnp.asarray(rng.standard_normal((e, d, 2 * i)) * 0.05, jnp.float32)
+    dn = jnp.asarray(rng.standard_normal((e, i, d)) * 0.05, jnp.float32)
+    guq, gus = quantize_fp8(gu)
+    dnq, dns = quantize_fp8(dn)
+    gu_deq = (guq.astype(jnp.float32) * gus[:, None, :])
+    dn_deq = (dnq.astype(jnp.float32) * dns[:, None, :])
+
+    want = np.asarray(moe_mlp_ref(x, router, gu_deq, dn_deq, k, True))
+    got = np.asarray(moe_mlp_gmm(
+        x, router, guq, dnq, k, True, interpret=True, impl="own",
+        gate_up_scale=gus, down_scale=dns,
+    ))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)

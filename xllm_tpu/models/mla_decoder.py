@@ -290,6 +290,8 @@ class MlaDecoderModel(DenseDecoderModel):
             c.norm_topk_prob,
             mesh=getattr(self, "mesh", None),
             placement=lp.get("expert_placement"),
+            gate_up_scale=lp.get("experts_gate_up_scale"),
+            down_scale=lp.get("experts_down_scale"),
             scoring=c.scoring_func,
             bias=lp.get("router_bias"),
             n_group=c.n_group,

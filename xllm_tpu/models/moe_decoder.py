@@ -109,6 +109,8 @@ class MoeDecoderModel(DenseDecoderModel):
             c.num_experts_per_tok,
             c.norm_topk_prob,
             placement=lp.get("expert_placement"),
+            gate_up_scale=lp.get("experts_gate_up_scale"),
+            down_scale=lp.get("experts_down_scale"),
             return_counts=self.collect_expert_loads,
             mesh=getattr(self, "mesh", None),
             scoring=c.scoring_func,

@@ -116,13 +116,15 @@ def moe_mlp_ref(
 def moe_mlp_gmm(
     x: jnp.ndarray,
     router_w: jnp.ndarray,
-    gate_up: jnp.ndarray,  # [E, D, 2I]
+    gate_up: jnp.ndarray,  # [E, D, 2I] (bf16 or fp8_e4m3 weight-only)
     down: jnp.ndarray,  # [E, I, D]
     num_experts_per_tok: int,
     norm_topk_prob: bool,
     tiling: tuple[int, int, int] | None = None,
     impl: str | None = None,  # None -> $XLLM_GMM_IMPL or "own"
     interpret: bool = False,
+    gate_up_scale: jnp.ndarray | None = None,  # [E, 2I] f32 (fp8 experts)
+    down_scale: jnp.ndarray | None = None,  # [E, D] f32
     **route_kw,
 ) -> jnp.ndarray:
     """Sorted group-GEMM path (TPU): compute only the routed pairs.
@@ -146,6 +148,14 @@ def moe_mlp_gmm(
     xs = x[token_of_pair]  # [T*k, D] gathered, expert-sorted
     group_sizes = jnp.bincount(flat_e, length=e).astype(jnp.int32)
     m = xs.shape[0]
+    expert_of_pair = flat_e[order]  # [T*k] sorted expert ids
+
+    def deq(o, scales):
+        # per-(expert, out-channel) weight-only scales applied on the
+        # f32 GEMM output rows
+        if scales is None:
+            return o
+        return o * scales[expert_of_pair[: o.shape[0]]]
 
     def _tile(dim: int, pref: int = 128) -> int:
         best = 8
@@ -166,23 +176,32 @@ def moe_mlp_gmm(
         offs = offs.at[-1].set(mpad)
         xs_p = jnp.pad(xs, ((0, mpad - m), (0, 0)))
         gu = own_gmm(xs_p, gate_up, offs, tm=tm, tn=_tile(2 * i),
-                     interpret=interpret)
+                     interpret=interpret)[:m]
+        gu = deq(gu, gate_up_scale)
         act = (jax.nn.silu(gu[:, :i]) * gu[:, i:]).astype(x.dtype)
+        act = jnp.pad(act, ((0, mpad - m), (0, 0)))
         od = own_gmm(act, down, offs, tm=tm, tn=_tile(d),
                      interpret=interpret)[:m]
+        od = deq(od, down_scale)
     else:
         from jax.experimental.pallas.ops.tpu.megablox import gmm
 
         t1 = (_tile(m), _tile(d), _tile(2 * i))
         t2 = (_tile(m), _tile(i), _tile(d))
-        gu = gmm(
-            xs, gate_up, group_sizes, preferred_element_type=jnp.float32,
-            tiling=t1
+        gu = deq(
+            gmm(
+                xs, gate_up, group_sizes,
+                preferred_element_type=jnp.float32, tiling=t1
+            ),
+            gate_up_scale,
         )
         act = (jax.nn.silu(gu[:, :i]) * gu[:, i:]).astype(x.dtype)
-        od = gmm(
-            act, down, group_sizes, preferred_element_type=jnp.float32,
-            tiling=t2
+        od = deq(
+            gmm(
+                act, down, group_sizes,
+                preferred_element_type=jnp.float32, tiling=t2
+            ),
+            down_scale,
         )
 
     scale = topv.reshape(-1)[order][:, None]  # [T*k, 1] f32
@@ -221,6 +240,8 @@ def moe_mlp(
     return_counts: bool = False,
     mesh=None,
     ep_axis: str = "tp",
+    gate_up_scale: jnp.ndarray | None = None,  # fp8 weight-only experts
+    down_scale: jnp.ndarray | None = None,
     **route_kw,
 ):
     """placement [E] is the EPLB slot map: placement[slot] = the LOGICAL
@@ -246,11 +267,19 @@ def moe_mlp(
                 route_kw = dict(route_kw, bias=route_kw["bias"][placement])
     nep = mesh.shape.get(ep_axis, 1) if mesh is not None else 1
     e = router_w.shape[-1]
+    quantized = gate_up_scale is not None
     if (
         nep > 1
         and e % nep == 0
         and x.shape[0] % nep == 0
     ):
+        if quantized:  # EP path: dequantize locally before the shard_map
+            gate_up = (
+                gate_up.astype(jnp.float32) * gate_up_scale[:, None, :]
+            ).astype(x.dtype)
+            down = (
+                down.astype(jnp.float32) * down_scale[:, None, :]
+            ).astype(x.dtype)
         out = moe_mlp_ep_a2a(
             x, router_w, gate_up, down, num_experts_per_tok,
             norm_topk_prob, mesh, axis=ep_axis, **route_kw,
@@ -258,9 +287,17 @@ def moe_mlp(
     elif jax.default_backend() == "tpu":
         out = moe_mlp_gmm(
             x, router_w, gate_up, down, num_experts_per_tok, norm_topk_prob,
+            gate_up_scale=gate_up_scale, down_scale=down_scale,
             **route_kw,
         )
     else:
+        if quantized:
+            gate_up = (
+                gate_up.astype(jnp.float32) * gate_up_scale[:, None, :]
+            ).astype(x.dtype)
+            down = (
+                down.astype(jnp.float32) * down_scale[:, None, :]
+            ).astype(x.dtype)
         out = moe_mlp_ref(
             x, router_w, gate_up, down, num_experts_per_tok, norm_topk_prob,
             **route_kw,

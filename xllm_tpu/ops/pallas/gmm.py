@@ -55,7 +55,12 @@ def _gmm_kernel(eos_ref, mts_ref, cum_ref, nsteps_ref,
     rows = jax.lax.broadcasted_iota(jnp.int32, (tm, 1), 0)
     mask = (rows >= lo) & (rows < hi) & valid
 
-    acc = jax.lax.dot(lhs_ref[...], rhs_ref[0],
+    rhs = rhs_ref[0]
+    if rhs.dtype != lhs_ref.dtype:
+        # fp8 weight-only experts: tiles travel at half bandwidth and
+        # upcast on load (reference w8a8/fp8 group GEMM, ops_api.h:89-93)
+        rhs = rhs.astype(lhs_ref.dtype)
+    acc = jax.lax.dot(lhs_ref[...], rhs,
                       preferred_element_type=jnp.float32)
     masked = jnp.where(mask, acc, 0.0).astype(o_ref.dtype)
 

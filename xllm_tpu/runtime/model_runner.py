@@ -195,7 +195,11 @@ class ModelRunner:
     # (dense "layers", MLA "dense_layers"/"moe_layers"). Router weights stay
     # high precision (routing sensitivity); routed expert stacks stay bf16
     # until the grouped quant GEMM lands (megablox is bf16/f32-only).
-    _QUANT_SKIP = ("router_w", "experts_gate_up", "experts_down")
+    _QUANT_SKIP = ("router_w",)
+    # int8 experts would need int8 activations through the group GEMM;
+    # fp8 experts are weight-only (in-kernel upcast), so only fp8 touches
+    # the expert stacks (reference w8a8/fp8 group GEMM rows)
+    _EXPERT_STACKS = ("experts_gate_up", "experts_down")
 
     def _quantize_params(self, params):
         """Weight-only INT8/FP8 on the decoder matmuls (reference
@@ -213,8 +217,12 @@ class ModelRunner:
                 continue
             new_group = dict(group)
             for name, w in group.items():
+                is_expert = name in self._EXPERT_STACKS
+                eligible = name.endswith("_proj_w") or (
+                    is_expert and method != "int8"
+                )
                 if (
-                    not name.endswith("_proj_w")
+                    not eligible
                     or name in self._QUANT_SKIP
                     or w.dtype not in (jnp.bfloat16, jnp.float32)
                 ):
