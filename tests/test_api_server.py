@@ -554,3 +554,46 @@ def test_sample_endpoint(server_client):
         assert (await r.json())["choices"] == []
 
     loop.run_until_complete(go())
+
+
+async def _collect_sse(resp):
+    chunks = []
+    async for line in resp.content:
+        line = line.decode().strip()
+        if line.startswith("data: ") and line != "data: [DONE]":
+            chunks.append(json.loads(line[6:]))
+    return chunks
+
+
+def test_completions_echo(server_client):
+    """OpenAI `echo`: the prompt text precedes the completion (non-stream)
+    and arrives as the first chunk (stream)."""
+    client, loop = server_client
+
+    async def go():
+        body = {"prompt": "w1 w2 w3", "max_tokens": 4, "echo": True,
+                "temperature": 0.0}
+        r = await client.post("/v1/completions", json=body)
+        assert r.status == 200
+        full = await r.json()
+        assert full["choices"][0]["text"].startswith("w1 w2 w3")
+
+        r2 = await client.post(
+            "/v1/completions", json={**body, "stream": True}
+        )
+        assert r2.status == 200
+        chunks = await _collect_sse(r2)
+        texts = [
+            c["choices"][0]["text"] for c in chunks if c.get("choices")
+        ]
+        assert texts and texts[0] == "w1 w2 w3"
+
+        # echo off: no prompt prefix
+        r3 = await client.post(
+            "/v1/completions",
+            json={"prompt": "w1 w2 w3", "max_tokens": 4, "temperature": 0.0},
+        )
+        full3 = await r3.json()
+        assert not full3["choices"][0]["text"].startswith("w1 w2 w3")
+
+    loop.run_until_complete(go())

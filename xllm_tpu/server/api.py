@@ -692,15 +692,17 @@ class APIServer:
             gen = self.engine.generate(
                 sampling_params=sp, request_id=request_id, **gen_kwargs
             )
+            echo = not chat and bool(body.get("echo"))
             if stream:
                 return await self._stream_response(
                     request, gen, request_id, created, chat, endpoint,
                     include_usage=bool(
                         (body.get("stream_options") or {}).get("include_usage")
                     ),
+                    echo=echo,
                 )
             return await self._full_response(
-                gen, request_id, created, chat, endpoint
+                gen, request_id, created, chat, endpoint, echo=echo
             )
         except ValueError as e:
             metrics.REQUESTS_TOTAL.labels(endpoint, "400").inc()
@@ -738,7 +740,26 @@ class APIServer:
                 ]
         return msg
 
-    async def _full_response(self, gen, request_id, created, chat, endpoint):
+    async def _echo_first(self, gen, request_id, created, obj, send):
+        """Yield-through generator that emits the prompt text as the first
+        stream chunk (OpenAI completions `echo`)."""
+        first = True
+        async for out in gen:
+            if first:
+                first = False
+                await send({
+                    "id": request_id, "object": obj, "created": created,
+                    "model": self.model_name,
+                    "choices": [{
+                        "index": 0, "text": out.prompt or "",
+                        "finish_reason": None, "logprobs": None,
+                    }],
+                })
+            yield out
+
+    async def _full_response(
+        self, gen, request_id, created, chat, endpoint, echo=False
+    ):
         final = None
         async for out in gen:
             final = out
@@ -775,7 +796,11 @@ class APIServer:
                 choices.append(
                     {
                         "index": o.index,
-                        "text": o.text,
+                        # OpenAI echo: the prompt text precedes the
+                        # completion (completions endpoint only)
+                        "text": (
+                            (final.prompt or "") + o.text if echo else o.text
+                        ),
                         "finish_reason": o.finish_reason,
                         "logprobs": logprobs,
                     }
@@ -798,7 +823,8 @@ class APIServer:
         )
 
     async def _stream_response(
-        self, request, gen, request_id, created, chat, endpoint, include_usage
+        self, request, gen, request_id, created, chat, endpoint,
+        include_usage, echo=False,
     ):
         resp = web.StreamResponse(
             headers={
@@ -827,7 +853,13 @@ class APIServer:
         sent_text_len: dict[int, int] = {}
         final = None
         last_t = time.monotonic()
+        echo_pending = echo
         try:
+            if echo_pending:
+                # OpenAI echo on streaming completions: the prompt text is
+                # the first data chunk
+                gen, _orig = self._echo_first(gen, request_id, created,
+                                              obj, send), gen
             final = await self._pump_stream(
                 gen, chat, request_id, created, obj, send,
                 sent_text_len, last_t,
