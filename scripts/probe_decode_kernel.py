@@ -102,7 +102,68 @@ def run(tag, kern=v4, **kw):
     return ms
 
 
+def make_step_bs(kern, bs2, **kw):
+    """Same slope-timed step at an alternate page size (bs=128 halves the
+    per-page fixed cost share for the same kernels)."""
+    npages2 = (CTX + bs2 - 1) // bs2
+    nb2 = B * npages2 + 8
+    bt2 = jnp.asarray(
+        np.arange(B * npages2, dtype=np.int32).reshape(B, npages2))
+    slots2 = jnp.asarray(
+        (np.arange(B) * npages2 + (CTX - 1) // bs2) * bs2
+        + (CTX - 1) % bs2, jnp.int32)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(k_all, v_all):
+        def body(carry, li):
+            ka, va, acc = carry
+            o, ka, va = kern(
+                q, k_new, v_new, ka, va, li, slots2, bt2, seq_lens,
+                scale=D ** -0.5, **kw
+            )
+            return (ka, va, acc + o.astype(jnp.float32)), None
+
+        (k_all, v_all, acc), _ = jax.lax.scan(
+            body,
+            (k_all, v_all, jnp.zeros((B, HKV * G, D), jnp.float32)),
+            jnp.arange(NL, dtype=jnp.int32),
+        )
+        return k_all, v_all, acc[0, 0, :4]
+
+    return step, nb2
+
+
+def run_bs(tag, kern, bs2, **kw):
+    step, nb2 = make_step_bs(kern, bs2, **kw)
+    ka = jnp.asarray(
+        rng.standard_normal((NL, nb2, HKV, bs2, D)) * 0.1, jnp.bfloat16)
+    va = jnp.asarray(
+        rng.standard_normal((NL, nb2, HKV, bs2, D)) * 0.1, jnp.bfloat16)
+    ka, va, o = step(ka, va)
+    np.asarray(o)
+    n1, n2 = ITERS // 4, ITERS
+    t0 = time.perf_counter()
+    for _ in range(n1):
+        ka, va, o = step(ka, va)
+    np.asarray(o)
+    t1 = time.perf_counter()
+    for _ in range(n2):
+        ka, va, o = step(ka, va)
+    np.asarray(o)
+    t2 = time.perf_counter()
+    ms = ((t2 - t1) - (t1 - t0)) / (n2 - n1) * 1e3
+    # bytes: ceil-paged read per seq (bs=128 reads 2 pages for ctx 192)
+    npages2 = (CTX + bs2 - 1) // bs2
+    gb = NL * B * npages2 * (2 * HKV * bs2 * D * 2) / 1e9
+    print(f"## {tag}: {ms:.3f} ms/step  {ms/NL*1e3:.0f} us/layer  "
+          f"{gb/(ms/1e3):.0f} GB/s(raw)", flush=True)
+    del ka, va
+    return ms
+
+
 res = {}
+res["v5_bs128"] = run_bs("v5_bs128", v5, 128)
+res["v7_bs128_n4"] = run_bs("v7_bs128_n4", v7, 128, nslots_override=4)
 res["v7_n6"] = run("v7_n6", kern=v7)
 res["v7_n8"] = run("v7_n8", kern=v7, nslots_override=8)
 res["v7_n4"] = run("v7_n4", kern=v7, nslots_override=4)

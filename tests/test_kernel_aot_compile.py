@@ -337,3 +337,28 @@ def test_own_gmm_fp8_compiles(tpu_aot):
     tpu_aot(
         gmm, ((M, I), jnp.bfloat16), ((E, I, D), jnp.float8_e4m3fn), offs,
     )
+
+
+def test_decode_kernels_bs128_compile(tpu_aot):
+    """bench-shape compile at page size 128 (the per-page fixed cost
+    amortizes over twice the bytes; candidate bench config)."""
+    from xllm_tpu.ops.pallas.decode_attention import (
+        paged_decode_attention_write_v5_tpu,
+        paged_decode_attention_write_v7_tpu,
+    )
+
+    cache = ((L, NBLK, HKV, 128, D), jnp.bfloat16)
+    for fn in (paged_decode_attention_write_v5_tpu,
+               paged_decode_attention_write_v7_tpu):
+        tpu_aot(
+            fn,
+            ((B, HQ, D), jnp.bfloat16),
+            ((B, HKV, D), jnp.bfloat16),
+            ((B, HKV, D), jnp.bfloat16),
+            cache, cache,
+            ((), jnp.int32),
+            ((B,), jnp.int32),
+            ((B, 4), jnp.int32),
+            ((B,), jnp.int32),
+            scale=D**-0.5,
+        )
