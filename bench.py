@@ -102,11 +102,16 @@ def _make_engine(
     batch: int = BATCH,
     num_blocks: int = 1100,
 ) -> LLMEngine:
+    # page size is an A/B knob: at bs=128 the decode kernels' per-page
+    # fixed cost amortizes over twice the bytes (scripts/probe_decode_kernel)
+    bs = int(os.environ.get("XLLM_BENCH_BS", "64"))
     cfg = EngineConfig(
         model=model,
         # explicit block count: the tunnel hides memory_stats, and the
         # fallback pool would be too small for this batch
-        cache=CacheConfig(block_size=64, num_blocks=num_blocks),
+        cache=CacheConfig(
+            block_size=bs, num_blocks=num_blocks * 64 // bs
+        ),
         scheduler=SchedulerConfig(
             max_seqs_per_batch=batch,
             max_tokens_per_batch=8192,
