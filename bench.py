@@ -14,6 +14,7 @@ north-star metric in BASELINE.json (>=0.95 of roofline tokens/s/chip).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
