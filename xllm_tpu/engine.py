@@ -546,6 +546,48 @@ class LLMEngine:
             deepstack,
         )
 
+    def score_prompt(self, prompt_token_ids: list[int]) -> "np.ndarray":
+        """Per-token logprobs of a prompt under the model (scoring /
+        perplexity; the OpenAI echo+logprobs semantics). Returns lp
+        [n-1] f32 where lp[i] = log p(token[i+1] | tokens[:i+1]).
+
+        Offline synchronous utility: allocates a throwaway sequence on
+        the block pool, scores chunk by chunk, frees the blocks
+        (reference accuracy-harness flow, docs/en/accuracy_test.md)."""
+        import numpy as np
+
+        from xllm_tpu.framework.request import StoppingChecker
+        from xllm_tpu.framework.sampling_params import SamplingParams
+
+        n = len(prompt_token_ids)
+        if n < 2:
+            raise ValueError("scoring needs at least 2 tokens")
+        if n > self.config.scheduler.max_model_len:
+            raise ValueError("prompt exceeds max_model_len")
+        sp = SamplingParams(max_tokens=1)
+        seq = Sequence(
+            list(prompt_token_ids), sp,
+            StoppingChecker(
+                max_new_tokens=1,
+                max_model_len=self.config.scheduler.max_model_len,
+            ),
+            request_id="score",
+        )
+        chunk = self.config.scheduler.max_tokens_per_chunk_for_prefill
+        bs = self.config.cache.block_size
+        chunk = max(bs, chunk - chunk % bs)
+        lps: list[np.ndarray] = []
+        try:
+            while seq.num_computed_tokens < n:
+                m = min(chunk, n - seq.num_computed_tokens)
+                if not self.block_manager.allocate(seq, m):
+                    raise RuntimeError("KV pool exhausted during scoring")
+                lps.append(self.runner.run_score_chunk(seq, m))
+                seq.num_computed_tokens += m
+        finally:
+            self.block_manager.free(seq)
+        return np.concatenate(lps)[: n - 1]
+
     def abort_request(self, request_id: str) -> None:
         req = self._active_requests.pop(request_id, None)
         if req is not None:

@@ -62,3 +62,7 @@ class LLM:
             order.append(req.request_id)
         outs = {ro.request_id: ro for ro in self.engine.generate_all()}
         return [outs[rid] for rid in order]
+
+    def score(self, prompt_token_ids: list[int]):
+        """Per-token logprobs of a prompt (perplexity scoring)."""
+        return self.engine.score_prompt(prompt_token_ids)

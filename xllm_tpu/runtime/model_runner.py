@@ -115,6 +115,7 @@ class ModelRunner:
         self._prefill_fn = None
         self._decode_fn = None
         self._embed_fn = None
+        self._score_fn = None
         self._sample_slots_fn = None
         self._inject_fn = None
         self._seed_fn = None
@@ -1000,6 +1001,59 @@ class ModelRunner:
             self.params, self.k_cache, self.v_cache, self._put(inp)
         )
         return np.asarray(vec)
+
+    def run_score_chunk(self, seq, num_new_tokens: int) -> np.ndarray:
+        """Next-token logprobs for one prompt chunk (scoring / perplexity).
+
+        Counterpart of the reference's logprob scoring flow (the OpenAI
+        echo+logprobs path; accuracy harnesses drive it for perplexity,
+        docs/en/accuracy_test.md). Returns lp [n] f32 where lp[i] is the
+        logprob of the NEXT prompt token after chunk row i (the final
+        prompt position scores 0 — there is no next token). Synchronous
+        fetch: scoring is an offline path.
+        """
+        from xllm_tpu.runtime.input_builder import build_prefill_input
+
+        inp, _ = build_prefill_input(
+            seq,
+            num_new_tokens,
+            self.block_size,
+            self.config.scheduler.prefill_token_buckets,
+            self.max_blocks_per_seq,
+        )
+        s_pad = inp.token_ids.shape[0]
+        start = seq.num_computed_tokens
+        nxt = np.zeros(s_pad, np.int32)
+        for i in range(num_new_tokens):
+            j = start + i + 1
+            nxt[i] = seq.token_ids[j] if j < seq.num_tokens else 0
+        if self._score_fn is None:
+            model = self.model
+
+            @partial(
+                jax.jit, donate_argnums=(1, 2),
+                static_argnames=("num_logits",),
+            )
+            def score_step(params, k_cache, v_cache, inp, next_tokens,
+                           num_logits):
+                hidden, k_cache, v_cache = model.prefill(
+                    params, k_cache, v_cache, inp, num_logits=num_logits
+                )
+                logits = model.compute_logits(params, hidden)
+                logz = jax.nn.logsumexp(
+                    logits.astype(jnp.float32), axis=-1
+                )
+                chosen = jnp.take_along_axis(
+                    logits, next_tokens[:, None], axis=-1
+                )[:, 0].astype(jnp.float32)
+                return k_cache, v_cache, chosen - logz
+
+            self._score_fn = score_step
+        self.k_cache, self.v_cache, lp = self._score_fn(
+            self.params, self.k_cache, self.v_cache, self._put(inp),
+            self._put(jnp.asarray(nxt)), num_logits=s_pad,
+        )
+        return np.asarray(lp)[:num_new_tokens]
 
     def run_sample_slots(
         self,
