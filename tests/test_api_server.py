@@ -597,3 +597,24 @@ def test_completions_echo(server_client):
         assert not full3["choices"][0]["text"].startswith("w1 w2 w3")
 
     loop.run_until_complete(go())
+
+
+def test_completions_prompt_scoring(server_client):
+    """echo + logprobs + max_tokens=0: OpenAI prompt-scoring form returns
+    per-token logprobs of the prompt itself."""
+    client, loop = server_client
+
+    async def go():
+        r = await client.post("/v1/completions", json={
+            "prompt": "w1 w2 w3 w4 w5", "max_tokens": 0, "echo": True,
+            "logprobs": 1,
+        })
+        assert r.status == 200
+        out = await r.json()
+        lp = out["choices"][0]["logprobs"]
+        assert lp["token_logprobs"][0] is None
+        assert len(lp["token_logprobs"]) == len(lp["tokens"]) == 5
+        assert all(v < 0 for v in lp["token_logprobs"][1:])
+        assert out["usage"]["completion_tokens"] == 0
+
+    loop.run_until_complete(go())

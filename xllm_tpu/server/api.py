@@ -264,9 +264,55 @@ class APIServer:
             kwargs = {"prompt": prompt}
         else:
             return _error(400, "'prompt' must be a string or token id list")
+        if (
+            bool(body.get("echo"))
+            and body.get("logprobs") is not None
+            and int(body.get("max_tokens", 16) or 0) == 0
+        ):
+            # OpenAI prompt-scoring form: echo + logprobs + max_tokens=0
+            # returns the prompt with its own per-token logprobs
+            return await self._score_response(body, kwargs)
         return await self._run(
             request, body, kwargs, chat=False, endpoint="completions"
         )
+
+    async def _score_response(self, body: dict, kwargs: dict):
+        if "prompt_token_ids" in kwargs:
+            ids = list(kwargs["prompt_token_ids"])
+            toks = [str(t) for t in ids]
+            text = ""
+        else:
+            if self.engine.tokenizer is None:
+                return _error(400, "server has no tokenizer")
+            text = kwargs["prompt"]
+            ids = self.engine.tokenizer.encode(text)
+            toks = [str(t) for t in ids]
+        try:
+            # runs inside the engine loop thread (no races with serving)
+            lps = await self.engine.call("score_prompt", ids)
+        except ValueError as e:
+            return _error(400, str(e))
+        metrics.REQUESTS_TOTAL.labels("completions", "200").inc()
+        return web.json_response({
+            "id": "cmpl-" + uuid.uuid4().hex[:24],
+            "object": "text_completion",
+            "created": int(time.time()),
+            "model": self.model_name,
+            "choices": [{
+                "index": 0,
+                "text": text,
+                "finish_reason": "length",
+                "logprobs": {
+                    "tokens": toks,
+                    # the first prompt token has no conditioning context
+                    "token_logprobs": [None] + [float(x) for x in lps],
+                    "top_logprobs": None,
+                    "text_offset": [],
+                },
+            }],
+            "usage": {"prompt_tokens": len(ids), "completion_tokens": 0,
+                      "total_tokens": len(ids)},
+        })
 
     async def sample(self, request: web.Request) -> web.Response:
         """Multi-position sampling (reference /v1/sample,
