@@ -250,3 +250,53 @@ def test_matmul_bf16_v2_interpret_parity():
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2
         )
+
+
+def test_fp8_kv_cache_mla_greedy_close_to_bf16():
+    """fp8 KV on the MLA LATENT cache (K/V share pages; the dummy v slot
+    and, for DSA, the indexer-K cache must survive the dtype change)."""
+    import numpy as np
+
+    from xllm_tpu.config import (
+        CacheConfig,
+        EngineConfig,
+        ModelConfig,
+        SchedulerConfig,
+    )
+    from xllm_tpu.engine import LLMEngine
+    from xllm_tpu.framework.sampling_params import SamplingParams
+
+    mc = ModelConfig(
+        model_type="deepseek_v2", dtype="float32", vocab_size=256,
+        hidden_size=128, intermediate_size=256, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4,
+        q_lora_rank=96, kv_lora_rank=64, qk_nope_head_dim=32,
+        qk_rope_head_dim=16, v_head_dim=32, max_position_embeddings=256,
+    )
+
+    def run(kv_dtype):
+        cfg = EngineConfig(
+            model=mc,
+            cache=CacheConfig(num_blocks=32, block_size=8,
+                              kv_cache_dtype=kv_dtype),
+            scheduler=SchedulerConfig(
+                max_seqs_per_batch=2, max_model_len=128,
+                decode_batch_buckets=[2], prefill_token_buckets=[32],
+            ),
+        )
+        eng = LLMEngine(cfg)
+        rng = np.random.default_rng(6)
+        eng.add_request(
+            prompt_token_ids=[int(x) for x in rng.integers(1, 250, 28)],
+            sampling_params=SamplingParams(
+                temperature=0.0, max_tokens=12, ignore_eos=True
+            ),
+        )
+        out = eng.generate_all(timeout_s=300)[0].outputs[0].token_ids
+        assert eng.block_manager.num_used_blocks == 0
+        return out
+
+    base = run("auto")
+    fp8 = run("fp8_e4m3")
+    match = sum(a == b for a, b in zip(base, fp8))
+    assert match >= len(base) - 2, (base, fp8)
