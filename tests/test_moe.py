@@ -411,3 +411,41 @@ def test_moe_mlp_gmm_fp8_matches_dequant_ref():
         gate_up_scale=gus, down_scale=dns,
     ))
     np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_moe_mlp_fp8_experts_on_ep_mesh():
+    """fp8 expert stacks through the top-level moe_mlp dispatcher on the
+    8-device EP mesh (dequant-up-front path) == dequantized oracle."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from xllm_tpu.ops.moe import moe_mlp, moe_mlp_ref
+    from xllm_tpu.ops.quant import quantize_fp8
+
+    devs = np.array(jax.devices()[:8]).reshape(8)
+    mesh = Mesh(devs, ("tp",))
+    rng = np.random.default_rng(2)
+    t, d, e, i, k = 16, 16, 8, 32, 2
+    x = jnp.asarray(rng.standard_normal((t, d)) * 0.3, jnp.float32)
+    rw = jnp.asarray(rng.standard_normal((d, e)) * 0.3, jnp.float32)
+    gu = jnp.asarray(rng.standard_normal((e, d, 2 * i)) * 0.05, jnp.float32)
+    dn = jnp.asarray(rng.standard_normal((e, i, d)) * 0.05, jnp.float32)
+    guq, gus = quantize_fp8(gu)
+    dnq, dns = quantize_fp8(dn)
+    gu_deq = guq.astype(jnp.float32) * gus[:, None, :]
+    dn_deq = dnq.astype(jnp.float32) * dns[:, None, :]
+    want = moe_mlp_ref(x, rw, gu_deq, dn_deq, k, True)
+
+    gu_s = jax.device_put(guq, NamedSharding(mesh, P("tp")))
+    dn_s = jax.device_put(dnq, NamedSharding(mesh, P("tp")))
+    with mesh:
+        got = jax.jit(
+            lambda xx, rr, g, dd, gs, ds: moe_mlp(
+                xx, rr, g, dd, k, True, mesh=mesh,
+                gate_up_scale=gs, down_scale=ds,
+            )
+        )(x, rw, gu_s, dn_s, gus, dns)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=3e-4, atol=3e-4
+    )
