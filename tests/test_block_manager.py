@@ -195,3 +195,24 @@ def test_sliding_window_release_bounds_kv():
     # live pages stay near the window footprint (window 16 tokens = 4
     # pages + the growing tail page + fixup lag slack)
     assert peak_small <= 10, peak_small
+
+
+def test_sliding_window_release_via_dp_pool():
+    """BlockManagerPool routes release_out_of_window to the owning rank's
+    manager (attention-DP + window models compose)."""
+    from xllm_tpu.framework.block_manager import BlockManagerPool
+
+    pool = BlockManagerPool(num_blocks=32, block_size=4, dp_size=2,
+                            enable_prefix_cache=False)
+    s = make_seq(list(range(1, 30)))
+    s.dp_rank = 1
+    assert pool.allocate(s, 29)
+    s.num_computed_tokens = 29
+    used_before = pool.num_used_blocks
+    released = pool.release_out_of_window(s, window=8)
+    assert released >= 4
+    assert pool.num_used_blocks == used_before - released
+    null = pool.null_block_of(1)
+    assert all(b == null for b in s.block_ids[:released])
+    pool.free(s)
+    assert pool.num_used_blocks == 0

@@ -344,6 +344,11 @@ class BlockManagerPool:
             self.managers[seq.dp_rank].free(seq)
             seq.dp_rank = -1
 
+    def release_out_of_window(self, seq: Sequence, window: int) -> int:
+        if seq.dp_rank < 0:
+            return 0
+        return self.managers[seq.dp_rank].release_out_of_window(seq, window)
+
     def cache_computed_blocks(self, seq: Sequence) -> None:
         if seq.dp_rank >= 0:
             self.managers[seq.dp_rank].cache_computed_blocks(seq)
