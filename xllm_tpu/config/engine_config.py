@@ -133,7 +133,9 @@ class CacheConfig:
     block_size: int = 64  # tokens per block; multiple of dtype sublane tile
     num_blocks: int = 0  # 0 -> derived from memory_utilization at init
     memory_utilization: float = 0.9
-    kv_cache_dtype: str = "auto"  # auto|bfloat16|fp8_e4m3|int8
+    kv_cache_dtype: str = "auto"  # auto|bfloat16|float32|fp8_e4m3
+    # (int8 KV is intentionally absent: e4m3 matches its byte width with
+    # no scale plumbing — the TPU-idiomatic quantized-KV choice)
     enable_prefix_cache: bool = True
     # block manager backend: "python" | "native" (C++ core) | "auto"
     # (native when the toolchain can build it — reference keeps this

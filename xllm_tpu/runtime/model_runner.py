@@ -253,11 +253,19 @@ class ModelRunner:
             # quantized KV (reference kv_cache_impl.h:29 quantized variants):
             # fp8_e4m3 stores post-norm K/V raw (range |x| <= 448 covers
             # attention K/V); kernels upcast tiles on load
-            kv_dtype = {
+            table = {
                 "bfloat16": jnp.bfloat16,
                 "float32": jnp.float32,
                 "fp8_e4m3": jnp.float8_e4m3fn,
-            }[self.config.cache.kv_cache_dtype]
+            }
+            if self.config.cache.kv_cache_dtype not in table:
+                raise ValueError(
+                    f"unsupported kv_cache_dtype "
+                    f"{self.config.cache.kv_cache_dtype!r}; "
+                    f"one of {sorted(table)} (int8 KV is covered by "
+                    f"fp8_e4m3 — same byte width, no scale plumbing)"
+                )
+            kv_dtype = table[self.config.cache.kv_cache_dtype]
         self.model.num_state_slots = self.max_slots
         k, v = self.model.new_kv_cache(self.num_blocks, self.block_size, kv_dtype)
         if self.mesh is not None:
