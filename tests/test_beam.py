@@ -219,3 +219,107 @@ def test_beam_matches_hf_generate(tmp_path):
     got = [s.token_ids for s in outs[0].outputs]
     assert got == want, (got, want)
     assert eng.block_manager.num_used_blocks == 0
+
+
+def test_beam_oom_finishes_every_starved_beam_without_skips():
+    """Regression: the OOM loop removed beams from the list being
+    iterated, skipping the beam after each finished one — the skipped
+    beam then decoded without a page for its next token."""
+    from xllm_tpu.framework.beam import BeamRunner, BeamState, _Beam
+    from xllm_tpu.framework.block_manager import BlockManager
+    from xllm_tpu.framework.request import Request
+    from xllm_tpu.framework.sampling_params import SamplingParams
+
+    import numpy as np
+
+    class FakeRunner:
+        def run_beam_decode(self, seqs, width):
+            # every surviving beam MUST hold capacity for its next token
+            # (the old bug skipped a beam's allocate after an OOM finish)
+            bm = eng.block_manager
+            for s in seqs:
+                assert bm.blocks_needed(s, 1) == 0, (
+                    f"beam seq {s.seq_id} decoding without a page"
+                )
+            ids = np.full((len(seqs), width), 7, np.int32)
+            lps = np.full((len(seqs), width), -0.5, np.float32)
+            return ids, lps
+
+        def copy_kv_blocks(self, pairs):
+            pass
+
+    class FakeEngine:
+        pass
+
+    eng = FakeEngine()
+    eng.runner = FakeRunner()
+    # pool with zero free blocks after setup (one block is the null
+    # block): a beam's allocate(seq, 1) only succeeds once another
+    # starved beam has finished and released its pages
+    eng.block_manager = BlockManager(5, 2, enable_prefix_cache=False)
+    beam = BeamRunner(eng)
+    req = Request(
+        request_id="r",
+        prompt_token_ids=[1, 2, 3],
+        sampling_params=SamplingParams(
+            use_beam_search=True, n=2, best_of=2, max_tokens=4,
+            ignore_eos=True,
+        ),
+        max_model_len=64,
+    )
+    s0, s1 = req.sequences[0], req.sequences[1]
+    # both beams sit at a full, fully-computed tail page -> the next
+    # decode (allocate(seq, 1) = capacity for computed+1 tokens) needs a
+    # page neither can get
+    for s in (s0, s1):
+        assert eng.block_manager.allocate(s, 4)  # 2 blocks, capacity 4
+        s.token_ids = [1, 2, 3, 9, 9]
+        s.num_fixed_tokens = 5
+        s.num_computed_tokens = 4
+    state = BeamState(
+        request=req, width=2,
+        active=[_Beam(s0, -0.5), _Beam(s1, -0.7)],
+    )
+    beam.states["r"] = state
+    beam.step_all()
+    # the first starved beam finishes and frees its pages; the second is
+    # NOT skipped: it re-allocates from the freed pages and keeps going
+    # (the FakeRunner asserts it held capacity)
+    assert len(state.finished) >= 1
+    for b in state.active:
+        assert eng.block_manager.blocks_needed(b.seq, 0) == 0
+    # run the search to completion: everything drains without a leak
+    for _ in range(10):
+        if "r" not in beam.states:
+            break
+        beam.step_all()
+    assert "r" not in beam.states
+    assert eng.block_manager.num_used_blocks == 0
+
+
+def test_beam_abort_drops_state_and_frees_blocks():
+    """Regression: aborting a mid-beam request left its BeamState active,
+    so the next step decoded freed pages."""
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(1, 96, size=9).tolist()
+    eng = LLMEngine(_cfg())
+    eng.add_request(
+        prompt_token_ids=prompt,
+        sampling_params=SamplingParams(
+            use_beam_search=True, n=2, best_of=2, max_tokens=16,
+            ignore_eos=True,
+        ),
+        request_id="ab",
+    )
+    # step until the beam activates, then abort mid-search
+    for _ in range(40):
+        eng.step()
+        if "ab" in eng._beam.states:
+            break
+    assert "ab" in eng._beam.states
+    eng.abort_request("ab")
+    assert "ab" not in eng._beam.states
+    for _ in range(5):
+        eng.step()  # must not touch the aborted request
+    assert not eng.has_unfinished()
+    assert eng.block_manager.num_used_blocks == 0

@@ -242,3 +242,30 @@ def test_top_logprobs():
         assert len(alts) == 5
         assert tok in alts  # greedy choice is its own argmax
         assert max(alts.values()) == alts[tok]
+
+
+def test_token_history_records_last_prompt_token():
+    """Regression: the batched-prefill history scatter's pad columns
+    (position = chunk's last real position, token 0) used to race the
+    real last token via duplicate scatter indices — wrong penalty counts
+    for the whole generation when the prompt pads inside its bucket."""
+    eng = LLMEngine(tiny_config())
+    rng = np.random.default_rng(5)
+    prompt = [int(x) for x in rng.integers(1, 97, size=13)]  # pads to 16
+    sp = SamplingParams(
+        temperature=0.0, max_tokens=8, ignore_eos=True,
+        repetition_penalty=1.3,
+    )
+    eng.add_request(
+        prompt_token_ids=prompt, sampling_params=sp, request_id="hist"
+    )
+    req = eng._active_requests["hist"]
+    seq = req.sequences[0]
+    for _ in range(40):
+        eng.step()
+        if seq.num_generated_tokens >= 2:
+            break
+    hist = np.asarray(eng.runner.token_hist)[seq.slot_id]
+    np.testing.assert_array_equal(hist[: len(prompt)], np.asarray(prompt))
+    eng.generate_all(timeout_s=300)
+    assert eng.block_manager.num_used_blocks == 0

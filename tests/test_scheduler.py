@@ -249,3 +249,18 @@ def test_priority_and_online_offline_queue():
     sched.block_manager.free_lru.clear()  # exhaust the pool artificially
     out = sched.schedule()
     assert [r.request_id for r in out.preempted_requests] == ["off-1"]
+
+
+def test_abort_waiting_request_frees_held_blocks():
+    """Regression: aborting a request still in the waiting heap only
+    tombstoned it; prefix-cache refs taken by a failed admission attempt
+    (match_prefix before a budget break) leaked forever."""
+    sched, bm = make_scheduler(num_blocks=16)
+    req = make_request("w1", 8)
+    sched.add_request(req)
+    # simulate a failed admission that left blocks on the waiting seq
+    seq = req.sequences[0]
+    assert bm.allocate(seq, 4)
+    assert bm.num_used_blocks > 0
+    sched.abort_request(req)
+    assert bm.num_used_blocks == 0

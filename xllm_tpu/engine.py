@@ -352,8 +352,10 @@ class LLMEngine:
         n = len(prompt_token_ids)
         if not slot_positions:
             return []
-        if any(p < 0 or p >= n for p in slot_positions):
-            raise ValueError("slot position out of range")
+        if any(p < 1 or p >= n for p in slot_positions):
+            # p=0 has no preceding prefix to condition on (the reference
+            # samples from logits at token_position-1, sample_slot.cpp:49)
+            raise ValueError("slot position out of range (must be in [1, n))")
         max_chunk = max(self.config.scheduler.prefill_token_buckets)
         if n > max_chunk:
             raise ValueError(
@@ -375,9 +377,7 @@ class LLMEngine:
         if not self.block_manager.allocate(seq, n):
             raise RuntimeError("KV pool exhausted for sample request")
         try:
-            rows = np.asarray(
-                [max(p - 1, 0) for p in slot_positions], np.int32
-            )
+            rows = np.asarray([p - 1 for p in slot_positions], np.int32)
             tokens, lps, top_ids, top_lps = self.runner.run_sample_slots(
                 seq, rows, temperature, top_k, top_p, seed, num_top
             )
@@ -592,6 +592,7 @@ class LLMEngine:
         req = self._active_requests.pop(request_id, None)
         if req is not None:
             self.scheduler.abort_request(req)
+            self._beam.drop(request_id)
             for seq in req.sequences:
                 self._release_slot(seq)
 
@@ -814,6 +815,16 @@ class LLMEngine:
     def _spec_capacity(self, seq: Sequence) -> bool:
         """Length bounds + k+1 block capacity for one speculative step."""
         k = self.spec_k
+        sp = seq.sampling_params
+        if (
+            sp.repetition_penalty != 1.0
+            or sp.frequency_penalty != 0.0
+            or sp.presence_penalty != 0.0
+        ):
+            # rejection sampling bypasses the penalty pass; keep penalized
+            # sequences on the exact decode path (same rule as
+            # _propose_draft for the host proposers)
+            return False
         if seq.num_fixed_tokens != seq.num_tokens:
             return False
         if seq.num_tokens + k + 1 > self.config.scheduler.max_model_len:
@@ -1008,21 +1019,8 @@ class LLMEngine:
     def wakeup(self) -> None:
         self.runner.wakeup()
         # KV content was dropped -> fresh block pool + prefix cache
-        if getattr(self.runner.model, "is_hybrid", False):
-            # linear-attention state cannot rewind (spec rejection), fork
-            # (beam), be rebuilt from shared pages (prefix cache), or split
-            # its token scan across cp ranks — reference restricts the same
-            # paths for qwen3-next-class hybrids
-            if config.speculative.method:
-                raise NotImplementedError(
-                    "speculative decoding is unsupported for hybrid "
-                    "linear-attention models"
-                )
-            if config.parallel.cp_size > 1:
-                raise NotImplementedError(
-                    "context parallelism is unsupported for hybrid models"
-                )
-            config.cache.enable_prefix_cache = False
+        # (hybrid-model restrictions were enforced once in __init__; the
+        # enable_prefix_cache=False override persists in the config)
         self.block_manager = self._make_block_manager()
         self.scheduler.block_manager = self.block_manager
 

@@ -82,10 +82,18 @@ class BeamRunner:
             s.on_hold = True
         self.states[req.request_id] = state
 
+    def drop(self, request_id: str) -> None:
+        """Forget an externally aborted request (its blocks were already
+        freed by the scheduler; the seqs must not be stepped again)."""
+        self.states.pop(request_id, None)
+
     def step_all(self) -> list[Request]:
         """One beam step for every active request; returns completed."""
         done: list[Request] = []
         for rid, state in list(self.states.items()):
+            if state.request.aborted:
+                del self.states[rid]
+                continue
             self._step(state)
             if state.done:
                 self._finalize(state)
@@ -102,16 +110,20 @@ class BeamRunner:
         max_new = sp.max_tokens
         eos = set(req.sequences[0].stopping.eos_token_ids or ())
 
-        beams = state.active
-        # capacity for one more token per beam
-        for b in beams:
-            if not bm.allocate(b.seq, 1):
-                # OOM: finish the worst beams until it fits
+        # capacity for one more token per beam; beams that can't get a
+        # page finish as-is and return their seq to the fork pool
+        beams: list[_Beam] = []
+        for b in state.active:
+            if bm.allocate(b.seq, 1):
+                beams.append(b)
+            else:
                 state.finished.append(
                     (list(b.seq.token_ids), b.cum_logprob)
                 )
                 bm.free(b.seq)
-                beams.remove(b)
+                state.pool.append(b.seq)
+                b.seq.on_hold = True
+        state.active = beams
         if not beams:
             return
 

@@ -87,7 +87,9 @@ def decode_attention_write(
                 q, k_new, v_new, k_all, v_all, layer_idx, slot_mapping,
                 block_tables, seq_lens, scale, window=window,
             )
-        if kver == "v1":
+        if kver == "v1" and window <= 0:
+            # v1 has no window support: sliding-window models (whose
+            # out-of-window pages get recycled) always take v3+
             from xllm_tpu.ops.pallas.decode_attention import (
                 paged_decode_attention_write_tpu,
             )
@@ -95,7 +97,7 @@ def decode_attention_write(
             return paged_decode_attention_write_tpu(
                 q, k_new, v_new, k_all, v_all, layer_idx, slot_mapping,
                 block_tables, seq_lens, scale,
-            )  # v1 has no window support; dispatch guards against it
+            )
         from xllm_tpu.ops.pallas.decode_attention import (
             paged_decode_attention_write_v3_tpu,
         )

@@ -34,6 +34,7 @@ def route(
     topk_group: int = 1,
     routed_scaling: float = 1.0,
     _id_map: jnp.ndarray | None = None,  # logical->physical remap [E]
+    _routed: tuple[jnp.ndarray, jnp.ndarray] | None = None,  # precomputed
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """-> (weights [T, k] f32, expert_ids [T, k] int32).
 
@@ -44,6 +45,8 @@ def route(
     (reference kimi_k2.h topk_method noaux_tc), combine weights from the
     UNbiased scores.
     """
+    if _routed is not None:
+        return _routed
     logits = jnp.dot(
         x, router_w.astype(x.dtype), preferred_element_type=jnp.float32
     )
@@ -268,6 +271,18 @@ def moe_mlp(
     nep = mesh.shape.get(ep_axis, 1) if mesh is not None else 1
     e = router_w.shape[-1]
     quantized = gate_up_scale is not None
+    counts = None
+    if return_counts:
+        # route once; the gmm/ref paths below reuse it via _routed (the
+        # EP shard_map paths re-route internally — closing traced arrays
+        # over shard_map is not worth the saved router GEMM there)
+        routed = route(
+            x, router_w, num_experts_per_tok, norm_topk_prob, **route_kw
+        )
+        counts = (
+            jnp.zeros((e,), jnp.int32).at[routed[1].reshape(-1)].add(1)
+        )
+        route_kw = dict(route_kw, _routed=routed)
     if (
         nep > 1
         and e % nep == 0
@@ -280,9 +295,10 @@ def moe_mlp(
             down = (
                 down.astype(jnp.float32) * down_scale[:, None, :]
             ).astype(x.dtype)
+        ep_kw = {k: v for k, v in route_kw.items() if k != "_routed"}
         out = moe_mlp_ep_a2a(
             x, router_w, gate_up, down, num_experts_per_tok,
-            norm_topk_prob, mesh, axis=ep_axis, **route_kw,
+            norm_topk_prob, mesh, axis=ep_axis, **ep_kw,
         )
     elif jax.default_backend() == "tpu":
         out = moe_mlp_gmm(
@@ -303,9 +319,7 @@ def moe_mlp(
             **route_kw,
         )
     if return_counts:
-        return out, expert_counts(
-            x, router_w, num_experts_per_tok, norm_topk_prob, **route_kw
-        )
+        return out, counts
     return out
 
 

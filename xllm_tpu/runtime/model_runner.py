@@ -327,8 +327,15 @@ class ModelRunner:
         ):
             hidden, k_cache, v_cache = model.prefill(params, k_cache, v_cache, inp)
             logits = model.compute_logits(params, hidden)
-            token_hist = token_hist.at[hist_slot, inp.positions].set(
-                inp.token_ids
+            # pad columns repeat the last real position with token 0 —
+            # divert them out of bounds so the duplicate-index scatter
+            # can't race the real last token (mode="drop" discards them)
+            col = jnp.arange(inp.token_ids.shape[0], dtype=jnp.int32)
+            hist_pos = jnp.where(
+                col <= inp.logits_idx, inp.positions, token_hist.shape[1]
+            )
+            token_hist = token_hist.at[hist_slot, hist_pos].set(
+                inp.token_ids, mode="drop"
             )
             tokens, logprobs = sample(
                 logits, si, need_logprobs=need_logprobs
@@ -402,9 +409,19 @@ class ModelRunner:
                 params, k_cache, v_cache, inp
             )
             logits = model.compute_logits(params, hidden[:, 0])  # [P, V]
+            # divert pad columns (position repeats the chunk's last real
+            # position, token 0) out of bounds: a duplicate-index scatter
+            # would otherwise nondeterministically zero the last token's
+            # history entry (mode="drop" discards the pad writes)
+            col = jnp.arange(inp.token_ids.shape[1], dtype=jnp.int32)
+            hist_pos = jnp.where(
+                col[None, :] <= inp.logits_idx[:, None],
+                inp.positions,
+                token_hist.shape[1],
+            )
             token_hist = token_hist.at[
-                inp.hist_slots[:, None], inp.positions
-            ].set(inp.token_ids)
+                inp.hist_slots[:, None], hist_pos
+            ].set(inp.token_ids, mode="drop")
             hist = token_hist[inp.hist_slots] if use_penalties else None
             out = sample(logits, si, hist, num_top, need_logprobs)
             tokens, logprobs = out[0], out[1]
@@ -480,9 +497,16 @@ class ModelRunner:
                 params, head_params, dk, dv, pre, inp
             )
             logits = model.compute_logits(params, hidden[:, 0])
+            # pad columns out of bounds — see batched_prefill_step
+            col = jnp.arange(inp.token_ids.shape[1], dtype=jnp.int32)
+            hist_pos = jnp.where(
+                col[None, :] <= inp.logits_idx[:, None],
+                inp.positions,
+                token_hist.shape[1],
+            )
             token_hist = token_hist.at[
-                inp.hist_slots[:, None], inp.positions
-            ].set(inp.token_ids)
+                inp.hist_slots[:, None], hist_pos
+            ].set(inp.token_ids, mode="drop")
             hist = token_hist[inp.hist_slots] if use_penalties else None
             tokens, logprobs = sample(
                 logits, si, hist, need_logprobs=need_logprobs

@@ -111,6 +111,12 @@ class ContinuousScheduler:
                 if e[1] is request:
                     e[1] = None  # tombstone
                     break
+            # a waiting request may hold prefix-cache refs taken by a
+            # failed admission attempt (match_prefix before a budget
+            # break) — release them or they leak
+            for seq in request.sequences:
+                if seq.block_ids:
+                    self.block_manager.free(seq)
 
     def has_unfinished(self) -> bool:
         return any(e[1] is not None for e in self._waiting_heap) or bool(
@@ -299,6 +305,10 @@ class ContinuousScheduler:
         best_key = None
         for idx, req in enumerate(self.running):
             if req.is_finished:
+                continue
+            if getattr(req.sequences[0], "beam_request", False):
+                # mid-beam state lives in the BeamRunner and cannot be
+                # RECOMPUTE-restarted by the scheduler alone
                 continue
             key = (req.offline, -req.priority, idx)
             # max over (offline desc, priority asc, arrival desc)

@@ -416,14 +416,18 @@ class APIServer:
         try:
             import math
 
-            qv = await embed_one(query)
+            # submit query + all documents concurrently so the engine's
+            # continuous batching packs them into a few steps instead of
+            # one full round-trip per document
+            embeds = await asyncio.gather(
+                embed_one(query), *(embed_one(d) for d in documents)
+            )
+            qv, dvs = embeds[0], embeds[1:]
+            qn = math.sqrt(sum(a * a for a in qv))
             results = []
-            for i, doc in enumerate(documents):
-                dv = await embed_one(doc)
+            for i, dv in enumerate(dvs):
                 num = sum(a * b for a, b in zip(qv, dv))
-                den = math.sqrt(sum(a * a for a in qv)) * math.sqrt(
-                    sum(b * b for b in dv)
-                )
+                den = qn * math.sqrt(sum(b * b for b in dv))
                 score = num / den if den else 0.0
                 results.append({"index": i, "relevance_score": score})
         except ValueError as e:
