@@ -362,3 +362,54 @@ def test_decode_kernels_bs128_compile(tpu_aot):
             ((B,), jnp.int32),
             scale=D**-0.5,
         )
+
+
+def test_mla_kernels_fp8_latent_compile(tpu_aot):
+    """Regression: the MLA kernels fed fp8 latent tiles straight into the
+    MXU dots (and quantized softmax probs to fp8) — Mosaic won't lower
+    the mixed dot; the _mxu upcast must keep these compiling. lat_new
+    stays bf16 (what ops/mla.py passes on the decode path)."""
+    from xllm_tpu.ops.pallas.mla_attention import (
+        mla_decode_attention_write_tpu,
+        mla_prefill_attention_batched_tpu,
+        mla_prefill_attention_tpu,
+    )
+
+    DK = 640
+    DV = 512
+    H = 16
+    cache = ((L, NBLK, 1, BS, DK), jnp.float8_e4m3fn)
+    tpu_aot(
+        mla_decode_attention_write_tpu,
+        ((B, H, DK), jnp.bfloat16),
+        ((B, DK), jnp.bfloat16),
+        cache,
+        ((), jnp.int32),
+        ((B,), jnp.int32),
+        ((B, NB), jnp.int32),
+        ((B,), jnp.int32),
+        scale=DK**-0.5,
+        dv=DV,
+    )
+    tpu_aot(
+        mla_prefill_attention_batched_tpu,
+        ((P, S, H, DK), jnp.bfloat16),
+        cache,
+        ((), jnp.int32),
+        ((P, NB), jnp.int32),
+        ((P,), jnp.int32),
+        ((P,), jnp.int32),
+        scale=DK**-0.5,
+        dv=DV,
+    )
+    tpu_aot(
+        mla_prefill_attention_tpu,
+        ((S, H, DK), jnp.bfloat16),
+        cache,
+        ((), jnp.int32),
+        ((NB,), jnp.int32),
+        ((), jnp.int32),
+        ((), jnp.int32),
+        scale=DK**-0.5,
+        dv=DV,
+    )

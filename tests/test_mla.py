@@ -289,3 +289,50 @@ def test_mla_batched_prefill_kernel_matches_ref():
     np.testing.assert_allclose(
         np.asarray(c_out2), np.asarray(c_ref2), rtol=1e-6
     )
+
+
+def test_mla_decode_kernel_fp8_latent_matches_dequant_ref():
+    """Regression: fp8 latent pages were fed straight into the MXU dots
+    and softmax probs were quantized to fp8 before the PV matmul; the
+    _mxu upcast keeps the kernel numerically equivalent to attending the
+    dequantized cache (up to fp8 storage error, which the ref shares)."""
+    rng = np.random.default_rng(9)
+    L, NB, bs, Dk, dv, H, B, NBmax = 2, 24, 16, 128, 128, 4, 3, 6
+    cache = _cache(rng, L, NB, bs, Dk, jnp.float8_e4m3fn)
+    q = jnp.asarray(rng.standard_normal((B, H, Dk)), jnp.bfloat16)
+    lat_new = jnp.asarray(rng.standard_normal((B, Dk)), jnp.bfloat16)
+    seq_lens_np = [18, 1, 33]
+    bt = np.zeros((B, NBmax), np.int32)
+    used = iter(range(1, NB))
+    for i, sl in enumerate(seq_lens_np):
+        for j in range((sl + bs - 1) // bs):
+            bt[i, j] = next(used)
+    slots = np.zeros(B, np.int32)
+    for i, sl in enumerate(seq_lens_np):
+        slots[i] = bt[i, (sl - 1) // bs] * bs + (sl - 1) % bs
+    scale = Dk**-0.5
+    block_tables = jnp.asarray(bt)
+    seq_lens = jnp.asarray(seq_lens_np, dtype=jnp.int32)
+
+    # oracle attends the bf16-dequantized cache with the fp8-rounded
+    # latent rows scattered in
+    cache_ref = cache
+    for i, sl in enumerate(seq_lens_np):
+        blk, off = bt[i, (sl - 1) // bs], (sl - 1) % bs
+        cache_ref = cache_ref.at[1, blk, 0, off].set(
+            lat_new[i].astype(jnp.float8_e4m3fn)
+        )
+    ref = mla_decode_ref(
+        q.astype(jnp.float32),
+        cache_ref.astype(jnp.float32),
+        jnp.int32(1), block_tables, seq_lens, scale, dv,
+    )
+    out, cache_out = mla_decode_attention_write_tpu(
+        q, lat_new, cache, jnp.int32(1), jnp.asarray(slots), block_tables,
+        seq_lens, scale, dv, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=3e-2, atol=3e-2,
+    )
+    assert cache_out.dtype == jnp.float8_e4m3fn

@@ -164,3 +164,71 @@ def test_mtp_on_mla_family_greedy_equals_baseline():
     _, base = _generate(cfg(False), prompts, max_tokens=14)
     _, spec = _generate(cfg(True), prompts, max_tokens=14)
     assert spec == base
+
+
+def test_mtp_head_checkpoint_layer_weights_load(tmp_path):
+    """Regression: load_mtp_head_params only mapped enorm/hnorm/eh_proj —
+    the MTP module's decoder layer stayed at random init, so drafts from
+    a real checkpoint were noise and acceptance collapsed."""
+    import jax
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    from xllm_tpu.models.loader import load_mtp_head_params
+    from xllm_tpu.models.mtp_head import MTPHead
+    from xllm_tpu.models.registry import create_model
+
+    cfg = _cfg().model
+    model = create_model(cfg)
+    head = MTPHead(cfg, model)
+    init = head.init_params(jax.random.key(3))
+
+    rng = np.random.default_rng(11)
+    d = cfg.hidden_size
+    hq, hkv, dh = (
+        cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim,
+    )
+    inter = cfg.intermediate_size
+    f32 = lambda *s: rng.standard_normal(s).astype(np.float32)
+    pfx = "model.layers.0."
+    tensors = {
+        pfx + "enorm.weight": f32(d),
+        pfx + "hnorm.weight": f32(d),
+        pfx + "eh_proj.weight": f32(d, 2 * d),
+        pfx + "input_layernorm.weight": f32(d),
+        pfx + "post_attention_layernorm.weight": f32(d),
+        pfx + "self_attn.q_proj.weight": f32(hq * dh, d),
+        pfx + "self_attn.k_proj.weight": f32(hkv * dh, d),
+        pfx + "self_attn.v_proj.weight": f32(hkv * dh, d),
+        pfx + "self_attn.o_proj.weight": f32(d, hq * dh),
+        pfx + "mlp.gate_proj.weight": f32(inter, d),
+        pfx + "mlp.up_proj.weight": f32(inter, d),
+        pfx + "mlp.down_proj.weight": f32(d, inter),
+        pfx + "shared_head.norm.weight": f32(d),
+    }
+    if cfg.qk_norm:
+        tensors[pfx + "self_attn.q_norm.weight"] = f32(dh)
+        tensors[pfx + "self_attn.k_norm.weight"] = f32(dh)
+    save_file(tensors, str(tmp_path / "model.safetensors"))
+
+    out = load_mtp_head_params(str(tmp_path), init, cfg=cfg)
+    # every mapped tensor must actually change from its random init
+    for key in ("enorm", "hnorm", "eh_proj", "norm"):
+        assert not np.allclose(
+            np.asarray(out[key], np.float32),
+            np.asarray(init[key], np.float32),
+        ), key
+    for key in (
+        "input_layernorm", "post_attention_layernorm", "qkv_proj_w",
+        "o_proj_w", "gate_proj_w", "up_proj_w", "down_proj_w",
+    ):
+        assert not np.allclose(
+            np.asarray(out["layers"][key], np.float32),
+            np.asarray(init["layers"][key], np.float32),
+        ), key
+    # round-trip spot check: o_proj transposes back to the HF tensor
+    np.testing.assert_allclose(
+        np.asarray(out["layers"]["o_proj_w"][0], np.float32),
+        tensors[pfx + "self_attn.o_proj.weight"].T,
+        rtol=1e-6,
+    )

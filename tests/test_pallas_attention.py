@@ -889,3 +889,39 @@ def test_decode_v7_sliding_window():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
     )
+
+
+def test_single_chunk_prefill_window_matches_ref():
+    """Regression: the single-chunk prefill kernel accepted `window` but
+    never applied the sliding-window clause of its mask (the batched
+    kernel did) — scoring/verify paths on SWA models attended beyond the
+    window, including pages already recycled by the block manager."""
+    rng = np.random.default_rng(31)
+    L, NB, hkv, hq, bs, D, NBmax = 1, 16, 2, 4, 16, 64, 8
+    W = 24
+    k_all, v_all = _make_cache(rng, L, NB, hkv, bs, D)
+    s = 32
+    q = jnp.asarray(rng.standard_normal((s, hq, D)), jnp.float32)
+    block_table = jnp.asarray(list(range(1, NBmax + 1)), jnp.int32)
+    layer_idx = jnp.int32(0)
+    scale = D**-0.5
+    q_offset = jnp.int32(64)  # chunk far enough in that the window binds
+    kv_len = jnp.int32(96)
+
+    ref = paged_attention_prefill_ref(
+        q, k_all, v_all, layer_idx, block_table, q_offset, kv_len, scale,
+        window=W,
+    )
+    out = paged_attention_prefill_tpu(
+        q, k_all, v_all, layer_idx, block_table, q_offset, kv_len, scale,
+        interpret=True, window=W,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+    # and the window must actually change the answer
+    full = paged_attention_prefill_tpu(
+        q, k_all, v_all, layer_idx, block_table, q_offset, kv_len, scale,
+        interpret=True,
+    )
+    assert np.abs(np.asarray(out) - np.asarray(full)).max() > 1e-3

@@ -140,8 +140,14 @@ def test_transformer_image_conditioning():
     img = jnp.asarray(rng.standard_normal((1, 3, 12)).astype(np.float32))
     t = jnp.asarray([500.0], jnp.float32)
     o1 = model.forward(params, lat, t, text, image_embeds=img)
-    o2 = model.forward(params, lat, t, text, image_embeds=img * 2.0)
-    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+    # perturb CONTENT, not scale: img_norm1 (a LayerNorm) makes a scalar
+    # multiple nearly invisible by construction (reference behaves the
+    # same), so a scale test only measures eps-level noise
+    img2 = jnp.asarray(
+        np.asarray(img) + rng.standard_normal(img.shape).astype(np.float32)
+    )
+    o2 = model.forward(params, lat, t, text, image_embeds=img2)
+    assert np.abs(np.asarray(o1) - np.asarray(o2)).max() > 1e-4
 
 
 def test_vae_latent_geometry():

@@ -306,10 +306,15 @@ class WanTransformer3D:
                 x.astype(jnp.float32) + att.astype(jnp.float32) * gate_sa
             ).astype(x.dtype)
 
-            # cross-attention on text (+image prefix), ungated residual
+            # cross-attention on text (+image prefix), ungated residual;
+            # input is norm2(x) — affine FP32LayerNorm when
+            # cross_attn_norm (reference transformer_wan.h:1220-1222)
             st = txt.shape[1]
+            xn = _layer_norm(x, c.eps, bp["norm2_w"], bp["norm2_b"]).astype(
+                x.dtype
+            )
             q = _rms_norm(
-                jnp.dot(x, bp["cq_w"]) + bp["cq_b"], bp["cqn"], c.eps
+                jnp.dot(xn, bp["cq_w"]) + bp["cq_b"], bp["cqn"], c.eps
             ).reshape(b, n, heads, hd)
             k = _rms_norm(
                 jnp.dot(txt, bp["ck_w"]) + bp["ck_b"], bp["ckn"], c.eps
@@ -326,10 +331,9 @@ class WanTransformer3D:
             ).reshape(b, n, c.dim).astype(x.dtype)
             x = x + (jnp.dot(att, bp["co_w"]) + bp["co_b"])
 
-            # FFN with modulation (norm2 IS affine? reference: norm3
-            # no-affine for ffn mod, norm2 affine only for cross_attn_norm
-            # — default cross_attn_norm uses norm2 affine=True; we keep
-            # the default True path above disabled and use no-affine here)
+            # FFN with modulation: norm3 is NO-affine (reference
+            # transformer_wan.h:1229-1230); norm2's affine weights belong
+            # to the cross-attention input above
             h = (
                 _layer_norm(x, c.eps) * (1 + c_scale) + c_shift
             ).astype(x.dtype)

@@ -144,10 +144,13 @@ class DenseDecoderModel:
         c = self.cfg
         return (c.num_hidden_layers, num_blocks, c.num_kv_heads, block_size, c.head_dim)
 
-    def kv_bytes_per_token(self) -> int:
-        """Per-token KV bytes across all layers (capacity estimation)."""
+    def kv_bytes_per_token(self, bytes_per_el: int | None = None) -> int:
+        """Per-token KV bytes across all layers (capacity estimation).
+        ``bytes_per_el`` overrides the model dtype's size when the cache
+        is stored quantized (kv_cache_dtype=fp8_e4m3 -> 1)."""
         c = self.cfg
-        bytes_per_el = 2 if self.dtype == jnp.bfloat16 else 4
+        if bytes_per_el is None:
+            bytes_per_el = 2 if self.dtype == jnp.bfloat16 else 4
         return c.num_hidden_layers * 2 * c.num_kv_heads * c.head_dim * bytes_per_el
 
     def kv_cache_sharding(self) -> P:

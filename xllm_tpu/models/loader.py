@@ -937,15 +937,16 @@ def _load_moe_mlp(
 
 
 def load_mtp_head_params(
-    draft_model_path: str, init_params: dict, dtype=None
+    draft_model_path: str, init_params: dict, dtype=None,
+    cfg: ModelConfig | None = None,
 ) -> dict:
     """Best-effort MTP/Eagle3 head weight loading.
 
-    Maps DeepSeek-V3/MiMo-style MTP module tensors (enorm, hnorm, eh_proj,
-    one decoder layer — reference mtp_worker_impl.h:34 weight layout) onto
-    the MTPHead parameter tree; any tensor the checkpoint lacks keeps its
-    random init (and a warning is logged) so structure tests run without
-    real draft checkpoints.
+    Maps MiMo/qwen-style MTP module tensors (enorm, hnorm, eh_proj, one
+    dense decoder layer + final norm — reference mtp_worker_impl.h:34
+    weight layout) onto the MTPHead parameter tree; any tensor the
+    checkpoint lacks keeps its random init (and a warning is logged) so
+    structure tests run without real draft checkpoints.
     """
     import jax.numpy as jnp
 
@@ -977,6 +978,12 @@ def load_mtp_head_params(
                 dst[key] = jnp.asarray(arr, dst[key].dtype)
                 return
 
+    def t_1(a):  # HF [out, in] -> [1, in, out]
+        return np.ascontiguousarray(a.T)[None]
+
+    def ln_1(a):  # [d] -> [1, d]
+        return a[None]
+
     # candidate prefixes: a dedicated mtp dir ("model.layers.0.") or the
     # extra-layer convention ("model.layers.<L>.") — probe both
     prefixes = ["model.layers.0.", "mtp.", "model.mtp."]
@@ -986,6 +993,51 @@ def load_mtp_head_params(
             try_put(out, "hnorm", [f"{pfx}hnorm.weight"])
             try_put(out, "eh_proj", [f"{pfx}eh_proj.weight"],
                     transform=lambda a: a.T)
+            try_put(out, "norm", [f"{pfx}shared_head.norm.weight",
+                                  f"{pfx}final_layernorm.weight",
+                                  "model.norm.weight"])
+            # the MTP module's own decoder layer (attention + MLP)
+            try_put(layers, "input_layernorm",
+                    [f"{pfx}input_layernorm.weight"], transform=ln_1)
+            try_put(layers, "post_attention_layernorm",
+                    [f"{pfx}post_attention_layernorm.weight"],
+                    transform=ln_1)
+            qn = f"{pfx}self_attn.q_proj.weight"
+            if cfg is not None and qn in reader:
+                fused = _fuse_qkv(
+                    cfg,
+                    reader.get(qn),
+                    reader.get(f"{pfx}self_attn.k_proj.weight"),
+                    reader.get(f"{pfx}self_attn.v_proj.weight"),
+                )  # [in, out]
+                want = layers["qkv_proj_w"].shape
+                if fused[None].shape == want:
+                    layers["qkv_proj_w"] = jnp.asarray(
+                        fused[None], layers["qkv_proj_w"].dtype
+                    )
+                else:
+                    logger.warning(
+                        "MTP head: fused qkv shape %s != %s; skipped",
+                        fused[None].shape, want,
+                    )
+            elif cfg is None and qn in reader:
+                logger.warning(
+                    "MTP head: q/k/v present but no cfg passed; "
+                    "attention weights stay random"
+                )
+            try_put(layers, "o_proj_w",
+                    [f"{pfx}self_attn.o_proj.weight"], transform=t_1)
+            try_put(layers, "gate_proj_w",
+                    [f"{pfx}mlp.gate_proj.weight"], transform=t_1)
+            try_put(layers, "up_proj_w",
+                    [f"{pfx}mlp.up_proj.weight"], transform=t_1)
+            try_put(layers, "down_proj_w",
+                    [f"{pfx}mlp.down_proj.weight"], transform=t_1)
+            if "q_norm" in layers:
+                try_put(layers, "q_norm",
+                        [f"{pfx}self_attn.q_norm.weight"], transform=ln_1)
+                try_put(layers, "k_norm",
+                        [f"{pfx}self_attn.k_norm.weight"], transform=ln_1)
             break
     reader.close()
     out["layers"] = layers

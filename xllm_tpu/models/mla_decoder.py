@@ -210,8 +210,9 @@ class MlaDecoderModel(DenseDecoderModel):
         # latent cache is MQA — replicated over tp; blocks shard over DP
         return P(None, "data", None, None, None)
 
-    def kv_bytes_per_token(self) -> int:
-        bytes_per_el = 2 if self.dtype == jnp.bfloat16 else 4
+    def kv_bytes_per_token(self, bytes_per_el: int | None = None) -> int:
+        if bytes_per_el is None:
+            bytes_per_el = 2 if self.dtype == jnp.bfloat16 else 4
         per = self.dk_pad + (self.idx_dim if self.dsa else 0)
         return self.cfg.num_hidden_layers * per * bytes_per_el
 

@@ -74,13 +74,14 @@ def mla_prefill_attention_write(
 
         ntok = kv_len - q_offset
         bs = cache.shape[3]
+        lat_w = lat_new.astype(cache.dtype)  # DMA cannot convert dtypes
         if lat_new.shape[0] <= bs:
             cache = latent_write_rmw_tpu(
-                lat_new, cache, layer_idx, block_table, q_offset, ntok
+                lat_w, cache, layer_idx, block_table, q_offset, ntok
             )
         else:
             cache = latent_write_prefill_tpu(
-                lat_new, cache, layer_idx, block_table, q_offset, ntok
+                lat_w, cache, layer_idx, block_table, q_offset, ntok
             )
         out = mla_prefill_attention_tpu(
             q_eff, cache, layer_idx, block_table, q_offset, kv_len, scale, dv

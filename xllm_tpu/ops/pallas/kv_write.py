@@ -659,7 +659,7 @@ def _latent_rmw_kernel(
                 & (pos // block_size == page_idx)
                 & (row == jax.lax.rem(pos, block_size))
             )
-            pg[...] = jnp.where(hit, lt[j][None, :], pg[...])
+            pg[...] = jnp.where(hit, lt[j][None, :].astype(pg.dtype), pg[...])
         wr = pltpu.make_async_copy(pg, c_out.at[layer, blk, 0], sem.at[0])
         wr.start()
         wr.wait()

@@ -21,6 +21,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+
+def _mxu(x):
+    """fp8 latent tiles upcast to bf16 for the MXU (quantized KV,
+    reference kv_cache_impl.h:29 quantized variants); matmuls in fp8
+    would quantize softmax probabilities and Mosaic won't lower the
+    mixed-dtype dot."""
+    return x.astype(jnp.bfloat16) if x.dtype == jnp.float8_e4m3fn else x
+
 _NEG_INF = -1e30
 _NSLOTS = 4
 
@@ -88,12 +96,13 @@ def _mla_decode_kernel(
                     jnp.int32, (block_size, dk), 0
                 )
                 buf[slot] = jnp.where(
-                    row == off, lat_new_ref[0], buf[slot]
+                    row == off, lat_new_ref[0].astype(buf.dtype), buf[slot]
                 )
 
+            b = _mxu(buf[slot])
             s_ = jax.lax.dot_general(
                 q,
-                buf[slot],
+                b,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale  # [H, bs]
@@ -107,8 +116,8 @@ def _mla_decode_kernel(
             p = jnp.exp(s_ - m_new)
             l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
             pv = jax.lax.dot_general(
-                p.astype(buf.dtype),
-                buf[slot, :, :dv],
+                p.astype(b.dtype),
+                b[:, :dv],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [H, dv]
@@ -266,9 +275,10 @@ def _mla_prefill_kernel(
                 page_dma(jax.lax.rem(nxt, _NSLOTS), nxt).start()
 
             page_dma(slot, i).wait()
+            b = _mxu(buf[slot])
             s_ = jax.lax.dot_general(
                 q,
-                buf[slot],
+                b,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale  # [HG*TQ, bs]
@@ -283,8 +293,8 @@ def _mla_prefill_kernel(
             p = jnp.exp(s_ - m_new)
             l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
             pv = jax.lax.dot_general(
-                p.astype(buf.dtype),
-                buf[slot, :, :dv],
+                p.astype(b.dtype),
+                b[:, :dv],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -454,9 +464,10 @@ def _mla_prefill_batched_kernel(
 
             for c in page_dmas(slot, i):
                 c.wait()
+            b = _mxu(buf[slot])
             s_ = jax.lax.dot_general(
                 q,
-                buf[slot],
+                b,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale
@@ -471,8 +482,8 @@ def _mla_prefill_batched_kernel(
             pr = jnp.exp(s_ - m_new)
             l_new = l * alpha + jnp.sum(pr, axis=-1, keepdims=True)
             pv = jax.lax.dot_general(
-                pr.astype(buf.dtype),
-                buf[slot, :, :dv],
+                pr.astype(b.dtype),
+                b[:, :dv],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )

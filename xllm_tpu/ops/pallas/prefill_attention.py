@@ -125,6 +125,8 @@ def _prefill_kernel(
                 jnp.int32, (group * tq, block_size), 1
             )
             mask = (kv_idx <= row_pos) & (kv_idx < kv_len)
+            if window > 0:
+                mask = mask & (kv_idx > row_pos - window)
             s = jnp.where(mask[None], s, _NEG_INF)
 
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))

@@ -179,7 +179,7 @@ class ModelRunner:
 
                 hp = load_mtp_head_params(
                     self.config.speculative.draft_model_path, hp,
-                    dtype=self.model.dtype,
+                    dtype=self.model.dtype, cfg=self.config.model,
                 )
             if shardings is not None:
                 hp = jax.tree.map(jax.device_put, hp, shardings)
@@ -248,24 +248,7 @@ class ModelRunner:
             self.num_blocks -= self.num_blocks % self.dp_size
             per = self.num_blocks // self.dp_size
             self.null_blocks = [r * per for r in range(self.dp_size)]
-        kv_dtype = self.model.dtype
-        if self.config.cache.kv_cache_dtype not in ("auto", ""):
-            # quantized KV (reference kv_cache_impl.h:29 quantized variants):
-            # fp8_e4m3 stores post-norm K/V raw (range |x| <= 448 covers
-            # attention K/V); kernels upcast tiles on load
-            table = {
-                "bfloat16": jnp.bfloat16,
-                "float32": jnp.float32,
-                "fp8_e4m3": jnp.float8_e4m3fn,
-            }
-            if self.config.cache.kv_cache_dtype not in table:
-                raise ValueError(
-                    f"unsupported kv_cache_dtype "
-                    f"{self.config.cache.kv_cache_dtype!r}; "
-                    f"one of {sorted(table)} (int8 KV is covered by "
-                    f"fp8_e4m3 — same byte width, no scale plumbing)"
-                )
-            kv_dtype = table[self.config.cache.kv_cache_dtype]
+        kv_dtype = self._resolve_kv_dtype()
         self.model.num_state_slots = self.max_slots
         k, v = self.model.new_kv_cache(self.num_blocks, self.block_size, kv_dtype)
         if self.mesh is not None:
@@ -291,13 +274,38 @@ class ModelRunner:
         )
         return self.num_blocks
 
+    def _resolve_kv_dtype(self):
+        """Cache storage dtype from config (reference kv_cache_impl.h:29
+        quantized variants): fp8_e4m3 stores post-norm K/V raw (range
+        |x| <= 448 covers attention K/V); kernels upcast tiles on load."""
+        if self.config.cache.kv_cache_dtype in ("auto", ""):
+            return self.model.dtype
+        table = {
+            "bfloat16": jnp.bfloat16,
+            "float32": jnp.float32,
+            "fp8_e4m3": jnp.float8_e4m3fn,
+        }
+        if self.config.cache.kv_cache_dtype not in table:
+            raise ValueError(
+                f"unsupported kv_cache_dtype "
+                f"{self.config.cache.kv_cache_dtype!r}; "
+                f"one of {sorted(table)} (int8 KV is covered by "
+                f"fp8_e4m3 — same byte width, no scale plumbing)"
+            )
+        return table[self.config.cache.kv_cache_dtype]
+
     def _derive_num_blocks(self) -> int:
         cfg = self.config
         if cfg.cache.num_blocks > 0:
             return cfg.cache.num_blocks
         tp = cfg.parallel.tp_size
+        # quantized KV halves/quarters the per-token footprint — derive
+        # capacity from the cache storage dtype, not the model dtype
+        kv_itemsize = jnp.dtype(self._resolve_kv_dtype()).itemsize
         per_block_per_dev = max(
-            self.model.kv_bytes_per_token() * self.block_size // max(tp, 1), 1
+            self.model.kv_bytes_per_token(kv_itemsize)
+            * self.block_size // max(tp, 1),
+            1,
         )
         try:
             stats = jax.local_devices()[0].memory_stats()
