@@ -185,3 +185,26 @@ def test_per_request_seed_reproducible_and_batch_independent():
                steps=np.asarray([5], np.int32), key=jax.random.key(42))
     t5, _ = sample(logits1, si_s)
     assert t5.shape == (1,)
+
+
+def test_penalties_respect_topk_ordering():
+    """Regression: the positional top-k/top-p masks assumed candidates
+    stayed sorted, but penalties reorder them — with top_k=1 the sampler
+    kept the RAW argmax (now penalized below other candidates) instead of
+    the best penalized candidate."""
+    import numpy as np
+
+    v = 100
+    logits = np.full((1, v), -10.0, np.float32)
+    logits[0, 7] = 5.0   # raw best — but heavily penalized below
+    logits[0, 21] = 4.0  # best after penalties
+    hist = jnp.asarray([[7] * 6], jnp.int32)
+    si = _si(
+        1,
+        temperature=np.asarray([1.0], np.float32),
+        top_k=np.asarray([1], np.int32),
+        repetition_penalty=np.asarray([100.0], np.float32),
+        hist_len=np.asarray([6], np.int32),
+    )
+    tokens, _ = sample(jnp.asarray(logits), si, hist)
+    assert int(tokens[0]) == 21

@@ -112,3 +112,46 @@ def test_spec_engine_matches_plain_greedy():
         assert eng.block_manager.num_used_blocks == 0
     assert outs[True] == outs[False], (outs[True], outs[False])
     assert len(outs[True]) == 24
+
+
+def test_spec_verify_batches_beyond_largest_row_bucket():
+    """Regression: the batched verify dispatch was bounded only by
+    max_seqs_per_batch while next_bucket silently clamped to the largest
+    prefill row bucket — with more drafted sequences than that bucket,
+    rows overflowed (IndexError single-device; silent KV corruption into
+    the next rank's shard under DP). The engine must chunk dispatches."""
+    cfg = EngineConfig(
+        model=ModelConfig(
+            model_type="qwen3", dtype="float32",
+            vocab_size=64, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=8, qk_norm=True, max_position_embeddings=128,
+        ),
+        cache=CacheConfig(block_size=16, num_blocks=64),
+        scheduler=SchedulerConfig(
+            max_seqs_per_batch=6, decode_batch_buckets=[6],
+            prefill_token_buckets=[32], prefill_row_buckets=[1, 2],
+            max_model_len=128,
+        ),
+        speculative=SpeculativeConfig(
+            method="suffix", num_speculative_tokens=3
+        ),
+        seed=7,
+    )
+    eng = LLMEngine(cfg)
+    # 5 repetitive prompts -> all five draft in the same step; the
+    # largest verify-row bucket is 2, so verification needs 3 dispatches
+    prompt = [5, 6, 7, 8, 5, 6, 7, 8, 5, 6, 7, 8]
+    sp = SamplingParams(temperature=0.0, max_tokens=16, ignore_eos=True)
+    for i in range(5):
+        eng.add_request(
+            prompt_token_ids=list(prompt), sampling_params=sp,
+            request_id=f"s{i}",
+        )
+    outs = eng.generate_all(timeout_s=600)
+    assert len(outs) == 5
+    tok0 = outs[0].outputs[0].token_ids
+    assert len(tok0) == 16
+    for o in outs[1:]:  # identical prompts -> identical greedy tokens
+        assert o.outputs[0].token_ids == tok0
+    assert eng.block_manager.num_used_blocks == 0

@@ -697,11 +697,16 @@ class LLMEngine:
                     mtp_seqs.append(seq)
                 else:
                     decode_seqs.append(seq)
-            if mtp_seqs:
+            max_rows = self.config.scheduler.prefill_row_buckets[-1]
+            for lo in range(0, len(mtp_seqs), max_rows):
+                # bound each dispatch to the largest verify-row bucket
+                # (next_bucket silently clamps; overflow would corrupt
+                # row assignment)
+                grp = mtp_seqs[lo : lo + max_rows]
                 all_tokens, num_acc, vrows = self.runner.run_verify_mtp(
-                    mtp_seqs, self.spec_k
+                    grp, self.spec_k
                 )
-                for seq, i in zip(mtp_seqs, vrows):
+                for seq, i in zip(grp, vrows):
                     self._apply_verified(seq, all_tokens[i, : num_acc[i]])
                     verified.append(seq)
         elif self.spec_k and decode_seqs:
@@ -718,14 +723,18 @@ class LLMEngine:
                     tokens, n = self.runner.run_verify(seq, draft)
                     self._apply_verified(seq, tokens)
                     verified.append(seq)
-            if pairs:
-                # ONE dispatch verifies every drafted sequence (reference
-                # packs all drafts into one target forward,
-                # spec_input_builder.cpp + speculative_engine.cpp:51-57)
+            max_rows = self.config.scheduler.prefill_row_buckets[-1]
+            for lo in range(0, len(pairs), max_rows):
+                # ONE dispatch verifies a bucketful of drafted sequences
+                # (reference packs all drafts into one target forward,
+                # spec_input_builder.cpp + speculative_engine.cpp:51-57);
+                # bounded by the largest verify-row bucket — next_bucket
+                # clamps silently and overflow would corrupt rows
+                grp = pairs[lo : lo + max_rows]
                 all_tokens, num_acc, vrows = self.runner.run_verify_batched(
-                    pairs, self.spec_k
+                    grp, self.spec_k
                 )
-                for (seq, _), i in zip(pairs, vrows):
+                for (seq, _), i in zip(grp, vrows):
                     self._apply_verified(seq, all_tokens[i, : num_acc[i]])
                     verified.append(seq)
 
@@ -825,6 +834,10 @@ class LLMEngine:
             # sequences on the exact decode path (same rule as
             # _propose_draft for the host proposers)
             return False
+        if getattr(seq, "rope_offset", 0) != 0:
+            # VLM rows: the verify builder positions are token indices,
+            # not M-RoPE continuations — exact decode handles the offset
+            return False
         if seq.num_fixed_tokens != seq.num_tokens:
             return False
         if seq.num_tokens + k + 1 > self.config.scheduler.max_model_len:
@@ -846,6 +859,10 @@ class LLMEngine:
         ):
             # rejection sampling bypasses the penalty pass; keep penalized
             # sequences on the exact decode path
+            return None
+        if getattr(seq, "rope_offset", 0) != 0:
+            # VLM rows: verify positions are token indices, not M-RoPE
+            # continuations — exact decode handles the offset
             return None
         if seq.num_fixed_tokens != seq.num_tokens:
             return None  # last token still on device (shouldn't happen sync)

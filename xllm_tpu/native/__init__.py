@@ -51,8 +51,12 @@ def build_c_api() -> str:
 
     os.makedirs(_BUILD, exist_ok=True)
     src = os.path.join(_SRC, "c_api.cpp")
+    hdr = os.path.join(os.path.dirname(_SRC), "include", "xllm_c.h")
     out = os.path.join(_BUILD, "libxllm_c.so")
-    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+    newest = max(
+        os.path.getmtime(p) for p in (src, hdr) if os.path.exists(p)
+    )
+    if os.path.exists(out) and os.path.getmtime(out) >= newest:
         return out
     inc = sysconfig.get_paths()["include"]
     libdir = sysconfig.get_config_var("LIBDIR") or ""

@@ -3,9 +3,11 @@
 // fronts the C++ runtime; here the runtime IS Python, so the shim owns an
 // embedded interpreter and drives xllm_tpu.llm.LLM through it).
 //
-// Threading: every entry point takes the GIL (PyGILState_Ensure), so the
-// API is safe to call from any host thread; calls serialize on the GIL
-// exactly as the engine serializes on the device.
+// Threading: every entry point takes the GIL (PyGILState_Ensure) AND a
+// per-handler mutex. The GIL alone is not enough: the engine releases it
+// during XLA dispatch, so two concurrent completions calls would
+// interleave inside one scheduler. Interpreter bootstrap is guarded by
+// std::call_once against a first-use race.
 
 #include "../include/xllm_c.h"
 
@@ -13,16 +15,24 @@
 
 #include <cstdlib>
 #include <cstring>
+#include <mutex>
 #include <string>
 
 struct XLLM_LLM_Handler {
   PyObject* llm;  // xllm_tpu.llm.LLM instance (or nullptr)
+  std::mutex mu;  // serializes engine-driving calls on this handler
 };
 
-static bool ensure_python() {
-  if (Py_IsInitialized()) return true;
+static std::once_flag g_py_init_once;
+static bool g_py_init_ok = false;
+
+static void init_python_once() {
+  if (Py_IsInitialized()) {  // host app already owns the interpreter
+    g_py_init_ok = true;
+    return;
+  }
   Py_InitializeEx(0);
-  if (!Py_IsInitialized()) return false;
+  if (!Py_IsInitialized()) return;
   // the embedded interpreter must see the package; honor PYTHONPATH and
   // add the package root two levels up from this shared object if set
   // via XLLM_TPU_ROOT
@@ -36,7 +46,12 @@ static bool ensure_python() {
   // release the GIL acquired by Py_Initialize so PyGILState_Ensure works
   // from arbitrary host threads
   PyEval_SaveThread();
-  return true;
+  g_py_init_ok = true;
+}
+
+static bool ensure_python() {
+  std::call_once(g_py_init_once, init_python_once);
+  return g_py_init_ok;
 }
 
 static char* dup_cstr(const char* s) {
@@ -76,8 +91,8 @@ static std::string py_error_string() {
 extern "C" {
 
 XLLM_LLM_Handler* xllm_llm_create(void) {
-  auto* h = static_cast<XLLM_LLM_Handler*>(
-      std::calloc(1, sizeof(XLLM_LLM_Handler)));
+  auto* h = new (std::nothrow) XLLM_LLM_Handler();
+  if (h != nullptr) h->llm = nullptr;
   return h;
 }
 
@@ -88,7 +103,7 @@ void xllm_llm_destroy(XLLM_LLM_Handler* handler) {
     Py_DECREF(handler->llm);
     PyGILState_Release(g);
   }
-  std::free(handler);
+  delete handler;
 }
 
 void xllm_llm_init_options_default(XLLM_InitOptions* o) {
@@ -119,6 +134,7 @@ bool xllm_llm_initialize(XLLM_LLM_Handler* handler,
                          const XLLM_InitOptions* init_options) {
   if (handler == nullptr || init_options == nullptr) return false;
   if (!ensure_python()) return false;
+  std::lock_guard<std::mutex> lk(handler->mu);
   PyGILState_STATE g = PyGILState_Ensure();
   bool ok = false;
   // one helper module call keeps all marshalling in python
@@ -161,6 +177,7 @@ static XLLM_Response* run_generate(XLLM_LLM_Handler* handler,
     xllm_llm_request_params_default(&def);
     params = &def;
   }
+  std::lock_guard<std::mutex> lk(handler->mu);
   PyGILState_STATE g = PyGILState_Ensure();
   XLLM_Response* resp = nullptr;
   PyObject* mod = PyImport_ImportModule("xllm_tpu.c_api_impl");

@@ -115,6 +115,7 @@ def _zero_decode(b_pad: int, nbt: int):
         slot_mapping=np.zeros(b_pad, np.int32),
         block_tables=np.zeros((b_pad, nbt), np.int32),
         seq_lens=np.zeros(b_pad, np.int32),
+        hist_positions=np.zeros(b_pad, np.int32),
     )
 
 

@@ -90,11 +90,13 @@ class VideoProcessor:
             frames = frames[None]
         if frames.dtype == np.uint8:
             frames = frames.astype(np.float32) / 255.0
+        n_src = frames.shape[0]
         idx = sample_frames(
-            frames.shape[0], fps, self.target_fps,
+            n_src, fps, self.target_fps,
             self.min_frames, self.max_frames, self.temporal_patch_size,
         )
         frames = frames[idx]
+        n_sampled = frames.shape[0]
         tp = self.temporal_patch_size
         t = frames.shape[0]
         if t % tp:
@@ -124,7 +126,16 @@ class VideoProcessor:
         x = x.reshape(gt, gh // m, m, gw // m, m, c * tp * ps * ps)
         x = x.transpose(0, 1, 3, 2, 4, 5)  # merge blocks outer
         patches = x.reshape(gt * gh * gw, c * tp * ps * ps)
-        second_per_grid_t = tp / fps if fps and fps > 0 else 1.0
+        # wall-clock seconds per temporal grid step = tp / SAMPLED fps
+        # (HF qwen2.5-vl temporal_patch_size / sampling fps) — the source
+        # fps would compress temporal rope by video_fps/target_fps; the
+        # sampled rate is derived from the actual kept frame count so
+        # min/max_frames clamping is accounted for
+        if fps and fps > 0 and n_sampled > 0:
+            duration_s = n_src / fps
+            second_per_grid_t = tp * duration_s / n_sampled
+        else:
+            second_per_grid_t = 1.0
         return patches.astype(np.float32), (gt, gh, gw), second_per_grid_t
 
     def num_llm_tokens(self, grid: tuple[int, int, int]) -> int:

@@ -86,10 +86,14 @@ class DecodeInput:
     """
 
     slot_ids: jnp.ndarray  # [B] int32 index into last_tokens (pad -> trash)
-    positions: jnp.ndarray  # [B] int32
+    positions: jnp.ndarray  # [B] int32 rope position (token index +
+    # rope_offset for M-RoPE text continuation)
     slot_mapping: jnp.ndarray  # [B] int32
     block_tables: jnp.ndarray  # [B, NB] int32
     seq_lens: jnp.ndarray  # [B] int32 (0 for padded rows)
+    # un-offset token index (num_tokens - 1) for the history ring — the
+    # rope position is the wrong key for VLM rows (rope_offset != 0)
+    hist_positions: jnp.ndarray | None = None  # [B] int32
 
 
 @jax.tree_util.register_dataclass

@@ -102,12 +102,22 @@ def _assign_rows(
     """
     if dp_size <= 1:
         p_pad = next_bucket(row_buckets, len(items))
+        if len(items) > p_pad:
+            raise ValueError(
+                f"{len(items)} rows exceed the largest row bucket "
+                f"{row_buckets[-1]}; callers must split dispatches"
+            )
         return list(range(len(items))), p_pad
     counts = [0] * dp_size
     for seq in items:
         rank = max(seq.dp_rank, 0)
         counts[rank] += 1
     rows_per_rank = next_bucket(row_buckets, max(max(counts), 1))
+    if max(counts) > rows_per_rank:
+        raise ValueError(
+            f"{max(counts)} rows on one DP rank exceed the largest row "
+            f"bucket {row_buckets[-1]}; callers must split dispatches"
+        )
     rows = []
     fill = [0] * dp_size
     for seq in items:
@@ -378,11 +388,13 @@ def build_decode_input(
                 i, b_pad, dp_size, null_blocks, block_size
             )
             block_tables[i, :] = null_blocks[i // (b_pad // dp_size)]
+    hist_positions = np.zeros(b_pad, np.int32)
     for seq, i in zip(seqs, rows):
         pos = seq.num_tokens - 1
         slot_ids[i] = seq.slot_id
         positions[i] = pos + seq.rope_offset  # M-RoPE text-continuation
         # offset (0 for text-only sequences)
+        hist_positions[i] = pos  # history ring keys on the token index
         slot_mapping[i] = seq.block_ids[pos // block_size] * block_size + (
             pos % block_size
         )
@@ -395,6 +407,7 @@ def build_decode_input(
         slot_mapping=slot_mapping,
         block_tables=block_tables,
         seq_lens=seq_lens,
+        hist_positions=hist_positions,
     )
     return inp, rows
 

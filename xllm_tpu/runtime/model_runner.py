@@ -363,8 +363,15 @@ class ModelRunner:
         ):
             token_ids = last_tokens[inp.slot_ids]
             # record each row's input token (the previous sample) so the
-            # device history ring holds every position < num_tokens
-            token_hist = token_hist.at[inp.slot_ids, inp.positions].set(
+            # device history ring holds every position < num_tokens;
+            # keyed by TOKEN index, not the rope position (VLM rows carry
+            # a rope_offset)
+            hp = (
+                inp.hist_positions
+                if inp.hist_positions is not None
+                else inp.positions
+            )
+            token_hist = token_hist.at[inp.slot_ids, hp].set(
                 token_ids
             )
             hidden, k_cache, v_cache = model.decode(
@@ -608,7 +615,12 @@ class ModelRunner:
             need_logprobs=True,
         ):
             token_ids = last_tokens[inp.slot_ids]
-            token_hist = token_hist.at[inp.slot_ids, inp.positions].set(
+            hp = (
+                inp.hist_positions
+                if inp.hist_positions is not None
+                else inp.positions
+            )
+            token_hist = token_hist.at[inp.slot_ids, hp].set(
                 token_ids
             )
             hidden, k_cache, v_cache = model.decode(
@@ -1612,6 +1624,7 @@ class ModelRunner:
                 slot_mapping=np.zeros(b_pad, np.int32),
                 block_tables=np.zeros((b_pad, nb), np.int32),
                 seq_lens=np.zeros(b_pad, np.int32),
+                hist_positions=np.zeros(b_pad, np.int32),
             )
             si = SamplingInput(
                 temperature=np.zeros(b_pad, np.float32),

@@ -81,10 +81,14 @@ def sample(
     top_vals = top_vals.astype(jnp.float32)
     if hist is not None:
         top_vals = _penalize(top_vals, top_idx, hist, si)
-        # penalties can reorder candidates: greedy = best penalized cand
-        greedy = jnp.take_along_axis(
-            top_idx, jnp.argmax(top_vals, axis=-1)[:, None], axis=-1
-        )[:, 0].astype(jnp.int32)
+        # penalties reorder candidates — re-sort descending by penalized
+        # value, since the positional top-k and nucleus prefix masks
+        # below assume sorted candidates (HF/OpenAI apply top-k/top-p
+        # over the penalized scores)
+        order = jnp.argsort(-top_vals, axis=-1)
+        top_vals = jnp.take_along_axis(top_vals, order, axis=-1)
+        top_idx = jnp.take_along_axis(top_idx, order, axis=-1)
+        greedy = top_idx[:, 0].astype(jnp.int32)
     else:
         greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 

@@ -100,6 +100,10 @@ class MixScheduler(ContinuousScheduler):
         for key, is_waiting, req in units:
             if latency_left <= 0 or req.is_finished:
                 continue
+            if not is_waiting and req not in self.running:
+                # preempted mid-walk by a higher-class decode below —
+                # its blocks are freed; do not schedule stray work
+                continue
             if is_waiting:
                 admitted = self._try_admit(
                     req, token_budget, latency_left, out
@@ -198,6 +202,10 @@ class MixScheduler(ContinuousScheduler):
         best, best_key = None, None
         for idx, req in enumerate(self.running):
             if req.is_finished:
+                continue
+            if getattr(req.sequences[0], "beam_request", False):
+                # mid-beam state lives in the BeamRunner and cannot be
+                # RECOMPUTE-restarted by the scheduler alone
                 continue
             key = (req.offline, -req.priority)
             if key <= tuple(requester_key[:2]):
