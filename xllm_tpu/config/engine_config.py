@@ -199,6 +199,10 @@ class SchedulerConfig:
     def resolve_buckets(self) -> None:
         if not self.decode_batch_buckets:
             self.decode_batch_buckets = _bucket_list(self.max_seqs_per_batch)
+        elif max(self.decode_batch_buckets) < self.max_seqs_per_batch:
+            # the scheduler caps decode batches at max_seqs_per_batch; a
+            # smaller largest bucket would overflow row assignment
+            self.max_seqs_per_batch = max(self.decode_batch_buckets)
         if not self.prefill_token_buckets:
             self.prefill_token_buckets = _bucket_list(
                 max(self.max_tokens_per_chunk_for_prefill, 128), start=128
