@@ -1,0 +1,126 @@
+"""Randomized engine soak: mixed features under memory pressure.
+
+The reference covers scheduler/framework interactions with targeted unit
+tests (SURVEY.md §4); this adds a seeded random-scenario soak over the
+REAL engine — continuous arrivals, aborts, penalties, seeds, stop ids,
+embeds and tiny pools (constant preemption) — asserting the core
+invariants after every step:
+
+- ``num_computed_tokens == num_tokens - 1`` for any running decode row
+  (sample-then-compute, CLAUDE.md invariant)
+- block refcounts never leak (pool returns to zero when drained)
+- every finished request produced <= max_tokens and respected stop ids
+"""
+
+import numpy as np
+import pytest
+
+from xllm_tpu.config import CacheConfig, EngineConfig, ModelConfig, SchedulerConfig
+from xllm_tpu.engine import LLMEngine
+from xllm_tpu.framework.sampling_params import SamplingParams
+
+
+def _cfg(num_blocks):
+    return EngineConfig(
+        model=ModelConfig(
+            model_type="qwen3",
+            dtype="float32",
+            vocab_size=97,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=16,
+            qk_norm=True,
+            max_position_embeddings=256,
+            eos_token_ids=[0],
+        ),
+        cache=CacheConfig(block_size=4, num_blocks=num_blocks),
+        scheduler=SchedulerConfig(
+            max_seqs_per_batch=4,
+            max_tokens_per_chunk_for_prefill=16,
+            max_model_len=96,
+            decode_batch_buckets=[4],
+            prefill_token_buckets=[8, 16],
+            prefill_row_buckets=[1, 4],
+        ),
+    )
+
+
+@pytest.mark.parametrize("seed,num_blocks", [(0, 24), (1, 64)])
+def test_engine_soak_random_mixed_load(seed, num_blocks):
+    rng = np.random.default_rng(seed)
+    eng = LLMEngine(_cfg(num_blocks))
+    submitted: dict[str, SamplingParams] = {}
+    finished: dict[str, object] = {}
+    next_id = 0
+
+    def submit():
+        nonlocal next_id
+        rid = f"s{next_id}"
+        next_id += 1
+        kind = rng.integers(0, 5)
+        sp = SamplingParams(
+            temperature=0.0 if kind < 2 else float(rng.uniform(0.5, 1.2)),
+            top_k=int(rng.integers(1, 8)) if kind == 2 else -1,
+            top_p=float(rng.uniform(0.7, 1.0)) if kind == 3 else 1.0,
+            max_tokens=int(rng.integers(1, 20)),
+            ignore_eos=bool(rng.integers(0, 2)),
+            seed=int(rng.integers(0, 1000)) if kind == 4 else None,
+            repetition_penalty=1.3 if kind == 1 else 1.0,
+            stop_token_ids=[int(rng.integers(1, 96))]
+            if rng.integers(0, 3) == 0
+            else None,
+        )
+        n = int(rng.integers(1, 60))
+        eng.add_request(
+            prompt_token_ids=[int(x) for x in rng.integers(1, 96, size=n)],
+            sampling_params=sp,
+            request_id=rid,
+        )
+        submitted[rid] = sp
+
+    for _ in range(3):
+        submit()
+    for step in range(220):
+        # random arrivals + occasional aborts
+        if rng.uniform() < 0.35 and len(submitted) - len(finished) < 10:
+            submit()
+        if rng.uniform() < 0.08:
+            live = [r for r in submitted if r not in finished]
+            if live:
+                victim = str(rng.choice(live))
+                eng.abort_request(victim)
+                finished[victim] = "aborted"
+        for out in eng.step():
+            if out.finished and out.request_id not in finished:
+                finished[out.request_id] = out
+        # invariant: every running decode row is sample-then-compute
+        for req in eng.scheduler.running:
+            for s in req.sequences:
+                if s.is_finished or s.in_prefill or s.on_hold:
+                    continue
+                assert s.num_computed_tokens in (
+                    s.num_tokens - 1,
+                    s.num_tokens,
+                ), (s.num_computed_tokens, s.num_tokens)
+        if not eng.has_unfinished() and len(finished) == len(submitted):
+            if step > 150:
+                break
+
+    # drain whatever is left
+    for out in eng.generate_all(timeout_s=600):
+        finished.setdefault(out.request_id, out)
+
+    assert eng.block_manager.num_used_blocks == 0, "leaked blocks"
+    for rid, sp in submitted.items():
+        out = finished.get(rid)
+        if out is None or out == "aborted":
+            continue
+        toks = out.outputs[0].token_ids
+        assert len(toks) <= sp.max_tokens
+        if sp.stop_token_ids:
+            # stop id may terminate the output but must not be exceeded
+            for t in toks[:-1]:
+                assert t not in sp.stop_token_ids

@@ -254,8 +254,8 @@ class Request:
             max_new_tokens=sampling_params.max_tokens,
             max_model_len=max_model_len,
             eos_token_ids=tuple(eos_token_ids),
-            stop_token_ids=tuple(sampling_params.stop_token_ids),
-            stop_strings=tuple(sampling_params.stop),
+            stop_token_ids=tuple(sampling_params.stop_token_ids or ()),
+            stop_strings=tuple(sampling_params.stop or ()),
             ignore_eos=sampling_params.ignore_eos,
             min_new_tokens=sampling_params.min_tokens,
         )
