@@ -124,3 +124,68 @@ def test_engine_soak_random_mixed_load(seed, num_blocks):
             # stop id may terminate the output but must not be exceeded
             for t in toks[:-1]:
                 assert t not in sp.stop_token_ids
+
+
+def test_engine_soak_spec_window_host_tier():
+    """Cross-feature soak: suffix speculation x sliding-window recycling
+    x host-KV tier x prefix cache under a small pool — the interactions
+    no targeted test covers. Repetitive prompts keep the proposer firing
+    while out-of-window pages recycle mid-generation and evicted pages
+    offload to host DRAM."""
+    from xllm_tpu.config import SpeculativeConfig
+
+    rng = np.random.default_rng(5)
+    cfg = EngineConfig(
+        model=ModelConfig(
+            model_type="mistral",
+            dtype="float32",
+            vocab_size=97,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=16,
+            sliding_window=24,
+            max_position_embeddings=256,
+            eos_token_ids=[0],
+        ),
+        cache=CacheConfig(
+            block_size=4, num_blocks=40, num_host_blocks=64
+        ),
+        scheduler=SchedulerConfig(
+            max_seqs_per_batch=3,
+            max_tokens_per_chunk_for_prefill=16,
+            max_model_len=96,
+            decode_batch_buckets=[3],
+            prefill_token_buckets=[8, 16],
+            prefill_row_buckets=[1, 2],
+        ),
+        speculative=SpeculativeConfig(
+            method="suffix", num_speculative_tokens=3
+        ),
+    )
+    eng = LLMEngine(cfg)
+    base = [int(x) for x in rng.integers(1, 96, size=8)]
+    outs = {}
+    for wave in range(3):
+        for i in range(3):
+            # shared prefix (prefix-cache + host-tier traffic) + a
+            # repetitive tail (suffix proposer fires)
+            tail = [5, 6, 7, 8] * (2 + i)
+            eng.add_request(
+                prompt_token_ids=base + tail,
+                sampling_params=SamplingParams(
+                    temperature=0.0, max_tokens=30, ignore_eos=True
+                ),
+                request_id=f"w{wave}-{i}",
+            )
+        for o in eng.generate_all(timeout_s=600):
+            outs[o.request_id] = o.outputs[0].token_ids
+    assert eng.block_manager.num_used_blocks == 0
+    # same prompt across waves -> identical greedy output regardless of
+    # what the caches/recycling did in between
+    for i in range(3):
+        assert outs[f"w1-{i}"] == outs[f"w0-{i}"]
+        assert outs[f"w2-{i}"] == outs[f"w0-{i}"]
+        assert len(outs[f"w0-{i}"]) == 30
