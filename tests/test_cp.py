@@ -141,3 +141,70 @@ def test_cp_engine_32k_long_context_parity():
         return out
 
     assert run(cfg(cp=2, tp=2)) == run(cfg())
+
+
+def test_cp_penalized_history_matches_single_device():
+    """Regression: the batched-prefill history scatter inferred pads from
+    `col <= logits_idx`, which is wrong once cp zigzag-permutes the token
+    columns — real tokens were dropped from the ring and pad writes raced
+    the last token. The builder-provided hist_pos must survive the
+    permutation: penalized greedy output under (cp=2, tp=2) must equal
+    single-device, and the ring must hold the full prompt."""
+    from xllm_tpu.config import (
+        CacheConfig,
+        EngineConfig,
+        ModelConfig,
+        ParallelConfig,
+        SchedulerConfig,
+    )
+    from xllm_tpu.engine import LLMEngine
+    from xllm_tpu.framework.sampling_params import SamplingParams
+
+    def cfg(cp=1, tp=1):
+        return EngineConfig(
+            model=ModelConfig(
+                model_type="qwen3", dtype="float32", vocab_size=512,
+                hidden_size=128, intermediate_size=256,
+                num_hidden_layers=2, num_attention_heads=8,
+                num_key_value_heads=4, head_dim=16, qk_norm=True,
+                max_position_embeddings=512,
+            ),
+            cache=CacheConfig(num_blocks=64, block_size=16),
+            scheduler=SchedulerConfig(
+                max_seqs_per_batch=2, max_tokens_per_batch=512,
+                decode_batch_buckets=[2], prefill_token_buckets=[64, 128],
+                prefill_row_buckets=[1, 2], max_model_len=512,
+            ),
+            parallel=ParallelConfig(cp_size=cp, tp_size=tp),
+        )
+
+    rng = np.random.default_rng(11)
+    # 100 tokens -> pads inside the 128 bucket, whose length is a
+    # 2*cp multiple -> the zigzag layout actually engages
+    prompt = rng.integers(1, 500, size=100).tolist()
+    sp = SamplingParams(
+        temperature=0.0, max_tokens=8, ignore_eos=True,
+        repetition_penalty=1.4, frequency_penalty=0.3,
+    )
+
+    def run(c):
+        eng = LLMEngine(c)
+        eng.add_request(
+            prompt_token_ids=list(prompt), sampling_params=sp,
+            request_id="p",
+        )
+        req = eng._active_requests["p"]
+        seq = req.sequences[0]
+        for _ in range(60):
+            eng.step()
+            if seq.num_generated_tokens >= 2:
+                break
+        hist = np.asarray(eng.runner.token_hist)[seq.slot_id]
+        np.testing.assert_array_equal(
+            hist[: len(prompt)], np.asarray(prompt)
+        )
+        out = eng.generate_all(timeout_s=600)[0].outputs[0].token_ids
+        assert eng.block_manager.num_used_blocks == 0
+        return out
+
+    assert run(cfg(cp=2, tp=2)) == run(cfg())

@@ -202,6 +202,13 @@ class SchedulerConfig:
         elif max(self.decode_batch_buckets) < self.max_seqs_per_batch:
             # the scheduler caps decode batches at max_seqs_per_batch; a
             # smaller largest bucket would overflow row assignment
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "max_seqs_per_batch=%d exceeds the largest decode batch "
+                "bucket %d; clamping concurrency to the bucket",
+                self.max_seqs_per_batch, max(self.decode_batch_buckets),
+            )
             self.max_seqs_per_batch = max(self.decode_batch_buckets)
         if not self.prefill_token_buckets:
             self.prefill_token_buckets = _bucket_list(

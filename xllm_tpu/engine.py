@@ -291,6 +291,18 @@ class LLMEngine:
                 "beam search is unsupported for hybrid linear-attention "
                 "models (state cannot fork)"
             )
+        if sampling_params.use_beam_search:
+            cap = min(
+                self.config.scheduler.max_seqs_per_batch,
+                max(self.config.scheduler.decode_batch_buckets),
+            )
+            if (sampling_params.best_of or sampling_params.n) > cap:
+                # run_beam_decode dispatches all beams in one decode
+                # batch; beyond the largest bucket row assignment fails
+                raise ValueError(
+                    f"best_of={sampling_params.best_of} exceeds the "
+                    f"largest decode batch this engine compiles ({cap})"
+                )
         if embed:
             sampling_params = SamplingParams(max_tokens=1)
         request_id = request_id or f"req-{uuid.uuid4().hex[:16]}"

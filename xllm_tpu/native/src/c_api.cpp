@@ -23,6 +23,31 @@ struct XLLM_LLM_Handler {
   std::mutex mu;  // serializes engine-driving calls on this handler
 };
 
+// Acquire handler->mu without holding the GIL (a thread that enters with
+// the GIL held — e.g. a Python-embedding host — must release it first,
+// or it deadlocks against a call inside run_generate that is waiting to
+// re-acquire the GIL). Restores the caller's GIL state on destruction
+// AFTER releasing mu, keeping the lock order mu-then-GIL everywhere.
+class EngineLock {
+ public:
+  explicit EngineLock(XLLM_LLM_Handler* h) : h_(h) {
+    if (Py_IsInitialized() && PyGILState_Check()) {
+      saved_ = PyEval_SaveThread();
+    }
+    h_->mu.lock();
+  }
+  ~EngineLock() {
+    h_->mu.unlock();
+    if (saved_ != nullptr) PyEval_RestoreThread(saved_);
+  }
+  EngineLock(const EngineLock&) = delete;
+  EngineLock& operator=(const EngineLock&) = delete;
+
+ private:
+  XLLM_LLM_Handler* h_;
+  PyThreadState* saved_ = nullptr;
+};
+
 static std::once_flag g_py_init_once;
 static bool g_py_init_ok = false;
 
@@ -98,10 +123,17 @@ XLLM_LLM_Handler* xllm_llm_create(void) {
 
 void xllm_llm_destroy(XLLM_LLM_Handler* handler) {
   if (handler == nullptr) return;
-  if (handler->llm != nullptr && Py_IsInitialized()) {
-    PyGILState_STATE g = PyGILState_Ensure();
-    Py_DECREF(handler->llm);
-    PyGILState_Release(g);
+  {
+    // wait for any in-flight call to finish before tearing down; the
+    // caller must not race further calls against destroy (the handle is
+    // invalid afterwards), but an already-running generate completes
+    EngineLock lk(handler);
+    if (handler->llm != nullptr && Py_IsInitialized()) {
+      PyGILState_STATE g = PyGILState_Ensure();
+      Py_DECREF(handler->llm);
+      handler->llm = nullptr;
+      PyGILState_Release(g);
+    }
   }
   delete handler;
 }
@@ -134,7 +166,7 @@ bool xllm_llm_initialize(XLLM_LLM_Handler* handler,
                          const XLLM_InitOptions* init_options) {
   if (handler == nullptr || init_options == nullptr) return false;
   if (!ensure_python()) return false;
-  std::lock_guard<std::mutex> lk(handler->mu);
+  EngineLock lk(handler);
   PyGILState_STATE g = PyGILState_Ensure();
   bool ok = false;
   // one helper module call keeps all marshalling in python
@@ -177,7 +209,7 @@ static XLLM_Response* run_generate(XLLM_LLM_Handler* handler,
     xllm_llm_request_params_default(&def);
     params = &def;
   }
-  std::lock_guard<std::mutex> lk(handler->mu);
+  EngineLock lk(handler);
   PyGILState_STATE g = PyGILState_Ensure();
   XLLM_Response* resp = nullptr;
   PyObject* mod = PyImport_ImportModule("xllm_tpu.c_api_impl");

@@ -122,6 +122,8 @@ def _zero_decode(b_pad: int, nbt: int):
 def _zero_prefill(p_pad: int, s_pad: int, nbt: int):
     from xllm_tpu.runtime.forward_params import BatchedPrefillInput
 
+    from xllm_tpu.runtime.input_builder import HIST_PAD
+
     return BatchedPrefillInput(
         token_ids=np.zeros((p_pad, s_pad), np.int32),
         positions=np.zeros((p_pad, s_pad), np.int32),
@@ -132,6 +134,7 @@ def _zero_prefill(p_pad: int, s_pad: int, nbt: int):
         logits_idx=np.zeros(p_pad, np.int32),
         sample_slots=np.zeros(p_pad, np.int32),
         hist_slots=np.zeros(p_pad, np.int32),
+        hist_pos=np.full((p_pad, s_pad), HIST_PAD, np.int32),
     )
 
 

@@ -59,6 +59,11 @@ class BatchedPrefillInput:
     # trash slot: the sampled token is discarded)
     hist_slots: jnp.ndarray  # [P] int32 token-history ring row (every real
     # chunk records its tokens, mid-prompt included; pad -> trash row)
+    # history-ring column per token: the absolute TOKEN index for real
+    # entries, out-of-bounds sentinel for pads (scatter mode="drop").
+    # Built host-side because the column order may be zigzag-permuted
+    # under cp — the jit cannot infer real-vs-pad from logits_idx there
+    hist_pos: jnp.ndarray | None = None  # [P, S] int32
     # VLM embedding-override path (reference mm-embedding splicing,
     # mm_handler.h:31,104): rows where extra_mask is set take their input
     # embedding from extra_embeds instead of the token embedding table

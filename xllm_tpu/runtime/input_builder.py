@@ -127,6 +127,9 @@ def _assign_rows(
     return rows, rows_per_rank * dp_size
 
 
+HIST_PAD = 1 << 30  # history-scatter pad sentinel (dropped, mode="drop")
+
+
 def _null_slot(row: int, p_pad: int, dp_size: int, null_blocks, block_size):
     """Padded rows/tokens write into their own rank's null block."""
     if not null_blocks or dp_size <= 1:
@@ -168,6 +171,9 @@ def build_batched_prefill_input(
     logits_idx = np.zeros(p_pad, np.int32)
     sample_slots = np.full(p_pad, trash_slot, np.int32)
     hist_slots = np.full(p_pad, trash_slot, np.int32)
+    # pads scatter out of bounds (mode="drop"); real entries get their
+    # absolute token index below
+    hist_pos = np.full((p_pad, s_pad), HIST_PAD, np.int32)
     if null_blocks and dp_size > 1:
         for i in range(p_pad):
             slot_mapping[i, :] = _null_slot(
@@ -202,6 +208,7 @@ def build_batched_prefill_input(
         token_ids[i, :n] = seq.token_ids[start:end]
         positions[i, :n] = np.arange(start, end, dtype=np.int32)
         positions[i, n:] = max(end - 1, 0)
+        hist_pos[i, :n] = np.arange(start, end, dtype=np.int32)
         if vlm:
             # explicit (t, h, w) rope positions for this chunk's rows
             np_ = seq.num_prompt_tokens
@@ -246,6 +253,7 @@ def build_batched_prefill_input(
         logits_idx=logits_idx,
         sample_slots=sample_slots,
         hist_slots=hist_slots,
+        hist_pos=hist_pos,
         extra_embeds=extra_embeds,
         extra_mask=extra_mask,
         mrope_positions=mrope_positions,
@@ -266,6 +274,7 @@ def build_batched_prefill_input(
             logits_idx=np.asarray(inv[logits_idx], np.int32),
             sample_slots=sample_slots,
             hist_slots=hist_slots,
+            hist_pos=hist_pos[:, perm],
             extra_embeds=(
                 extra_embeds[:, perm] if extra_embeds is not None else None
             ),

@@ -424,18 +424,14 @@ class ModelRunner:
                 params, k_cache, v_cache, inp
             )
             logits = model.compute_logits(params, hidden[:, 0])  # [P, V]
-            # divert pad columns (position repeats the chunk's last real
-            # position, token 0) out of bounds: a duplicate-index scatter
-            # would otherwise nondeterministically zero the last token's
-            # history entry (mode="drop" discards the pad writes)
-            col = jnp.arange(inp.token_ids.shape[1], dtype=jnp.int32)
-            hist_pos = jnp.where(
-                col[None, :] <= inp.logits_idx[:, None],
-                inp.positions,
-                token_hist.shape[1],
-            )
+            # pad columns carry an out-of-bounds hist_pos sentinel and are
+            # dropped — a duplicate-index scatter would otherwise
+            # nondeterministically zero the last token's history entry.
+            # hist_pos comes from the builder because under cp the token
+            # columns are zigzag-permuted (col <= logits_idx would be
+            # wrong there)
             token_hist = token_hist.at[
-                inp.hist_slots[:, None], hist_pos
+                inp.hist_slots[:, None], inp.hist_pos
             ].set(inp.token_ids, mode="drop")
             hist = token_hist[inp.hist_slots] if use_penalties else None
             out = sample(logits, si, hist, num_top, need_logprobs)
@@ -512,15 +508,9 @@ class ModelRunner:
                 params, head_params, dk, dv, pre, inp
             )
             logits = model.compute_logits(params, hidden[:, 0])
-            # pad columns out of bounds — see batched_prefill_step
-            col = jnp.arange(inp.token_ids.shape[1], dtype=jnp.int32)
-            hist_pos = jnp.where(
-                col[None, :] <= inp.logits_idx[:, None],
-                inp.positions,
-                token_hist.shape[1],
-            )
+            # pad columns carry OOB hist_pos — see batched_prefill_step
             token_hist = token_hist.at[
-                inp.hist_slots[:, None], hist_pos
+                inp.hist_slots[:, None], inp.hist_pos
             ].set(inp.token_ids, mode="drop")
             hist = token_hist[inp.hist_slots] if use_penalties else None
             tokens, logprobs = sample(
@@ -684,6 +674,11 @@ class ModelRunner:
             logits_idx=put_inp(inp.logits_idx, False),
             sample_slots=put_inp(inp.sample_slots, False),
             hist_slots=put_inp(inp.hist_slots, False),
+            hist_pos=(
+                put_inp(inp.hist_pos, True)
+                if inp.hist_pos is not None
+                else None
+            ),
         )
         return inp, self._put_rows(si, rows)
 
@@ -1175,9 +1170,18 @@ class ModelRunner:
                 if seed >= 0 else self._next_key()
             ),
         )
+        srows = np.asarray(source_rows, np.int32)
+        s_pad = inp.token_ids.shape[1]
+        if self.cp_size > 1 and s_pad % (2 * self.cp_size) == 0:
+            # the builder zigzag-permuted the token columns: slot rows
+            # must be looked up at their permuted column
+            from xllm_tpu.parallel.cp import inverse_order, zigzag_order
+
+            inv = inverse_order(zigzag_order(s_pad, self.cp_size))
+            srows = np.asarray(inv[srows], np.int32)
         res = self._sample_slots_fn(
             self.params, self.k_cache, self.v_cache, self._put(inp),
-            np.int32(rows[0]), np.asarray(source_rows, np.int32),
+            np.int32(rows[0]), srows,
             self._put(si), num_top=num_top,
         )
         self.k_cache, self.v_cache = res[0], res[1]
@@ -1568,6 +1572,8 @@ class ModelRunner:
         key = jax.random.key(0)
         for s_pad in sc.prefill_token_buckets:
             if self.supports_batched_prefill:
+                from xllm_tpu.runtime.input_builder import HIST_PAD
+
                 binp = BatchedPrefillInput(
                     token_ids=np.zeros((1, s_pad), np.int32),
                     positions=np.zeros((1, s_pad), np.int32),
@@ -1578,6 +1584,7 @@ class ModelRunner:
                     logits_idx=np.zeros(1, np.int32),
                     sample_slots=np.full(1, self.trash_slot, np.int32),
                     hist_slots=np.full(1, self.trash_slot, np.int32),
+                    hist_pos=np.full((1, s_pad), HIST_PAD, np.int32),
                 )
                 si = SamplingInput(
                     temperature=np.zeros(1, np.float32),
