@@ -189,3 +189,67 @@ def test_engine_soak_spec_window_host_tier():
         assert outs[f"w1-{i}"] == outs[f"w0-{i}"]
         assert outs[f"w2-{i}"] == outs[f"w0-{i}"]
         assert len(outs[f"w0-{i}"]) == 30
+
+
+def test_engine_soak_dp_mesh_random_arrivals_and_aborts():
+    """DP soak: random arrivals + aborts on a (data=2, tp=2) mesh with a
+    small per-rank pool — exercises per-rank block accounting, rank-major
+    row assembly and abort/preemption bookkeeping under load."""
+    from xllm_tpu.config import ParallelConfig
+
+    rng = np.random.default_rng(9)
+    cfg = EngineConfig(
+        model=ModelConfig(
+            model_type="qwen3",
+            dtype="float32",
+            vocab_size=128,  # divisible by tp=2 (embed table shards)
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=16,
+            qk_norm=True,
+            max_position_embeddings=256,
+            eos_token_ids=[0],
+        ),
+        cache=CacheConfig(block_size=4, num_blocks=48),
+        scheduler=SchedulerConfig(
+            max_seqs_per_batch=4,
+            max_tokens_per_chunk_for_prefill=16,
+            max_model_len=96,
+            decode_batch_buckets=[4],
+            prefill_token_buckets=[8, 16],
+            prefill_row_buckets=[1, 2],
+        ),
+        parallel=ParallelConfig(dp_size=2, tp_size=2),
+    )
+    eng = LLMEngine(cfg)
+    live: list[str] = []
+    done = 0
+    for i in range(14):
+        rid = f"d{i}"
+        eng.add_request(
+            prompt_token_ids=[
+                int(x) for x in rng.integers(1, 96, size=int(rng.integers(3, 40)))
+            ],
+            sampling_params=SamplingParams(
+                temperature=0.0, max_tokens=int(rng.integers(1, 12)),
+                ignore_eos=True,
+            ),
+            request_id=rid,
+        )
+        live.append(rid)
+        for _ in range(int(rng.integers(1, 4))):
+            for out in eng.step():
+                if out.finished and out.request_id in live:
+                    live.remove(out.request_id)
+                    done += 1
+        if live and rng.uniform() < 0.25:
+            victim = str(rng.choice(live))
+            eng.abort_request(victim)
+            live.remove(victim)
+    for out in eng.generate_all(timeout_s=600):
+        done += 1
+    assert eng.block_manager.num_used_blocks == 0
+    assert done >= 5  # most requests actually completed
