@@ -618,3 +618,68 @@ def test_completions_prompt_scoring(server_client):
         assert out["usage"]["completion_tokens"] == 0
 
     loop.run_until_complete(go())
+
+
+def test_stream_overlong_prompt_is_clean_400(server_client):
+    """Regression: stream=true requests raised intake ValueErrors only
+    after 200 + SSE headers were already sent, producing a broken
+    response instead of a clean 400."""
+    client, loop = server_client
+
+    async def run():
+        r = await client.post("/v1/completions", json={
+            "model": "tiny",
+            "prompt": "w1 " * 300,  # tokenizes past max_model_len=128
+            "stream": True,
+            "max_tokens": 4,
+        })
+        assert r.status == 400
+        body = await r.json()
+        assert "error" in body
+
+    loop.run_until_complete(run())
+
+
+def test_engine_step_exception_fails_streams_not_hangs(server_client):
+    """Regression: an exception in the engine loop silently killed the
+    thread and every in-flight await hung forever; it must surface to the
+    client instead."""
+    import asyncio as aio
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from xllm_tpu.server.api import APIServer
+
+    client, loop = server_client
+
+    import tempfile
+    from pathlib import Path
+
+    async def run():
+        # a dedicated server instance so we can break its engine safely
+        model_dir = _make_tokenizer_dir(
+            Path(tempfile.mkdtemp(prefix="tok2-"))
+        )
+        api = APIServer(_config(model_dir), served_model_name="tiny2")
+        c2 = TestClient(TestServer(api.app()))
+        await c2.start_server()
+        try:
+            eng = api.engine.engine
+
+            def boom():
+                raise RuntimeError("injected step failure")
+
+            eng.step = boom  # next step explodes
+            r = await aio.wait_for(
+                c2.post("/v1/completions", json={
+                    "model": "tiny2", "prompt": "w1 w2 w3",
+                    "max_tokens": 8,
+                }),
+                timeout=30,
+            )
+            # the request must terminate (500), not hang
+            assert r.status == 500
+        finally:
+            await c2.close()
+
+    loop.run_until_complete(run())

@@ -216,3 +216,50 @@ def test_sliding_window_release_via_dp_pool():
     assert all(b == null for b in s.block_ids[:released])
     pool.free(s)
     assert pool.num_used_blocks == 0
+
+
+def test_fork_blocks_tail_boundary():
+    """Regression: fork keyed the partial-tail decision on num_tokens %
+    bs, sharing a still-writable block at the % bs == 0 boundary (both
+    beams then wrote different tokens into the same physical slot) and
+    copying an immutable block at % bs == 1."""
+    from xllm_tpu.framework.block_manager import BlockManager
+    from xllm_tpu.framework.request import Request
+    from xllm_tpu.framework.sampling_params import SamplingParams
+
+    def mk_seqs(n_tokens):
+        req = Request(
+            request_id="f",
+            prompt_token_ids=list(range(1, n_tokens + 1)),
+            sampling_params=SamplingParams(
+                use_beam_search=True, n=2, best_of=2, max_tokens=8,
+                ignore_eos=True,
+            ),
+            max_model_len=64,
+        )
+        parent, child = req.sequences[0], req.sequences[1]
+        parent.num_computed_tokens = n_tokens - 1
+        child.token_ids = list(parent.token_ids)
+        child.num_computed_tokens = n_tokens - 1
+        return parent, child
+
+    # boundary: next write (position 3) lands INSIDE the last block ->
+    # the tail must be copied, not shared
+    bm = BlockManager(16, 4, enable_prefix_cache=False)
+    parent, child = mk_seqs(4)
+    assert bm.allocate(parent, 4)
+    pair = bm.fork_blocks(parent, child)
+    assert pair is not None, "tail block shared at the % bs == 0 boundary"
+    assert child.block_ids[-1] != parent.block_ids[-1]
+    assert pair == (parent.block_ids[-1], child.block_ids[-1])
+
+    # one past the boundary: position 4 starts a FRESH block -> all of
+    # the parent's blocks are immutable and fully sharable
+    bm2 = BlockManager(16, 4, enable_prefix_cache=False)
+    parent2, child2 = mk_seqs(5)
+    assert bm2.allocate(parent2, 5)
+    used_before = bm2.num_used_blocks
+    pair2 = bm2.fork_blocks(parent2, child2)
+    assert pair2 is None, "immutable tail was copied needlessly"
+    assert child2.block_ids == parent2.block_ids
+    assert bm2.num_used_blocks == used_before  # pure ref++, no new block

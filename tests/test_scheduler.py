@@ -264,3 +264,44 @@ def test_abort_waiting_request_frees_held_blocks():
     assert bm.num_used_blocks > 0
     sched.abort_request(req)
     assert bm.num_used_blocks == 0
+
+
+def test_admission_counts_whole_request_sequences():
+    """Regression: admission gated on num_running_seqs alone, so a
+    best_of/n=4 request could be admitted with 3 seqs already running —
+    7 sequences for a 4-slot engine ring (slot-pool underflow)."""
+    sched, bm = make_scheduler(num_blocks=64, max_seqs=4)
+    for i in range(3):
+        sched.add_request(make_request(f"r{i}", 4))
+    out = sched.schedule()
+    complete_prefill(out)
+    assert sched.num_running_seqs == 3
+    big = Request(
+        request_id="big",
+        prompt_token_ids=[1, 2, 3, 4],
+        sampling_params=SamplingParams(n=4, best_of=4, max_tokens=4,
+                                       ignore_eos=True),
+        max_model_len=256,
+    )
+    sched.add_request(big)
+    out = sched.schedule()
+    # the 4-seq request must NOT be admitted while 3 seqs run
+    assert all(s.request_id != "big" for s, _ in out.prefill_items)
+    # drain the three running requests, then it fits
+    for _ in range(40):
+        out = sched.schedule()
+        complete_prefill(out)
+        complete_decode(out)
+        for r in list(sched.running):
+            if r.request_id != "big" and all(
+                s.num_generated_tokens >= 4 for s in r.sequences
+            ):
+                for s in r.sequences:
+                    s.finish(FinishReason.LENGTH)
+        sched.free_finished()
+        if any(
+            s.request_id == "big" for s, _ in out.prefill_items
+        ):
+            break
+    else:
+        raise AssertionError("big request never admitted after drain")

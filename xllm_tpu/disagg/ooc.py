@@ -77,6 +77,10 @@ class OOCPrefillNode:
             out.append(self.offline_backlog.popleft())
         return out
 
+    def requeue(self, handoff: PrefillHandoff) -> None:
+        """Return a pulled handoff the decode side could not install."""
+        self.offline_backlog.appendleft(handoff)
+
     # -- dispatch loop ---------------------------------------------------
     def _dispatch(self) -> None:
         """All-online or all-offline admission for this step."""
@@ -171,7 +175,12 @@ class OOCDecodeNode:
 
         if self.able_to_pull():
             for h in prefill_node.pull_offline(self.max_pull):
-                self.accept(h, offline=True)
+                try:
+                    self.accept(h, offline=True)
+                except RuntimeError:
+                    # at capacity (slots/blocks): requeue and stop pulling
+                    prefill_node.requeue(h)
+                    break
                 self.pulls += 1
         eng = self.decode.engine
         if eng.has_unfinished():

@@ -243,6 +243,16 @@ class DecodeInstance:
         """Install a prefilled request (reference decode_recv_first_generation
         + allocate path, disagg_pd_scheduler.h:65-80)."""
         eng = self.engine
+        # capacity gate BEFORE any state mutates: the ring-slot pool and
+        # decode batch are sized to max_seqs_per_batch — overfilling
+        # would underflow _free_slots after the KV was already injected
+        # (a corrupt half-installed request)
+        if (
+            not eng._free_slots
+            or eng.scheduler.num_running_seqs
+            >= eng.config.scheduler.max_seqs_per_batch
+        ):
+            raise RuntimeError("decode instance at capacity; retry later")
         req = Request(
             request_id=handoff.request_id,
             prompt_token_ids=handoff.prompt_token_ids,

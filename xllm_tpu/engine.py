@@ -607,6 +607,11 @@ class LLMEngine:
             self._beam.drop(request_id)
             for seq in req.sequences:
                 self._release_slot(seq)
+                # normal cleanup happens in _build_outputs on finish —
+                # aborted requests never get there (unbounded leak of
+                # decoders + suffix indexes otherwise)
+                self._decoders.pop(seq.seq_id, None)
+                self._proposers.pop(seq.seq_id, None)
 
     def has_unfinished(self) -> bool:
         return self.scheduler.has_unfinished() or bool(self._pending)
@@ -792,6 +797,18 @@ class LLMEngine:
         for req in self.scheduler.free_finished():
             for seq in req.sequences:
                 self._release_slot(seq)
+        # early-finished sequences of still-running requests (n>1 /
+        # best_of) hold ring slots until the whole request drains — once
+        # their fixups are in, release so admission can't underflow the
+        # slot pool
+        for req in self.scheduler.running:
+            for seq in req.sequences:
+                if (
+                    seq.is_finished
+                    and seq.slot_id >= 0
+                    and not seq.has_unfixed_tokens
+                ):
+                    self._release_slot(seq)
         self._maybe_rebalance_experts()
         if self.profile_manager is not None and not out.is_empty:
             dt = time.perf_counter() - t_step0
@@ -917,17 +934,20 @@ class LLMEngine:
         seq.num_computed_tokens = min(
             seq.num_computed_tokens, seq.num_tokens - 1
         )
+        # detokenize even when the chunk finished the sequence — the
+        # final accepted tokens' text must land in output_text (the
+        # exact-decode fixup path decodes finishing tokens too)
+        dec = self._decoders.get(seq.seq_id)
+        if dec is not None:
+            delta = dec.decode_new(seq.token_ids)
+            if delta:
+                seq.output_text += delta
+                if seq.stopping.stop_strings:
+                    cut = seq.stopping.check_stop_strings(seq.output_text)
+                    if cut >= 0:
+                        seq.output_text = seq.output_text[:cut]
+                        seq.finish(FinishReason.STOP)
         if not seq.is_finished:
-            dec = self._decoders.get(seq.seq_id)
-            if dec is not None:
-                delta = dec.decode_new(seq.token_ids)
-                if delta:
-                    seq.output_text += delta
-                    if seq.stopping.stop_strings:
-                        cut = seq.stopping.check_stop_strings(seq.output_text)
-                        if cut >= 0:
-                            seq.output_text = seq.output_text[:cut]
-                            seq.finish(FinishReason.STOP)
             self.block_manager.cache_computed_blocks(seq)
 
     def _process_pending(self, entry: _Pending) -> list[Sequence]:

@@ -154,10 +154,13 @@ class BlockManager:
                         self.free_lru[fresh] = None
             if block_id is None:
                 break
+            # ref IMMEDIATELY: a later iteration's host-tier prefetch
+            # pops from free_lru and could otherwise evict+overwrite a
+            # block matched earlier in this very loop (the native backend
+            # refs inside its match loop too — keep them equivalent)
+            self._ref_block(block_id)
             matched.append(block_id)
             parent = h
-        for b in matched:
-            self._ref_block(b)
         seq.block_ids = [self.base + b for b in matched]
         seq.num_cached_tokens = len(matched) * bs
         seq.num_computed_tokens = seq.num_cached_tokens
@@ -319,6 +322,10 @@ class BlockManagerPool:
 
     # ---- aggregate capacity (zero-eviction admission etc.) ----
     @property
+    def num_blocks(self) -> int:
+        return self.blocks_per_rank * self.dp_size
+
+    @property
     def num_free_blocks(self) -> int:
         return sum(m.num_free_blocks for m in self.managers)
 
@@ -374,7 +381,14 @@ def _fork_blocks_impl(mgr, parent_ids: list[int], child) -> tuple[int, int] | No
     """
     num_tokens = child.num_tokens
     bs = mgr.block_size
-    tail_partial = num_tokens % bs != 0
+    # the NEXT decode writes position num_tokens-1 (sample-then-compute:
+    # computed == num_tokens-1 at fork). The tail block must be private
+    # whenever that position lands inside it — i.e. unless position
+    # num_tokens-1 starts a fresh block. Keying on num_tokens % bs shared
+    # a still-writable block at the num_tokens % bs == 0 boundary (both
+    # beams then wrote different tokens into the same physical slot) and
+    # copied a fully-immutable block at % bs == 1.
+    tail_partial = (num_tokens - 1) % bs != 0
     shared = parent_ids[:-1] if tail_partial and parent_ids else parent_ids
     # out-of-window entries (sliding-window release) stay null: shared by
     # name only, never ref-counted

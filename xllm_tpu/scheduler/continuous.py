@@ -187,9 +187,15 @@ class ContinuousScheduler:
 
         # 2. admit waiting requests under seq + token budgets
         while self._peek_waiting() is not None and budget > 0:
-            if self.num_running_seqs >= self.config.max_seqs_per_batch:
-                break
             req = self._peek_waiting()
+            # count the WHOLE incoming request (n/best_of sequences): the
+            # engine's ring-slot pool is sized to max_seqs_per_batch and
+            # every sequence of an admitted request eventually takes one
+            if (
+                self.num_running_seqs + len(req.sequences)
+                > self.config.max_seqs_per_batch
+            ):
+                break
             seq = req.sequences[0]
             if seq.has_unfixed_tokens:
                 break  # preempted seq awaiting async fixup before re-prefill

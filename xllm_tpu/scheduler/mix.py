@@ -168,7 +168,10 @@ class MixScheduler(ContinuousScheduler):
     def _try_admit(self, req, token_budget, latency_left, out):
         if token_budget <= 0:
             return None
-        if self.num_running_seqs >= self.config.max_seqs_per_batch:
+        if (
+            self.num_running_seqs + len(req.sequences)
+            > self.config.max_seqs_per_batch
+        ):
             return None
         seq = req.sequences[0]
         if seq.has_unfixed_tokens:

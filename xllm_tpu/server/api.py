@@ -876,6 +876,25 @@ class APIServer:
         self, request, gen, request_id, created, chat, endpoint,
         include_usage, echo=False,
     ):
+        # surface intake errors (overlong prompt, invalid params) BEFORE
+        # committing to 200 + SSE headers: add_request raises on the
+        # generator's first iteration
+        try:
+            first = await gen.__anext__()
+        except StopAsyncIteration:
+            first = None
+        except ValueError as e:
+            return _error(400, str(e))
+
+        inner = gen
+
+        async def _chained():
+            if first is not None:
+                yield first
+            async for o in inner:
+                yield o
+
+        gen = _chained()
         resp = web.StreamResponse(
             headers={
                 "Content-Type": "text/event-stream",

@@ -47,7 +47,9 @@ class AsyncLLMEngine:
         self._stopped = threading.Event()
         self._wake = threading.Event()
         self._thread: threading.Thread | None = None
-        metrics.KV_BLOCKS_TOTAL.set(self.engine.block_manager.num_blocks - 1)
+        metrics.KV_BLOCKS_TOTAL.set(
+            getattr(self.engine.block_manager, "num_blocks", 0) - 1
+        )
 
     # ------------------------------------------------------------------
     def start(self) -> None:
@@ -80,6 +82,8 @@ class AsyncLLMEngine:
         videos: list | None = None,
     ):
         """Async generator of cumulative RequestOutputs (last has finished=True)."""
+        if self._stopped.is_set():
+            raise RuntimeError("engine loop stopped")
         loop = asyncio.get_running_loop()
         stream = _Stream(loop)
         done = loop.create_future()
@@ -98,10 +102,12 @@ class AsyncLLMEngine:
         )
         self._wake.set()
         req_id = await done  # raises on intake error (e.g. overlong prompt)
+        finished = False
         try:
             while True:
                 out: RequestOutput | Exception = await stream.queue.get()
                 if isinstance(out, Exception):
+                    finished = True  # engine already dropped the request
                     raise out
                 if stream.first_token_at is None and any(
                     o.token_ids for o in out.outputs
@@ -110,11 +116,18 @@ class AsyncLLMEngine:
                     metrics.TTFT.observe(stream.first_token_at - stream.started_at)
                 yield out
                 if out.finished:
+                    finished = True
                     metrics.REQUEST_LATENCY.observe(
                         time.monotonic() - stream.started_at
                     )
                     return
         finally:
+            if not finished:
+                # consumer went away mid-generation (client disconnect /
+                # task cancellation on ANY endpoint) — stop generating
+                # for a dead client and release its KV/slots
+                metrics.REQUESTS_RUNNING.dec()
+                self.abort(req_id)
             with self._streams_lock:
                 self._streams.pop(req_id, None)
 
@@ -174,8 +187,24 @@ class AsyncLLMEngine:
                 self._wake.clear()
                 continue
 
-            with metrics.observe_latency(metrics.SCHEDULE_LATENCY):
-                outputs = eng.step()
+            try:
+                with metrics.observe_latency(metrics.SCHEDULE_LATENCY):
+                    outputs = eng.step()
+            except Exception as e:  # push the failure to every client
+                # instead of silently killing the thread — a dead loop
+                # leaves every in-flight await hanging forever
+                logger.exception("engine step failed; failing %d streams",
+                                 len(self._streams))
+                with self._streams_lock:
+                    streams = list(self._streams.values())
+                    self._streams.clear()
+                for stream in streams:
+                    try:
+                        stream.push(e)
+                    except Exception:  # pragma: no cover
+                        pass
+                self._stopped.set()
+                break
             metrics.ENGINE_STEPS.inc()
             metrics.KV_BLOCKS_USED.set(eng.block_manager.num_used_blocks)
             for ro in outputs:
