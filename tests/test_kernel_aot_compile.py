@@ -261,6 +261,49 @@ def test_decode_v5_fp8_kv_compiles(tpu_aot):
     )
 
 
+def test_decode_v6_compiles(tpu_aot):
+    # v6 split=1 is the production default (PERF.md r2 A/B)
+    from xllm_tpu.ops.pallas.decode_attention import (
+        paged_decode_attention_write_v6_tpu,
+    )
+
+    cache = _kv_shapes()
+    for kw in ({}, {"window": 1024}):
+        tpu_aot(
+            paged_decode_attention_write_v6_tpu,
+            ((B, HQ, D), jnp.bfloat16),
+            ((B, HKV, D), jnp.bfloat16),
+            ((B, HKV, D), jnp.bfloat16),
+            cache, cache,
+            ((), jnp.int32),
+            ((B,), jnp.int32),
+            ((B, NB), jnp.int32),
+            ((B,), jnp.int32),
+            scale=D**-0.5,
+            **kw,
+        )
+
+
+def test_decode_v6_fp8_kv_compiles(tpu_aot):
+    from xllm_tpu.ops.pallas.decode_attention import (
+        paged_decode_attention_write_v6_tpu,
+    )
+
+    cache = ((L, NBLK, HKV, BS, D), jnp.float8_e4m3fn)
+    tpu_aot(
+        paged_decode_attention_write_v6_tpu,
+        ((B, HQ, D), jnp.bfloat16),
+        ((B, HKV, D), jnp.float8_e4m3fn),
+        ((B, HKV, D), jnp.float8_e4m3fn),
+        cache, cache,
+        ((), jnp.int32),
+        ((B,), jnp.int32),
+        ((B, NB), jnp.int32),
+        ((B,), jnp.int32),
+        scale=D**-0.5,
+    )
+
+
 def test_decode_v7_compiles(tpu_aot):
     from xllm_tpu.ops.pallas.decode_attention import (
         paged_decode_attention_write_v7_tpu,

@@ -50,7 +50,9 @@ def decode_attention_write(
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Write each sequence's new K/V row, then attend. -> (out, k, v)."""
     if _use_pallas(q.shape[-1]):
-        kver = os.environ.get("XLLM_DECODE_KERNEL", "v5")
+        # Default v6 (split=1): on-chip A/B r2 measured 145 us/layer at
+        # 693 GB/s (the DMA floor) vs v5's 199-211 us — see PERF.md.
+        kver = os.environ.get("XLLM_DECODE_KERNEL", "v6")
         if kver == "v7":
             from xllm_tpu.ops.pallas.decode_attention import (
                 paged_decode_attention_write_v7_tpu,

@@ -1464,7 +1464,12 @@ def paged_decode_attention_write_v6_tpu(
     g = hq // hkv
     assert hq == hkv * g
     nslots = nslots_override or 8
-    split = 2 if hkv % 2 == 0 else 1
+    # On-chip A/B (scripts/probe_decode_kernel.py, r2): split=1 reaches the
+    # measured DMA floor (145 us/layer, 693 GB/s at bench shapes) while
+    # split=2 serializes the copy engines (355 GB/s) — page-level slot
+    # parallelism already saturates the fabric, intra-page splits only add
+    # issue overhead.
+    split = 1
     if split_override:
         assert hkv % split_override == 0
         split = split_override
