@@ -29,7 +29,6 @@ q = jnp.asarray(rng.standard_normal((B, HKV * G, D)), jnp.bfloat16)
 k_new = jnp.asarray(rng.standard_normal((B, HKV, D)), jnp.bfloat16)
 v_new = jnp.asarray(rng.standard_normal((B, HKV, D)), jnp.bfloat16)
 seq_lens = jnp.full((B,), CTX, jnp.int32)
-slots_base = (np.arange(B) * NPAGES + NPAGES - 1) * BS + (CTX - 1) % BS
 
 
 def run(tag, kern, nl, nb_total, nbt, iters=24):

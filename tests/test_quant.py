@@ -68,6 +68,43 @@ def test_engine_e2e_int8():
     assert eng.block_manager.num_used_blocks == 0
 
 
+def test_engine_e2e_fp8_dummy_init():
+    """Dummy-load fp8: weights are random-initialized DIRECTLY in the
+    quantized dtype (no bf16 original — an 8B bf16 init would OOM the
+    chip before quantization, the r2 bench failure)."""
+    from xllm_tpu.config import (
+        CacheConfig, EngineConfig, ModelConfig, QuantConfig, SchedulerConfig,
+    )
+    from xllm_tpu.engine import LLMEngine
+    from xllm_tpu.framework.sampling_params import SamplingParams
+
+    cfg = EngineConfig(
+        model=ModelConfig(
+            model_type="qwen3", dtype="float32",
+            vocab_size=64, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=8, qk_norm=True, max_position_embeddings=64,
+        ),
+        cache=CacheConfig(block_size=16, num_blocks=16),
+        scheduler=SchedulerConfig(
+            max_seqs_per_batch=2, decode_batch_buckets=[2],
+            prefill_token_buckets=[16], max_model_len=64,
+        ),
+        quant=QuantConfig(method="fp8_e4m3"),
+    )
+    eng = LLMEngine(cfg)
+    layers = eng.runner.params["layers"]
+    assert layers["qkv_proj_w"].dtype == jnp.float8_e4m3fn
+    assert layers["qkv_proj_w_scale"].dtype == jnp.float32
+    # norms/embeddings stay full precision
+    assert layers["input_layernorm"].dtype != jnp.float8_e4m3fn
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+    eng.add_request(prompt_token_ids=[3, 5, 7], sampling_params=sp)
+    outs = eng.generate_all()
+    assert len(outs[0].outputs[0].token_ids) == 6
+    assert eng.block_manager.num_used_blocks == 0
+
+
 @pytest.mark.parametrize("method", ["int8", "fp8_e4m3"])
 @pytest.mark.parametrize("family", ["qwen3", "deepseek_v2"])
 def test_quantized_logits_error_bound(method, family):
@@ -103,7 +140,7 @@ def test_quantized_logits_error_bound(method, family):
             max_position_embeddings=64,
         )
 
-    def build(method_):
+    def build(method_, params=None):
         cfg = EngineConfig(
             model=mc,
             cache=CacheConfig(num_blocks=8, block_size=8),
@@ -114,12 +151,15 @@ def test_quantized_logits_error_bound(method, family):
             quant=QuantConfig(method=method_),
         )
         r = ModelRunner(cfg)
-        r.load_model()
+        r.load_model(params=params)
         r.initialize_kv_cache()
         return r
 
     base = build("")
-    quant = build(method)
+    # quantize the SAME weights (dummy-load quant engines random-init
+    # directly in the quantized dtype, so same-seed builds don't share
+    # an underlying bf16 model)
+    quant = build(method, params=base.params)
     import jax
     import jax.numpy as jnp
 

@@ -50,9 +50,14 @@ def decode_attention_write(
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Write each sequence's new K/V row, then attend. -> (out, k, v)."""
     if _use_pallas(q.shape[-1]):
-        # Default v6 (split=1): on-chip A/B r2 measured 145 us/layer at
-        # 693 GB/s (the DMA floor) vs v5's 199-211 us — see PERF.md.
-        kver = os.environ.get("XLLM_DECODE_KERNEL", "v6")
+        # Default v5: the r3 full-config same-session A/B
+        # (scripts/probe_v6_bisect.py + probe_r3_kernels.py) measured v5 at
+        # 210 us/layer vs v6's 243 at the production shape (28 layers,
+        # 1100-page pool, 5 table columns). r2's 145 us standalone-probe
+        # figure for v6 did not reproduce in-context OR across sessions —
+        # defaults are picked from full-config same-session runs only
+        # (see PERF.md).
+        kver = os.environ.get("XLLM_DECODE_KERNEL", "v5")
         if kver == "v7":
             from xllm_tpu.ops.pallas.decode_attention import (
                 paged_decode_attention_write_v7_tpu,

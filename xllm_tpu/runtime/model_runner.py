@@ -142,13 +142,30 @@ class ModelRunner:
     def load_model(self, params=None, rng: jax.Array | None = None) -> None:
         """Load weights (or random-init when no checkpoint path is given)."""
         shardings = make_named_shardings(self.mesh, self.model.param_shardings())
+        quant = self.config.quant.method in ("int8", "fp8_e4m3")
         if params is not None:
             self.params = params
+            if quant:
+                self.params = self._quantize_params(self.params)
         elif self.config.model.model_path and self.config.load_format != "dummy":
             from xllm_tpu.models.loader import load_params
 
             self.params = load_params(
                 self.config.model, shardings, dtype=self.model.dtype
+            )
+            if quant:
+                self.params = self._quantize_params(self.params)
+        elif quant:
+            # random init directly in the quantized dtype: the
+            # init-bf16-then-quantize path would materialize the full
+            # precision model first (an 8B bf16 random init alone overflows
+            # a 16 GiB chip before quantization can run)
+            logger.info(
+                "no model_path: initializing random %s weights",
+                self.config.quant.method,
+            )
+            self.params = self._init_params_quantized(
+                rng or jax.random.key(self.config.seed), shardings
             )
         else:
             logger.info("no model_path: initializing random weights")
@@ -156,8 +173,6 @@ class ModelRunner:
             if shardings is not None:
                 params = jax.tree.map(jax.device_put, params, shardings)
             self.params = params
-        if self.config.quant.method in ("int8", "fp8_e4m3"):
-            self.params = self._quantize_params(self.params)
         self._key = jax.random.key(self.config.seed)
         self.last_tokens = self._put(jnp.zeros(self.max_slots + 1, jnp.int32))
         # device-resident token history ring (per-slot rows) feeding the
@@ -234,6 +249,102 @@ class ModelRunner:
                 count += 1
             out[group_name] = new_group
         logger.info("quantized %d weight stacks to %s", count, method)
+        return out
+
+    def _init_params_quantized(self, key, shardings=None):
+        """Random-init with eligible stacks created DIRECTLY in the
+        quantized dtype (via eval_shape — no bf16 original ever exists).
+        Dummy-load counterpart of the reference's quantized checkpoint
+        load (hf_model_loader.h:44): dtypes/shapes/scales match a real
+        quantized load, values are random."""
+        method = self.config.quant.method
+        qdtype = jnp.int8 if method == "int8" else jnp.float8_e4m3fn
+        shapes = jax.eval_shape(self.model.init_params, key)
+
+        def eligible(name, sds) -> bool:
+            is_expert = name in self._EXPERT_STACKS
+            return (
+                (name.endswith("_proj_w") or (is_expert and method != "int8"))
+                and name not in self._QUANT_SKIP
+                and sds.dtype in (jnp.bfloat16, jnp.float32)
+                and sds.ndim >= 2
+            )
+
+        def scale_spec(spec, ndim):
+            # scale shape = weight shape minus axis -2: drop that axis
+            # from the weight's PartitionSpec too
+            entries = tuple(spec) + (None,) * (ndim - len(tuple(spec)))
+            return jax.sharding.PartitionSpec(
+                *(entries[: ndim - 2] + entries[ndim - 1 :])
+            )
+
+        keys = iter(jax.random.split(key, 1 << 12))
+
+        def gen(sds, dtype=None, spec=None):
+            dtype = dtype or sds.dtype
+            out_sh = (
+                jax.sharding.NamedSharding(self.mesh, spec)
+                if (self.mesh is not None and spec is not None)
+                else None
+            )
+
+            def init(k):
+                if dtype == jnp.int8:
+                    return jax.random.randint(
+                        k, sds.shape, -127, 128, jnp.int8
+                    )
+                if jnp.issubdtype(dtype, jnp.integer):
+                    return jnp.zeros(sds.shape, dtype)
+                return (
+                    jax.random.normal(k, sds.shape, jnp.float32) * 0.02
+                ).astype(dtype)
+
+            return jax.jit(init, out_shardings=out_sh)(next(keys))
+
+        count = 0
+        out = {}
+        for group_name, group in shapes.items():
+            gspec = (
+                self.model.param_shardings().get(group_name)
+                if shardings is not None
+                else None
+            )
+            if not isinstance(group, dict):
+                out[group_name] = gen(group, spec=gspec)
+                continue
+            new_group = {}
+            for name, sds in group.items():
+                spec = gspec.get(name) if isinstance(gspec, dict) else None
+                if isinstance(sds, dict):  # deeper nesting: plain random init
+                    new_group[name] = jax.tree.map(lambda s: gen(s), sds)
+                    continue
+                if eligible(name, sds):
+                    new_group[name] = gen(sds, dtype=qdtype, spec=spec)
+                    sshape = sds.shape[:-2] + sds.shape[-1:]
+                    sspec = (
+                        scale_spec(spec, sds.ndim)
+                        if spec is not None
+                        else None
+                    )
+                    # scale mapping the full quantized range back to the
+                    # ~N(0, 0.02) effective weights the bf16 init would give
+                    sval = 0.02 / 127.0 if method == "int8" else 1.0
+                    ssh = (
+                        jax.sharding.NamedSharding(self.mesh, sspec)
+                        if (self.mesh is not None and sspec is not None)
+                        else None
+                    )
+                    new_group[name + "_scale"] = jax.jit(
+                        lambda: jnp.full(sshape, sval, jnp.float32),
+                        out_shardings=ssh,
+                    )()
+                    count += 1
+                else:
+                    new_group[name] = gen(sds, spec=spec)
+            out[group_name] = new_group
+        logger.info(
+            "random-initialized %d weight stacks directly in %s", count, method
+        )
         return out
 
     def initialize_kv_cache(self, num_blocks: int | None = None) -> int:
