@@ -163,6 +163,26 @@ def test_quant_matmuls_compile(tpu_aot):
         tpu_aot(quant_matmul_fp8_v2, x, ((K, N), jnp.float8_e4m3fn), s)
 
 
+def test_quant_matmuls_stacked_compile(tpu_aot):
+    from xllm_tpu.ops.pallas.quant_matmul import (
+        quant_matmul_fp8_stacked,
+        quant_matmul_int8_v2_stacked,
+    )
+
+    NL = 28
+    for K, N in ((2048, 6144), (2048, 12288), (6144, 2048)):
+        x = ((B, K), jnp.bfloat16)
+        s = ((NL, N), jnp.float32)
+        li = ((), jnp.int32)
+        tpu_aot(
+            quant_matmul_int8_v2_stacked, x, ((NL, K, N), jnp.int8), s, li
+        )
+        tpu_aot(
+            quant_matmul_fp8_stacked, x, ((NL, K, N), jnp.float8_e4m3fn),
+            s, li,
+        )
+
+
 def test_mla_kernels_compile(tpu_aot):
     from xllm_tpu.ops.pallas.mla_attention import (
         mla_decode_attention_write_tpu,

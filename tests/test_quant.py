@@ -273,6 +273,45 @@ def test_quant_matmul_v2_matches_reference(m, k, n):
     )
 
 
+@pytest.mark.parametrize("m,k,n", [(8, 64, 256), (128, 128, 512)])
+def test_quant_matmul_stacked_matches_reference(m, k, n):
+    """Stacked (layer-indexed-in-HBM) kernels == per-layer dequant dot.
+
+    These back quant_matmul_stacked, which the per-layer scan uses so a
+    pallas call never consumes a scanned weight slice (the materialized
+    copy cost int8 its whole bandwidth win — see ops/quant.py)."""
+    from xllm_tpu.ops.pallas.quant_matmul import (
+        quant_matmul_fp8_stacked,
+        quant_matmul_int8_v2_stacked,
+    )
+    from xllm_tpu.ops.quant import quantize_fp8, quantize_int8
+
+    nl = 3
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((m, k)) * 0.3, jnp.float32)
+    w = jnp.asarray(rng.standard_normal((nl, k, n)) * 0.05, jnp.float32)
+
+    wq, s = quantize_int8(w)
+    for li in (0, nl - 1):
+        ref = jnp.dot(x, wq[li].astype(jnp.float32) * s[li][None, :])
+        out = quant_matmul_int8_v2_stacked(
+            x, wq, s, jnp.int32(li), interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=5e-2, atol=5e-2
+        )
+
+    wq8, s8 = quantize_fp8(w)
+    for li in (0, nl - 1):
+        ref8 = jnp.dot(x, wq8[li].astype(jnp.float32) * s8[li][None, :])
+        out8 = quant_matmul_fp8_stacked(
+            x, wq8, s8, jnp.int32(li), interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out8), np.asarray(ref8), rtol=5e-2, atol=5e-2
+        )
+
+
 def test_matmul_bf16_v2_interpret_parity():
     """bf16 split-DMA streaming matmul == XLA dot (interpret mode)."""
     import numpy as np

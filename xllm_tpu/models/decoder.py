@@ -184,9 +184,22 @@ class DenseDecoderModel:
     # ------------------------------------------------------------------
     # forward
     # ------------------------------------------------------------------
+    # quantized stacks excluded from the layer scan (the kernels index the
+    # live layer in HBM instead — see ops/quant.quant_matmul_stacked);
+    # _run_stack sets these during tracing, body() sets the relative index
+    _quant_stacks = None
+    _cur_rel_layer = None
+
     def _linear(self, lp: dict, name: str, x: jnp.ndarray) -> jnp.ndarray:
         """-> [T, N] f32; dispatches to the fused dequant matmul for int8
         weights (reference w8a8 path, SURVEY.md §2.8 cutlass row)."""
+        qs = self._quant_stacks
+        if qs is not None and name in qs:
+            from xllm_tpu.ops.quant import quant_matmul_stacked
+
+            return quant_matmul_stacked(
+                x, qs[name], qs[name + "_scale"], self._cur_rel_layer
+            )
         w = lp[name]
         if w.dtype in (jnp.int8, jnp.float8_e4m3fn):
             from xllm_tpu.ops.quant import quant_matmul
@@ -279,6 +292,7 @@ class DenseDecoderModel:
         def body(carry, xs):
             x, k_all, v_all = carry
             lp, layer_idx = xs
+            self._cur_rel_layer = layer_idx - layer0
             h = rms_norm(x, lp["input_layernorm"], c.rms_norm_eps)
             q, k, v = self._attn_qkv(lp, h, positions, inv_freq)
             attn, k_all, v_all = attn_fn(q, k, v, k_all, v_all, layer_idx)
@@ -302,9 +316,28 @@ class DenseDecoderModel:
 
         n = stack["input_layernorm"].shape[0]
         layer_ids = layer0 + jnp.arange(n, dtype=jnp.int32)
-        (x, k_all, v_all), aux = jax.lax.scan(
-            body, (x, k_all, v_all), (stack, layer_ids)
-        )
+        # pull quantized projection stacks out of the scanned xs: scanned
+        # slices of a pallas operand materialize a per-layer weight copy
+        # (3x the quantized bytes); the stacked kernels index HBM directly
+        qnames = [
+            name
+            for name in stack
+            if name.endswith("_proj_w")
+            and hasattr(stack[name], "dtype")
+            and stack[name].dtype in (jnp.int8, jnp.float8_e4m3fn)
+            and name + "_scale" in stack
+        ]
+        scanned = stack
+        if qnames:
+            pulled = set(qnames) | {name + "_scale" for name in qnames}
+            scanned = {k: v for k, v in stack.items() if k not in pulled}
+            self._quant_stacks = {k: stack[k] for k in pulled}
+        try:
+            (x, k_all, v_all), aux = jax.lax.scan(
+                body, (x, k_all, v_all), (scanned, layer_ids)
+            )
+        finally:
+            self._quant_stacks = None
         return x, k_all, v_all, aux
 
     def _run_layers(

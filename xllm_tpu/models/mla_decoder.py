@@ -319,6 +319,7 @@ class MlaDecoderModel(DenseDecoderModel):
         def body(carry, xs):
             x, cache = carry
             lp, li = xs
+            self._cur_rel_layer = li - layer0
             h = rms_norm(x, lp["input_layernorm"], c.rms_norm_eps)
             q_eff, lat_new, qa = self._mla_qkv(lp, h, positions, inv_freq)
             idx = (
@@ -331,7 +332,25 @@ class MlaDecoderModel(DenseDecoderModel):
             return (x, cache), None
 
         lids = layer0 + jnp.arange(n, dtype=jnp.int32)
-        (x, cache), _ = jax.lax.scan(body, (x, cache), (stack, lids))
+        # quantized projection stacks leave the scanned xs and are indexed
+        # in HBM by the kernel (see DecoderModel._run_stack / ops/quant)
+        qnames = [
+            name
+            for name in stack
+            if name.endswith("_proj_w")
+            and hasattr(stack[name], "dtype")
+            and stack[name].dtype in (jnp.int8, jnp.float8_e4m3fn)
+            and name + "_scale" in stack
+        ]
+        scanned = stack
+        if qnames:
+            pulled = set(qnames) | {name + "_scale" for name in qnames}
+            scanned = {k: v for k, v in stack.items() if k not in pulled}
+            self._quant_stacks = {k: stack[k] for k in pulled}
+        try:
+            (x, cache), _ = jax.lax.scan(body, (x, cache), (scanned, lids))
+        finally:
+            self._quant_stacks = None
         return x, cache
 
     def _forward(self, params, cache, x, positions, attn_fn):

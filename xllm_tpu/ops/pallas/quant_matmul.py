@@ -306,6 +306,248 @@ def quant_matmul_fp8_v2(
     return _qmm_v2(x, w_q, scale, out_dtype, interpret, act_quant=False)
 
 
+# ----------------------------------------------------------------------
+# stacked variants: the weight stack [L, K, N] stays in HBM and the
+# kernel indexes the live layer with a scalar-prefetched index. Inside
+# the per-layer lax.scan a pallas call CANNOT fuse XLA's dynamic-slice
+# of the scanned weight stack — the sliced layer would be materialized
+# as a copy first (read + write + read = 3x the bytes, which is exactly
+# why the r2 bench measured int8 decode at bf16 speed). Indexing inside
+# the kernel restores the true int8/fp8 byte stream.
+# ----------------------------------------------------------------------
+
+
+def _qmm_v2_stacked_kernel(
+    layer_ref,  # [1] int32 scalar prefetch
+    xq_ref,  # [TM, K]
+    sx_ref,  # [TM, 1]
+    w_hbm,  # [L, K, N] ANY
+    sw_ref,  # [1, 1, TN] (pallas-managed, layer-indexed via prefetch)
+    o_ref,  # [TM, TN]
+    w_buf,  # [2, K, TN]
+    sem,  # [2, SPLIT]
+    *,
+    out_dtype,
+    tn: int,
+    n_tiles: int,
+    act_quant: bool,
+    w_is_f8: bool = False,
+):
+    i, j = pl.program_id(0), pl.program_id(1)
+    k = w_buf.shape[1]
+    split = sem.shape[1]
+    rows = k // split
+    layer = layer_ref[0]
+
+    def issue(tile_j, slot):
+        for si in range(split):
+            pltpu.make_async_copy(
+                w_hbm.at[layer, pl.ds(si * rows, rows), pl.ds(tile_j * tn, tn)],
+                w_buf.at[slot, pl.ds(si * rows, rows)],
+                sem.at[slot, si],
+            ).start()
+
+    def wait(slot):
+        for si in range(split):
+            pltpu.make_async_copy(
+                w_buf.at[slot, pl.ds(si * rows, rows)],
+                w_buf.at[slot, pl.ds(si * rows, rows)],
+                sem.at[slot, si],
+            ).wait()
+
+    step = i * n_tiles + j
+
+    @pl.when(step == 0)
+    def _():
+        issue(0, 0)
+
+    slot = jax.lax.rem(step, 2)
+    nxt = jax.lax.rem(step + 1, n_tiles * pl.num_programs(0))
+
+    @pl.when(step + 1 < n_tiles * pl.num_programs(0))
+    def _():
+        issue(jax.lax.rem(nxt, n_tiles), jax.lax.rem(step + 1, 2))
+
+    wait(slot)
+    w = w_buf[slot]
+    if w_is_f8:
+        w = jax.lax.bitcast_convert_type(w, jnp.float8_e4m3fn)
+    if w.dtype == jnp.int8 and act_quant:
+        acc = jax.lax.dot(
+            xq_ref[...], w, preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+        o_ref[...] = (acc * sx_ref[...] * sw_ref[0]).astype(out_dtype)
+    else:
+        acc = jax.lax.dot(
+            xq_ref[...].astype(jnp.bfloat16),
+            w.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[...] = (acc * sw_ref[0]).astype(out_dtype)
+
+
+def _qmm_v2_stacked(x, w_q, scale, layer_idx, out_dtype, interpret, act_quant):
+    nl, k, n = w_q.shape
+    m = x.shape[0]
+    tm = _pick_tile(m, 256)
+    tn_cap = 2048
+    wb = 1 if w_q.dtype != jnp.bfloat16 else 2
+    upcast = 2 * k if w_q.dtype == jnp.float8_e4m3fn else 0
+    budget = (5 if upcast else 10) * 1024 * 1024
+    while tn_cap > 128 and (
+        2 * k * tn_cap * wb + upcast * tn_cap + tm * k + tm * tn_cap * 4
+        > budget
+    ):
+        tn_cap //= 2
+    tn = _pick_tile(n, tn_cap)
+    n_tiles = n // tn
+    split = _QMM_SPLIT if k % (32 * _QMM_SPLIT) == 0 else 1
+
+    if act_quant:
+        sx = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=1, keepdims=True) / 127.0
+        sx = jnp.maximum(sx, 1e-10)
+        xin = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127).astype(
+            jnp.int8
+        )
+    else:
+        sx = jnp.zeros((m, 1), jnp.float32)
+        xin = x
+
+    w_is_f8 = w_q.dtype == jnp.float8_e4m3fn
+    if w_is_f8 and not interpret:
+        w_q = jax.lax.bitcast_convert_type(w_q, jnp.int8)
+    kernel = functools.partial(
+        _qmm_v2_stacked_kernel, out_dtype=out_dtype, tn=tn, n_tiles=n_tiles,
+        act_quant=act_quant, w_is_f8=w_is_f8 and not interpret,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m // tm, n_tiles),
+        in_specs=[
+            pl.BlockSpec((tm, k), lambda i, j, ls: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 1), lambda i, j, ls: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, tn), lambda i, j, ls: (ls[0], 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tm, tn), lambda i, j, ls: (i, j), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, k, tn), w_q.dtype),
+            pltpu.SemaphoreType.DMA((2, split)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n,
+            bytes_accessed=k * n + m * k + m * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        jnp.reshape(layer_idx, (1,)).astype(jnp.int32),
+        xin,
+        sx,
+        w_q,
+        scale[:, None, :],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def quant_matmul_int8_v2_stacked(
+    x,  # [M, K]
+    w_q,  # [L, K, N] int8
+    scale,  # [L, N] f32
+    layer_idx,  # [] int32
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+):
+    return _qmm_v2_stacked(
+        x, w_q, scale, layer_idx, out_dtype, interpret, act_quant=True
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def quant_matmul_fp8_v2_stacked(
+    x, w_q, scale, layer_idx, out_dtype=jnp.float32, interpret: bool = False
+):
+    return _qmm_v2_stacked(
+        x, w_q, scale, layer_idx, out_dtype, interpret, act_quant=False
+    )
+
+
+def _fp8_mm_stacked_kernel(layer_ref, x_ref, wq_ref, sw_ref, o_ref, *,
+                           out_dtype):
+    del layer_ref  # consumed by the index_maps
+    w = wq_ref[0].astype(jnp.bfloat16)
+    acc = jax.lax.dot(
+        x_ref[...].astype(jnp.bfloat16), w,
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[...] = (acc * sw_ref[0]).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def quant_matmul_fp8_stacked(
+    x,  # [M, K]
+    w_q,  # [L, K, N] float8_e4m3fn
+    scale,  # [L, N] f32
+    layer_idx,  # [] int32
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+):
+    """Stacked fp8 matmul with PALLAS-managed weight blocks (the fp8
+    manual-DMA v2 path crashes v5e Mosaic; the managed pipeline handles
+    f8 block fetches fine — layer indexing rides the block index_map)."""
+    m, k = x.shape
+    nl, _, n = w_q.shape
+    tm = _pick_tile(m, 256)
+    budget = 6 * 1024 * 1024
+    tn_cap = 2048
+    while tn_cap > 128 and tm * k * 2 + k * tn_cap * 3 + tm * tn_cap * 4 > budget:
+        tn_cap //= 2
+    tn = _pick_tile(n, tn_cap)
+    kernel = functools.partial(_fp8_mm_stacked_kernel, out_dtype=out_dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m // tm, n // tn),
+        in_specs=[
+            pl.BlockSpec((tm, k), lambda i, j, ls: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, tn), lambda i, j, ls: (ls[0], 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tn), lambda i, j, ls: (ls[0], 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tm, tn), lambda i, j, ls: (i, j), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n,
+            bytes_accessed=k * n + m * k * 2 + m * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.reshape(layer_idx, (1,)).astype(jnp.int32), x, w_q, scale[:, None, :])
+
+
 @functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
 def matmul_bf16_v2(
     x, w, out_dtype=jnp.float32, interpret: bool = False

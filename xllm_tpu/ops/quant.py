@@ -72,3 +72,35 @@ def quant_matmul(
         )
     w = w_q.astype(x.dtype) * scale[None, :].astype(x.dtype)
     return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+
+def quant_matmul_stacked(
+    x: jnp.ndarray,  # [M, K]
+    w_q: jnp.ndarray,  # [L, K, N] int8 or float8_e4m3fn
+    scale: jnp.ndarray,  # [L, N] f32
+    layer_idx: jnp.ndarray,  # [] int32 (relative index into the stack)
+) -> jnp.ndarray:
+    """-> [M, N] f32 for the live layer of a stacked weight tensor.
+
+    Inside the per-layer lax.scan a pallas call cannot fuse XLA's
+    dynamic-slice of the scanned stack — the sliced layer is materialized
+    as a copy first (int8 then moves read+write+read = 3x its bytes,
+    erasing the quantization bandwidth win; the r2 bench measured int8
+    decode at exactly bf16 speed because of this). The stacked kernels
+    keep the whole [L, K, N] stack in HBM and index the layer with a
+    scalar-prefetched index instead.
+    """
+    if jax.default_backend() == "tpu":
+        if w_q.dtype == jnp.int8:
+            from xllm_tpu.ops.pallas.quant_matmul import (
+                quant_matmul_int8_v2_stacked,
+            )
+
+            return quant_matmul_int8_v2_stacked(x, w_q, scale, layer_idx)
+        from xllm_tpu.ops.pallas.quant_matmul import quant_matmul_fp8_stacked
+
+        return quant_matmul_fp8_stacked(x, w_q, scale, layer_idx)
+    w = w_q[layer_idx].astype(x.dtype) * scale[layer_idx][None, :].astype(
+        x.dtype
+    )
+    return jnp.dot(x, w, preferred_element_type=jnp.float32)
