@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from xllm_tpu.ops.pallas.quant_matmul import (
+    matmul_bf16_stacked,
     quant_matmul_fp8_stacked,
     quant_matmul_int8,
     quant_matmul_int8_v2,
@@ -68,21 +69,24 @@ def slope(step, state, iters=16):
 
 
 def run(tag, weights, mm, bytes_per_el):
-    """weights: dict name -> (stacked arrays...); mm(name, x, i) -> [M, N]."""
+    """weights: dict name -> array pytree passed EXPLICITLY into the jit
+    (closure capture lifts multi-GB stacks into lowering constants — the
+    first r3 run of this probe spent 15+ min serializing 2.8 GB of HLO
+    and never reached the device); mm(w, name, x, i) -> [M, N]."""
 
     @jax.jit
-    def step(acc0):
+    def step(w, acc0):
         def body(acc, i):
             tot = acc
             for name in SHAPES:
-                y = mm(name, xs[name], i)
+                y = mm(w, name, xs[name], i)
                 tot = tot + jnp.sum(y[:, :64].astype(jnp.float32))
             return tot, None
 
         acc, _ = jax.lax.scan(body, acc0, jnp.arange(NL, dtype=jnp.int32))
         return acc + acc0, acc
 
-    ms = slope(lambda a: step(a), jnp.float32(0.0))
+    ms = slope(lambda a: step(weights, a), jnp.float32(0.0))
     gb = NL * layer_bytes_bf16 * bytes_per_el / 2 / 1e9
     print(
         f"## {tag}: {ms:.3f} ms/28L  ({ms/NL*1e3:.0f} us/layer, "
@@ -101,9 +105,16 @@ w_bf16 = {
 }
 results["xla_bf16"] = run(
     "xla_bf16", w_bf16,
-    lambda name, x, i: jnp.dot(
-        x, w_bf16[name][i], preferred_element_type=jnp.float32
+    lambda w, name, x, i: jnp.dot(
+        x, w[name][i], preferred_element_type=jnp.float32
     ),
+    2,
+)
+# pallas split-DMA streamer on the SAME bf16 stacks (in-scan A/B: can the
+# manual pipeline beat XLA's ~660 GB/s weight stream at decode shapes?)
+results["pallas_bf16_stacked"] = run(
+    "pallas_bf16_stacked", w_bf16,
+    lambda w, name, x, i: matmul_bf16_stacked(x, w[name], i),
     2,
 )
 
@@ -120,11 +131,11 @@ sw = {
 }
 
 results["xla_int8dq"] = run(
-    "xla_int8dq", w_i8,
-    lambda name, x, i: jnp.dot(
+    "xla_int8dq", (w_i8, sw),
+    lambda w, name, x, i: jnp.dot(
         x,
-        (w_i8[name][i].astype(jnp.bfloat16)
-         * sw[name][i].astype(jnp.bfloat16)),
+        (w[0][name][i].astype(jnp.bfloat16)
+         * w[1][name][i].astype(jnp.bfloat16)),
         preferred_element_type=jnp.float32,
     ),
     1,
@@ -137,28 +148,30 @@ xq = {
     for name, x in xs.items()
 }
 results["xla_int8mxu"] = run(
-    "xla_int8mxu", w_i8,
-    lambda name, x, i: jax.lax.dot(
-        xq[name], w_i8[name][i], preferred_element_type=jnp.int32
+    "xla_int8mxu", (w_i8, sw),
+    lambda w, name, x, i: jax.lax.dot(
+        xq[name], w[0][name][i], preferred_element_type=jnp.int32
     ).astype(jnp.float32),
     1,
 )
 
 results["qmm_v1"] = run(
-    "qmm_v1", w_i8,
-    lambda name, x, i: quant_matmul_int8(x, w_i8[name][i], sw[name][i]),
+    "qmm_v1", (w_i8, sw),
+    lambda w, name, x, i: quant_matmul_int8(x, w[0][name][i], w[1][name][i]),
     1,
 )
 results["qmm_v2"] = run(
-    "qmm_v2", w_i8,
-    lambda name, x, i: quant_matmul_int8_v2(x, w_i8[name][i], sw[name][i]),
+    "qmm_v2", (w_i8, sw),
+    lambda w, name, x, i: quant_matmul_int8_v2(
+        x, w[0][name][i], w[1][name][i]
+    ),
     1,
 )
 # stacked: the layer index goes INTO the kernel — no per-layer slice copy
 results["qmm_v2_stacked"] = run(
-    "qmm_v2_stacked", w_i8,
-    lambda name, x, i: quant_matmul_int8_v2_stacked(
-        x, w_i8[name], sw[name], i
+    "qmm_v2_stacked", (w_i8, sw),
+    lambda w, name, x, i: quant_matmul_int8_v2_stacked(
+        x, w[0][name], w[1][name], i
     ),
     1,
 )
@@ -177,21 +190,23 @@ sw1 = {
     name: jnp.ones((NL, n), jnp.float32) for name, (k, n) in SHAPES.items()
 }
 results["fp8_v2"] = run(
-    "fp8_v2", w_f8,
-    lambda name, x, i: quant_matmul_fp8_v2(x, w_f8[name][i], sw1[name][i]),
+    "fp8_v2", (w_f8, sw1),
+    lambda w, name, x, i: quant_matmul_fp8_v2(
+        x, w[0][name][i], w[1][name][i]
+    ),
     1,
 )
 results["fp8_stacked"] = run(
-    "fp8_stacked", w_f8,
-    lambda name, x, i: quant_matmul_fp8_stacked(
-        x, w_f8[name], sw1[name], i
+    "fp8_stacked", (w_f8, sw1),
+    lambda w, name, x, i: quant_matmul_fp8_stacked(
+        x, w[0][name], w[1][name], i
     ),
     1,
 )
 results["xla_fp8dq"] = run(
     "xla_fp8dq", w_f8,
-    lambda name, x, i: jnp.dot(
-        x, w_f8[name][i].astype(jnp.bfloat16),
+    lambda w, name, x, i: jnp.dot(
+        x, w[name][i].astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     ),
     1,

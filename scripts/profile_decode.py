@@ -139,12 +139,21 @@ def main() -> None:
         block_tables[np.arange(BATCH), (CTX - 1) // bs] * bs + (CTX - 1) % bs
     ).astype(np.int32)
     seq_lens = np.full(BATCH, CTX, np.int32)
+    # host-precomputed page maps, exactly like build_decode_input
+    pages = -(-seq_lens // bs)
+    page_cum = np.zeros(BATCH + 1, np.int32)
+    np.cumsum(pages, out=page_cum[1:])
+    page_seq = np.searchsorted(
+        page_cum[1:], np.arange(BATCH * nbt), side="right"
+    ).astype(np.int32)
     inp = DecodeInput(
         slot_ids=np.arange(BATCH, dtype=np.int32),
         positions=positions,
         slot_mapping=slot_mapping,
         block_tables=block_tables,
         seq_lens=seq_lens,
+        page_cum=page_cum,
+        page_seq=page_seq,
     )
     si = SamplingInput(
         temperature=np.zeros(BATCH, np.float32),
@@ -197,6 +206,7 @@ def main() -> None:
             o, k_all, v_all = decode_attention_write(
                 q, knew, knew, k_all, v_all, layer_idx,
                 inp.slot_mapping, inp.block_tables, inp.seq_lens, model.scale,
+                page_maps=(inp.page_cum, inp.page_seq),
             )
             return (k_all, v_all, acc + jnp.sum(o, axis=(1, 2))), None
 

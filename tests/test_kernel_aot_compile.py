@@ -117,6 +117,68 @@ def test_prefill_batched_compiles(tpu_aot):
     )
 
 
+def test_prefill_batched_8b_compiles(tpu_aot):
+    """Regression: the 8B bench config (Hq=32, 36 layers) OOMed the Mosaic
+    VMEM stack at TQ=128 — _pick_q_tile must shrink the tile with the
+    head count (r3 bench failure: 17.63M > 16M scoped vmem)."""
+    from xllm_tpu.ops.pallas.prefill_attention import (
+        paged_attention_prefill_batched_tpu,
+        paged_attention_prefill_tpu,
+    )
+
+    L8, NBLK8, HQ8 = 36, 250, 32
+    cache = ((L8, NBLK8, HKV, BS, D), jnp.bfloat16)
+    tpu_aot(
+        paged_attention_prefill_batched_tpu,
+        ((P, S, HQ8, D), jnp.bfloat16),
+        cache, cache,
+        ((), jnp.int32),
+        ((P, 35), jnp.int32),
+        ((P,), jnp.int32),
+        ((P,), jnp.int32),
+        scale=D**-0.5,
+    )
+    tpu_aot(
+        paged_attention_prefill_tpu,
+        ((2048, HQ8, D), jnp.bfloat16),
+        cache, cache,
+        ((), jnp.int32),
+        ((35,), jnp.int32),
+        ((), jnp.int32),
+        ((), jnp.int32),
+        scale=D**-0.5,
+    )
+
+
+def test_decode_v5_v6_premap_compile(tpu_aot):
+    """The host-precomputed page-map path (DecodeInput.page_cum/page_seq)
+    must produce the same Mosaic kernel — only the XLA-side prep changes."""
+    from xllm_tpu.ops.pallas.decode_attention import (
+        paged_decode_attention_write_v5_tpu,
+        paged_decode_attention_write_v6_tpu,
+    )
+
+    cache = _kv_shapes()
+    common = (
+        ((B, HQ, D), jnp.bfloat16),
+        ((B, HKV, D), jnp.bfloat16),
+        ((B, HKV, D), jnp.bfloat16),
+        cache, cache,
+        ((), jnp.int32),
+        ((B,), jnp.int32),
+        ((B, NB), jnp.int32),
+        ((B,), jnp.int32),
+    )
+    tpu_aot(
+        paged_decode_attention_write_v5_tpu, *common,
+        ((B + 1,), jnp.int32), scale=D**-0.5,
+    )
+    tpu_aot(
+        paged_decode_attention_write_v6_tpu, *common,
+        ((B + 1,), jnp.int32), ((B * NB,), jnp.int32), scale=D**-0.5,
+    )
+
+
 def test_kv_writers_compile(tpu_aot):
     from xllm_tpu.ops.pallas.kv_write import (
         kv_write_prefill_batched_tpu,
@@ -169,6 +231,8 @@ def test_quant_matmuls_stacked_compile(tpu_aot):
         quant_matmul_int8_v2_stacked,
     )
 
+    from xllm_tpu.ops.pallas.quant_matmul import matmul_bf16_stacked
+
     NL = 28
     for K, N in ((2048, 6144), (2048, 12288), (6144, 2048)):
         x = ((B, K), jnp.bfloat16)
@@ -180,6 +244,9 @@ def test_quant_matmuls_stacked_compile(tpu_aot):
         tpu_aot(
             quant_matmul_fp8_stacked, x, ((NL, K, N), jnp.float8_e4m3fn),
             s, li,
+        )
+        tpu_aot(
+            matmul_bf16_stacked, x, ((NL, K, N), jnp.bfloat16), li
         )
 
 

@@ -75,7 +75,10 @@ def test_follower_replays_driver_decode():
     )
     # follower B replay via injected header + monkeypatched receive
     hdr = np.zeros(8, np.int32)
-    hdr[:3] = (STEP_DECODE, b_pad, inp.block_tables.shape[1])
+    hdr[:4] = (
+        STEP_DECODE, b_pad, inp.block_tables.shape[1],
+        int(inp.page_cum is not None),
+    )
     f = FollowerEngine(rb)
     import xllm_tpu.parallel.multihost as mh
 

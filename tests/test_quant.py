@@ -312,6 +312,24 @@ def test_quant_matmul_stacked_matches_reference(m, k, n):
         )
 
 
+def test_matmul_bf16_stacked_interpret_parity():
+    """Stacked bf16 streamer == XLA dot on the scanned layer slice."""
+    from xllm_tpu.ops.pallas.quant_matmul import matmul_bf16_stacked
+
+    rng = np.random.default_rng(3)
+    nl, m, k, n = 3, 16, 128, 512
+    x = jnp.asarray(rng.standard_normal((m, k)) * 0.3, jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((nl, k, n)) * 0.05, jnp.bfloat16)
+    for li in (0, nl - 1):
+        ref = jnp.dot(
+            x.astype(jnp.float32), w[li].astype(jnp.float32)
+        )
+        out = matmul_bf16_stacked(x, w, jnp.int32(li), interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=3e-2, atol=3e-2
+        )
+
+
 def test_matmul_bf16_v2_interpret_parity():
     """bf16 split-DMA streaming matmul == XLA dot (interpret mode)."""
     import numpy as np

@@ -500,6 +500,12 @@ class DenseDecoderModel:
     ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """-> (hidden [B, D], k_all, v_all)."""
 
+        page_maps = (
+            (inp.page_cum, inp.page_seq)
+            if inp.page_cum is not None and inp.page_seq is not None
+            else None
+        )
+
         def attn_fn(q, k, v, k_all, v_all, layer_idx):
             return decode_attention_write(
                 q,
@@ -513,6 +519,7 @@ class DenseDecoderModel:
                 inp.seq_lens,
                 self.scale,
                 window=self.window,
+                page_maps=page_maps,
             )
 
         x = params["embed_tokens"][token_ids]

@@ -455,10 +455,17 @@ class Qwen3NextModel(DenseDecoderModel):
     ):
         b = token_ids.shape[0]
 
+        page_maps = (
+            (inp.page_cum, inp.page_seq)
+            if inp.page_cum is not None and inp.page_seq is not None
+            else None
+        )
+
         def attn_fn(q, k, v, k_pages, v_pages, gidx):
             out, k_pages, v_pages = decode_attention_write(
                 q, k, v, k_pages, v_pages, gidx, inp.slot_mapping,
                 inp.block_tables, inp.seq_lens, self.scale,
+                page_maps=page_maps,
             )
             return out, k_pages, v_pages
 

@@ -47,8 +47,14 @@ def decode_attention_write(
     seq_lens: jnp.ndarray,  # [B] int32 (including current token)
     scale: float,
     window: int = 0,
+    page_maps: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    # (page_cum [B+1], page_seq [B*NB]) host-precomputed global-page-ring
+    # maps (DecodeInput.page_cum/page_seq) — computing them on device puts
+    # a sequential searchsorted inside every layer of the decode scan
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Write each sequence's new K/V row, then attend. -> (out, k, v)."""
+    cum = page_maps[0] if page_maps is not None else None
+    seq_of_page = page_maps[1] if page_maps is not None else None
     if _use_pallas(q.shape[-1]):
         # Default v5: the r3 full-config same-session A/B
         # (scripts/probe_v6_bisect.py + probe_r3_kernels.py) measured v5 at
@@ -75,6 +81,7 @@ def decode_attention_write(
             return paged_decode_attention_write_v6_tpu(
                 q, k_new, v_new, k_all, v_all, layer_idx, slot_mapping,
                 block_tables, seq_lens, scale, window=window,
+                cum=cum, seq_of_page=seq_of_page,
             )
         if kver == "v5":
             from xllm_tpu.ops.pallas.decode_attention import (
@@ -83,7 +90,7 @@ def decode_attention_write(
 
             return paged_decode_attention_write_v5_tpu(
                 q, k_new, v_new, k_all, v_all, layer_idx, slot_mapping,
-                block_tables, seq_lens, scale, window=window,
+                block_tables, seq_lens, scale, window=window, cum=cum,
             )
         if kver == "v4":
             from xllm_tpu.ops.pallas.decode_attention import (

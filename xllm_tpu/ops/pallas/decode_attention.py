@@ -1140,6 +1140,7 @@ def paged_decode_attention_write_v5_tpu(
     window: int = 0,
     split_override: int = 0,
     nslots_override: int = 0,
+    cum: jnp.ndarray | None = None,  # [B+1] precomputed page cumsum
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """-> (out [B, Hq, D], k_all, v_all) — caches updated in place."""
     b, hq, d = q.shape
@@ -1154,10 +1155,11 @@ def paged_decode_attention_write_v5_tpu(
         assert hkv % split_override == 0
         split = split_override
 
-    pages = jax.lax.div(seq_lens + bs - 1, bs)
-    cum = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(pages).astype(jnp.int32)]
-    )
+    if cum is None:
+        pages = jax.lax.div(seq_lens + bs - 1, bs)
+        cum = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(pages).astype(jnp.int32)]
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -1457,6 +1459,8 @@ def paged_decode_attention_write_v6_tpu(
     window: int = 0,
     split_override: int = 0,
     nslots_override: int = 0,
+    cum: jnp.ndarray | None = None,  # [B+1] precomputed page cumsum
+    seq_of_page: jnp.ndarray | None = None,  # [B*NB] precomputed owner map
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """-> (out [B, Hq, D], k_all, v_all) — caches updated in place."""
     b, hq, d = q.shape
@@ -1475,14 +1479,20 @@ def paged_decode_attention_write_v6_tpu(
         split = split_override
     nb = block_tables.shape[1]
 
-    pages = jax.lax.div(seq_lens + bs - 1, bs)
-    cum = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(pages).astype(jnp.int32)]
-    )
-    # owning sequence of each global page (monotone; empty seqs skipped)
-    seq_of_page = jnp.searchsorted(
-        cum[1:], jnp.arange(b * nb, dtype=jnp.int32), side="right"
-    ).astype(jnp.int32)
+    if cum is None:
+        pages = jax.lax.div(seq_lens + bs - 1, bs)
+        cum = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(pages).astype(jnp.int32)]
+        )
+    if seq_of_page is None:
+        # owning sequence of each global page (monotone; empty seqs
+        # skipped). NOTE: on TPU jnp.searchsorted lowers to a sequential
+        # binary-search loop — callers inside a layer scan must pass the
+        # precomputed host map (DecodeInput.page_seq) or this prep
+        # dominates the kernel itself.
+        seq_of_page = jnp.searchsorted(
+            cum[1:], jnp.arange(b * nb, dtype=jnp.int32), side="right"
+        ).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,

@@ -313,7 +313,7 @@ def paged_attention_prefill_batched_tpu(
     p, s, hq, d = q.shape
     _, _, hkv, bs, _ = k_all.shape
     g = hq // hkv
-    tq = _pick_q_tile(s)
+    tq = _pick_q_tile(s, hq)
 
     qt = q.transpose(0, 2, 1, 3)  # [P, Hq, S, D]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -365,12 +365,16 @@ def paged_attention_prefill_batched_tpu(
     return out.transpose(0, 2, 1, 3)
 
 
-def _pick_q_tile(s: int) -> int:
-    # TQ=128 keeps the fp32 accumulator + 4-deep KV pipeline under the
-    # 16 MB VMEM budget at Hq=16, D=128 (TQ=256 OOMs the scoped vmem)
-    if s % 128 == 0:
-        return 128
-    return s
+def _pick_q_tile(s: int, hq: int) -> int:
+    # The VMEM footprint scales with Hq*TQ (q/out windows, fp32
+    # accumulators, score temporaries): Hq*TQ = 2048 measured ~11 MB of
+    # the 16 MB scoped budget; Hq=32 with TQ=128 OOMs the Mosaic stack
+    # (17.6 MB — the r3 8B bench failure), so the tile shrinks as the
+    # head count grows.
+    tq = 128
+    while tq > 8 and (hq * tq > 2048 or s % tq != 0):
+        tq //= 2
+    return tq if s % tq == 0 else s
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret", "window"))
@@ -389,7 +393,7 @@ def paged_attention_prefill_tpu(
     s, hq, d = q.shape
     _, _, hkv, bs, _ = k_all.shape
     g = hq // hkv
-    tq = _pick_q_tile(s)
+    tq = _pick_q_tile(s, hq)
 
     # head-major [Hq, S, D]; rows of head h*g+j are kv head h, group slot j,
     # so q_t.reshape(hkv, g*tq, d) groups each kv head's G query rows.

@@ -549,6 +549,25 @@ def quant_matmul_fp8_stacked(
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def matmul_bf16_stacked(
+    x,  # [M, K] bf16
+    w,  # [L, K, N] bf16
+    layer_idx,  # [] int32
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+):
+    """Stacked bf16 matmul on the v2 split-DMA streamer: the layer index
+    goes into the kernel, so a lax.scan over layers streams weights
+    straight from the [L, K, N] HBM stack (same rationale as the stacked
+    quant kernels — and a direct in-scan A/B against XLA's dot)."""
+    nl, _, n = w.shape
+    ones = jnp.ones((nl, n), jnp.float32)
+    return _qmm_v2_stacked(
+        x, w, ones, layer_idx, out_dtype, interpret, act_quant=False
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
 def matmul_bf16_v2(
     x, w, out_dtype=jnp.float32, interpret: bool = False
 ):

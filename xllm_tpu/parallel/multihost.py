@@ -84,7 +84,9 @@ class StepBroadcaster:
         b_pad = int(inp.slot_ids.shape[0])
         nbt = int(inp.block_tables.shape[1])
         hdr = np.zeros(_HDR, np.int32)
-        hdr[:3] = (STEP_DECODE, b_pad, nbt)
+        # hdr[3]: page maps present (dp_size == 1 inputs carry
+        # DecodeInput.page_cum/page_seq — the pytree shape must match)
+        hdr[:4] = (STEP_DECODE, b_pad, nbt, int(inp.page_cum is not None))
         _bcast(hdr)
         _bcast(tuple(jax.tree.leaves((inp, si))))
 
@@ -106,7 +108,7 @@ class StepBroadcaster:
         _bcast(hdr)
 
 
-def _zero_decode(b_pad: int, nbt: int):
+def _zero_decode(b_pad: int, nbt: int, with_maps: bool = False):
     from xllm_tpu.runtime.forward_params import DecodeInput
 
     return DecodeInput(
@@ -116,6 +118,8 @@ def _zero_decode(b_pad: int, nbt: int):
         block_tables=np.zeros((b_pad, nbt), np.int32),
         seq_lens=np.zeros(b_pad, np.int32),
         hist_positions=np.zeros(b_pad, np.int32),
+        page_cum=np.zeros(b_pad + 1, np.int32) if with_maps else None,
+        page_seq=np.zeros(b_pad * nbt, np.int32) if with_maps else None,
     )
 
 
@@ -180,7 +184,10 @@ class FollowerEngine:
             return False
         if kind == STEP_DECODE:
             b_pad, nbt = int(hdr[1]), int(hdr[2])
-            proto = (_zero_decode(b_pad, nbt), _zero_sampling(b_pad))
+            proto = (
+                _zero_decode(b_pad, nbt, with_maps=bool(hdr[3])),
+                _zero_sampling(b_pad),
+            )
             leaves = _bcast(tuple(jax.tree.leaves(proto)))
             inp, si = jtu.tree_unflatten(
                 jtu.tree_structure(proto), list(leaves)

@@ -99,6 +99,14 @@ class DecodeInput:
     # un-offset token index (num_tokens - 1) for the history ring — the
     # rope position is the wrong key for VLM rows (rope_offset != 0)
     hist_positions: jnp.ndarray | None = None  # [B] int32
+    # host-precomputed page maps for the decode-attention global page ring
+    # (ops/pallas/decode_attention v5/v6): cumulative page counts [B+1] and
+    # owning sequence of each global page [B*NB]. Computing these on device
+    # put a jnp.searchsorted (a sequential binary-search loop on TPU) inside
+    # EVERY layer of the decode scan — the r2->r3 "v6 regression" was this
+    # prep, not the kernel.
+    page_cum: jnp.ndarray | None = None  # [B+1] int32
+    page_seq: jnp.ndarray | None = None  # [B*NB] int32
 
 
 @jax.tree_util.register_dataclass

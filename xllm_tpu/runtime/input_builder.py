@@ -410,6 +410,20 @@ def build_decode_input(
         nb = len(seq.block_ids)
         block_tables[i, :nb] = seq.block_ids
         seq_lens[i] = seq.num_tokens
+    # global-page-ring maps for the decode attention kernels, precomputed
+    # here (the scheduler already knows every length) so no per-layer
+    # cumsum/searchsorted runs inside the decode scan. DP>1 shards the
+    # batch rows over the mesh while these maps are whole-batch global —
+    # the kernels fall back to their own (shard-local) prep there.
+    page_cum = page_seq = None
+    if dp_size == 1:
+        pages = -(-seq_lens // block_size)
+        page_cum = np.zeros(b_pad + 1, np.int32)
+        np.cumsum(pages, out=page_cum[1:])
+        page_seq = np.searchsorted(
+            page_cum[1:], np.arange(b_pad * num_block_table_cols),
+            side="right",
+        ).astype(np.int32)
     inp = DecodeInput(
         slot_ids=slot_ids,
         positions=positions,
@@ -417,6 +431,8 @@ def build_decode_input(
         block_tables=block_tables,
         seq_lens=seq_lens,
         hist_positions=hist_positions,
+        page_cum=page_cum,
+        page_seq=page_seq,
     )
     return inp, rows
 

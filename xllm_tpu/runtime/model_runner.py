@@ -1736,6 +1736,13 @@ class ModelRunner:
                 np.int32(self.trash_slot), np.int32(self.trash_slot),
             )
         for b_pad in sc.decode_batch_buckets:
+            # page maps present iff dp_size == 1, exactly like
+            # build_decode_input — the warmup compile must hit the same
+            # pytree structure the serving steps dispatch
+            page_cum = page_seq = None
+            if self.dp_size == 1:
+                page_cum = np.zeros(b_pad + 1, np.int32)
+                page_seq = np.full(b_pad * nb, b_pad - 1, np.int32)
             inp = DecodeInput(
                 slot_ids=np.full(b_pad, self.trash_slot, np.int32),
                 positions=np.zeros(b_pad, np.int32),
@@ -1743,6 +1750,8 @@ class ModelRunner:
                 block_tables=np.zeros((b_pad, nb), np.int32),
                 seq_lens=np.zeros(b_pad, np.int32),
                 hist_positions=np.zeros(b_pad, np.int32),
+                page_cum=page_cum,
+                page_seq=page_seq,
             )
             si = SamplingInput(
                 temperature=np.zeros(b_pad, np.float32),
