@@ -169,12 +169,19 @@ def test_decode_v5_v6_premap_compile(tpu_aot):
         ((B, NB), jnp.int32),
         ((B,), jnp.int32),
     )
+    def v5_premap(*a, scale):
+        *base, cum = a
+        return paged_decode_attention_write_v5_tpu(*base, scale, cum=cum)
+
+    def v6_premap(*a, scale):
+        *base, cum, seq_of_page = a
+        return paged_decode_attention_write_v6_tpu(
+            *base, scale, cum=cum, seq_of_page=seq_of_page
+        )
+
+    tpu_aot(v5_premap, *common, ((B + 1,), jnp.int32), scale=D**-0.5)
     tpu_aot(
-        paged_decode_attention_write_v5_tpu, *common,
-        ((B + 1,), jnp.int32), scale=D**-0.5,
-    )
-    tpu_aot(
-        paged_decode_attention_write_v6_tpu, *common,
+        v6_premap, *common,
         ((B + 1,), jnp.int32), ((B * NB,), jnp.int32), scale=D**-0.5,
     )
 
@@ -542,4 +549,56 @@ def test_mla_kernels_fp8_latent_compile(tpu_aot):
         ((), jnp.int32),
         scale=DK**-0.5,
         dv=DV,
+    )
+
+
+def test_decode_v8_compiles(tpu_aot):
+    from xllm_tpu.ops.pallas.decode_attention import (
+        paged_decode_attention_write_v8_tpu,
+    )
+
+    cache = _kv_shapes()
+    common = (
+        ((B, HQ, D), jnp.bfloat16),
+        ((B, HKV, D), jnp.bfloat16),
+        ((B, HKV, D), jnp.bfloat16),
+        cache, cache,
+        ((), jnp.int32),
+        ((B,), jnp.int32),
+        ((B, NB), jnp.int32),
+        ((B,), jnp.int32),
+    )
+    for kw in ({}, {"window": 1024}, {"chunk": 2}, {"chunk": 3},
+               {"nslots_override": 8}, {"split_override": 1},
+               {"split_override": 4}):
+        tpu_aot(
+            paged_decode_attention_write_v8_tpu, *common,
+            scale=D**-0.5, **kw,
+        )
+    # 8B bench config (Hq=32) and fp8 KV
+    cache8 = ((36, 250, HKV, BS, D), jnp.bfloat16)
+    tpu_aot(
+        paged_decode_attention_write_v8_tpu,
+        ((64, 32, D), jnp.bfloat16),
+        ((64, HKV, D), jnp.bfloat16),
+        ((64, HKV, D), jnp.bfloat16),
+        cache8, cache8,
+        ((), jnp.int32),
+        ((64,), jnp.int32),
+        ((64, 35), jnp.int32),
+        ((64,), jnp.int32),
+        scale=D**-0.5,
+    )
+    cachef8 = ((L, NBLK, HKV, BS, D), jnp.float8_e4m3fn)
+    tpu_aot(
+        paged_decode_attention_write_v8_tpu,
+        ((B, HQ, D), jnp.bfloat16),
+        ((B, HKV, D), jnp.float8_e4m3fn),
+        ((B, HKV, D), jnp.float8_e4m3fn),
+        cachef8, cachef8,
+        ((), jnp.int32),
+        ((B,), jnp.int32),
+        ((B, NB), jnp.int32),
+        ((B,), jnp.int32),
+        scale=D**-0.5,
     )

@@ -64,6 +64,20 @@ def decode_attention_write(
         # defaults are picked from full-config same-session runs only
         # (see PERF.md).
         kver = os.environ.get("XLLM_DECODE_KERNEL", "v5")
+        if kver.startswith("v8"):
+            # v8: C-page flash chunks amortize the per-page softmax
+            # bookkeeping the r5 floor probe exposed (~65 us/layer between
+            # v5 and the pure-DMA floor). "v8" -> chunk=4; "v8c2" -> 2.
+            from xllm_tpu.ops.pallas.decode_attention import (
+                paged_decode_attention_write_v8_tpu,
+            )
+
+            chunk = int(kver[3:]) if kver.startswith("v8c") else 4
+            return paged_decode_attention_write_v8_tpu(
+                q, k_new, v_new, k_all, v_all, layer_idx, slot_mapping,
+                block_tables, seq_lens, scale, window=window, cum=cum,
+                chunk=chunk,
+            )
         if kver == "v7":
             from xllm_tpu.ops.pallas.decode_attention import (
                 paged_decode_attention_write_v7_tpu,

@@ -1894,3 +1894,401 @@ def paged_decode_attention_write_v7_tpu(
         v_all,
     )
     return out, k_all, v_all
+
+def _decode_kernel_v8(
+    # scalar prefetch
+    layer_ref,  # [1] int32
+    block_tables_ref,  # [B, NB] int32 (tight columns)
+    seq_lens_ref,  # [B] int32 (incl. current token)
+    slot_ref,  # [B] int32 (current token's slot)
+    cum_ref,  # [B+1] int32 cumulative page counts
+    ccum_ref,  # [B+1] int32 cumulative CHUNK counts (pages grouped by C)
+    # inputs
+    q_ref,  # [1, Hkv*G, D] VMEM
+    k_new_ref,  # [1, Hkv, D] VMEM
+    v_new_ref,
+    k_in,  # [L, NB, Hkv, bs, D] ANY (aliased)
+    v_in,
+    # outputs
+    o_ref,  # [1, Hkv*G, D] VMEM
+    k_out,
+    v_out,
+    # scratch
+    k_buf,  # [NSLOTS, Hkv, bs, D] (NSLOTS multiple of C)
+    v_buf,
+    scores_ref,  # [Hkv*G, C*Hkv*bs] f32
+    sem,  # DMA [2, NSLOTS, SPLIT]
+    k_patch,
+    v_patch,
+    w_sem,  # DMA [2]
+    pend_ref,  # SMEM [1]
+    cursor_ref,  # SMEM [3]: (next global page, owning seq, its padded idx)
+    *,
+    scale: float,
+    block_size: int,
+    chunk: int,
+    window: int = 0,
+):
+    """v8: v5's packed-head streaming + C-page flash chunks.
+
+    The r5 floor probe (scripts/probe_r5_floor.py) measured the pure DMA
+    stream of the full bench config at 140 us/layer while v5/v6 run ~205:
+    ~65 us/layer of per-page softmax bookkeeping (max/exp rescale of the
+    online-softmax state) sits on the critical path. v8 amortizes it: each
+    flash iteration consumes a CHUNK of C pages —
+
+      - per page, only the packed QK dot runs, writing raw scores into a
+        [Hq, C*Hkv*bs] VMEM scratch;
+      - the mask / max / exp / rescale / PV dot run ONCE per chunk over
+        the whole scratch, with the chunk's V pages read as one
+        [C*Hkv*bs, D] tile out of consecutive ring slots.
+
+    Ring slots are addressed by PADDED page index (each sequence's pages
+    rounded up to whole chunks, cumulative counts in ccum_ref) so a
+    chunk's pages always occupy C consecutive slots with no mid-chunk
+    wraparound. The DMA cursor walks real pages but targets padded
+    indices; tail chunks simply leave their missing slots unissued and
+    the combine masks those columns (kv_idx >= n_cached).
+    """
+    del k_in, v_in
+    b = pl.program_id(0)
+    nprog = pl.num_programs(0)
+
+    layer = layer_ref[0]
+    seq_len = seq_lens_ref[b]
+    nblks = pl.cdiv(seq_len, block_size)
+    last = nblks - 1
+    rows_q, d = q_ref.shape[1], q_ref.shape[2]
+    hkv = k_new_ref.shape[1]
+    g = rows_q // hkv
+    n_cached = seq_len - 1
+    total_pages = cum_ref[nprog]
+    split = sem.shape[2]
+    rows_dma = hkv // split
+    nslots = k_buf.shape[0]
+    bs = block_size
+    cols = hkv * bs
+    C = chunk
+
+    @pl.when(b == 0)
+    def _():
+        pend_ref[0] = 0
+        cursor_ref[0] = 0
+        cursor_ref[1] = 0
+        cursor_ref[2] = 0
+
+    def issue_at(gp, iseq, pd):
+        j = gp - cum_ref[iseq]
+        blk = block_tables_ref[iseq, j]
+        slot = jax.lax.rem(pd, nslots)
+        for si in range(split):
+            pltpu.make_async_copy(
+                k_out.at[layer, blk, pl.ds(si * rows_dma, rows_dma)],
+                k_buf.at[slot, pl.ds(si * rows_dma, rows_dma)],
+                sem.at[0, slot, si],
+            ).start()
+            pltpu.make_async_copy(
+                v_out.at[layer, blk, pl.ds(si * rows_dma, rows_dma)],
+                v_buf.at[slot, pl.ds(si * rows_dma, rows_dma)],
+                sem.at[1, slot, si],
+            ).start()
+
+    def drain_to_padded(tgt):
+        """Issue pages while their PADDED index < tgt (and pages remain)."""
+
+        def cond(c):
+            gp, iseq, pd = c
+            return (gp < total_pages) & (pd < tgt)
+
+        def step(c):
+            gp, iseq, pd = c
+            issue_at(gp, iseq, pd)
+            gp1 = gp + 1
+
+            def adv_cond(s):
+                return (s + 1 < nprog + 1) & (gp1 >= cum_ref[s + 1])
+
+            iseq1 = jax.lax.while_loop(adv_cond, lambda s: s + 1, iseq)
+            j1 = gp1 - cum_ref[iseq1]
+            pd1 = (ccum_ref[iseq1] + j1 // C) * C + jax.lax.rem(j1, C)
+            return (gp1, iseq1, pd1)
+
+        gp, iseq, pd = jax.lax.while_loop(
+            cond, step, (cursor_ref[0], cursor_ref[1], cursor_ref[2])
+        )
+        cursor_ref[0] = gp
+        cursor_ref[1] = iseq
+        cursor_ref[2] = pd
+
+    def wait_page(slot):
+        for si in range(split):
+            for which in (0, 1):
+                pltpu.make_async_copy(
+                    k_buf.at[slot, pl.ds(si * rows_dma, rows_dma)],
+                    k_buf.at[slot, pl.ds(si * rows_dma, rows_dma)],
+                    sem.at[which, slot, si],
+                ).wait()
+
+    # packed-head block-diagonal mask, tiled over the C pages (static)
+    ccols = C * cols
+    hc = jax.lax.rem(
+        jax.lax.broadcasted_iota(jnp.int32, (rows_q, ccols), 1), cols
+    ) // bs
+    hr = jax.lax.broadcasted_iota(jnp.int32, (rows_q, ccols), 0) // g
+    diag = hc == hr  # [rows_q, C*cols]
+    # token index of each column within its chunk: page_in_chunk*bs + row
+    off_in_chunk = (
+        jax.lax.broadcasted_iota(jnp.int32, (rows_q, ccols), 1) // cols * bs
+        + jax.lax.rem(
+            jax.lax.broadcasted_iota(jnp.int32, (rows_q, ccols), 1), bs
+        )
+    )
+
+    @pl.when(seq_len > 0)
+    def _():
+        q = q_ref[0]  # [Hkv*G, D]
+        k_new_p = jnp.repeat(k_new_ref[0], g, axis=0)  # [Hkv*G, D]
+        v_new_p = jnp.repeat(v_new_ref[0], g, axis=0)
+        m0 = (
+            jnp.sum(q.astype(jnp.float32) * k_new_p.astype(jnp.float32),
+                    axis=-1, keepdims=True) * scale
+        )
+        l0 = jnp.ones((rows_q, 1), jnp.float32)
+        acc0 = v_new_p.astype(jnp.float32)
+
+        base_c = ccum_ref[b]
+        nchunks = pl.cdiv(nblks, C)
+
+        def chunk_body(ci, carry):
+            m, l, acc = carry
+            pc = (base_c + ci) * C  # padded index of the chunk's page 0
+            # one drain per chunk: everything in [pc, pc+nslots) in flight;
+            # slots of the chunk's V pages can't be overwritten before the
+            # combine reads them (an issue at pd would recycle pd-nslots)
+            drain_to_padded(pc + nslots)
+            for j in range(C):
+                i = ci * C + j
+
+                @pl.when(i < nblks)
+                def _(i=i, j=j):
+                    slot = jax.lax.rem(pc + j, nslots)
+                    wait_page(slot)
+                    k_flat = _mxu(k_buf[slot]).reshape(cols, d)
+                    scores_ref[:, j * cols:(j + 1) * cols] = (
+                        jax.lax.dot_general(
+                            q, k_flat,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        ) * scale
+                    )
+
+                    # tail page: patch the new row, write back (deferred)
+                    @pl.when(i == last)
+                    def _():
+                        @pl.when(pend_ref[0] == 1)
+                        def _():
+                            pltpu.make_async_copy(
+                                k_patch, k_patch, w_sem.at[0]
+                            ).wait()
+                            pltpu.make_async_copy(
+                                v_patch, v_patch, w_sem.at[1]
+                            ).wait()
+
+                        off = jax.lax.rem(slot_ref[b], bs)
+                        row = jax.lax.broadcasted_iota(
+                            jnp.int32, (hkv, bs, d), 1
+                        )
+                        k_patch[...] = jnp.where(
+                            row == off,
+                            k_new_ref[0][:, None, :].astype(k_patch.dtype),
+                            k_buf[slot],
+                        )
+                        v_patch[...] = jnp.where(
+                            row == off,
+                            v_new_ref[0][:, None, :].astype(v_patch.dtype),
+                            v_buf[slot],
+                        )
+                        blk = block_tables_ref[b, last]
+                        pltpu.make_async_copy(
+                            k_patch, k_out.at[layer, blk], w_sem.at[0]
+                        ).start()
+                        pltpu.make_async_copy(
+                            v_patch, v_out.at[layer, blk], w_sem.at[1]
+                        ).start()
+                        pend_ref[0] = 1
+
+            # combine the whole chunk (mask also kills unissued tail slots)
+            kv_idx = ci * (C * bs) + off_in_chunk
+            keep = diag & (kv_idx < n_cached)
+            if window > 0:
+                keep = keep & (kv_idx >= jnp.maximum(seq_len - window, 0))
+            s = jnp.where(keep, scores_ref[...], _NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            sg = jax.lax.rem(pc, nslots)
+
+            def full_pv():
+                # full chunk: C pages sit in consecutive slots -> ONE dot
+                v_flat = _mxu(v_buf[pl.ds(sg, C)]).reshape(ccols, d)
+                return jax.lax.dot_general(
+                    p.astype(v_flat.dtype), v_flat,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            def tail_pv():
+                # tail chunk: per-page dots, guarded — unissued slots hold
+                # stale/NaN data whose p columns are 0, and 0 * NaN = NaN
+                out = jnp.zeros((rows_q, d), jnp.float32)
+                for j in range(C):
+                    i = ci * C + j
+
+                    def page_dot(j=j):
+                        vj = _mxu(v_buf[jax.lax.rem(pc + j, nslots)])
+                        return jax.lax.dot_general(
+                            p[:, j * cols:(j + 1) * cols].astype(vj.dtype),
+                            vj.reshape(cols, d),
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+
+                    out = out + jax.lax.cond(
+                        i < nblks, page_dot,
+                        lambda: jnp.zeros((rows_q, d), jnp.float32),
+                    )
+                return out
+
+            pv = jax.lax.cond((ci + 1) * C <= nblks, full_pv, tail_pv)
+            acc = acc * alpha + pv
+            return m_new, l_new, acc
+
+        m, l, acc = jax.lax.fori_loop(0, nchunks, chunk_body, (m0, l0, acc0))
+        o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+    @pl.when(seq_len == 0)
+    def _():
+        o_ref[0] = jnp.zeros_like(o_ref[0])
+
+    @pl.when((b == nprog - 1) & (pend_ref[0] == 1))
+    def _():
+        pltpu.make_async_copy(k_patch, k_patch, w_sem.at[0]).wait()
+        pltpu.make_async_copy(v_patch, v_patch, w_sem.at[1]).wait()
+        pend_ref[0] = 0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "interpret", "window", "split_override",
+                     "nslots_override", "chunk"),
+)
+def paged_decode_attention_write_v8_tpu(
+    q: jnp.ndarray,  # [B, Hq, D]
+    k_new: jnp.ndarray,  # [B, Hkv, D]
+    v_new: jnp.ndarray,
+    k_all: jnp.ndarray,  # [L, NB, Hkv, bs, D]
+    v_all: jnp.ndarray,
+    layer_idx: jnp.ndarray,  # [] int32
+    slot_mapping: jnp.ndarray,  # [B] int32
+    block_tables: jnp.ndarray,  # [B, NB_used] int32
+    seq_lens: jnp.ndarray,  # [B] int32 (incl. current token)
+    scale: float,
+    interpret: bool = False,
+    window: int = 0,
+    split_override: int = 0,
+    nslots_override: int = 0,
+    chunk: int = 4,
+    cum: jnp.ndarray | None = None,  # [B+1] precomputed page cumsum
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """-> (out [B, Hq, D], k_all, v_all) — caches updated in place."""
+    b, hq, d = q.shape
+    _, _, hkv, bs, _ = k_all.shape
+    g = hq // hkv
+    assert hq == hkv * g
+    C = chunk
+    nslots = nslots_override or 3 * C
+    assert nslots % C == 0
+    split = 2 if hkv % 2 == 0 else 1
+    if split_override:
+        assert hkv % split_override == 0
+        split = split_override
+
+    if cum is None:
+        pages = jax.lax.div(seq_lens + bs - 1, bs)
+        cum = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(pages).astype(jnp.int32)]
+        )
+    # cumulative chunk counts (vectorized — no sequential device prep)
+    pages_per = cum[1:] - cum[:-1]
+    cchunks = jax.lax.div(pages_per + C - 1, C)
+    ccum = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(cchunks).astype(jnp.int32)]
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, hq, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, hkv, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, hkv, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, hq, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nslots, hkv, bs, d), k_all.dtype),
+            pltpu.VMEM((nslots, hkv, bs, d), v_all.dtype),
+            pltpu.VMEM((hq, C * hkv * bs), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, nslots, split)),
+            pltpu.VMEM((hkv, bs, d), k_all.dtype),
+            pltpu.VMEM((hkv, bs, d), v_all.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((3,), jnp.int32),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_kernel_v8, scale=scale, block_size=bs, window=window,
+        chunk=C,
+    )
+    out, k_all, v_all = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, d), q.dtype),
+            jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
+            jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
+        ],
+        input_output_aliases={9: 1, 10: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        layer_idx.reshape(1),
+        block_tables,
+        seq_lens,
+        slot_mapping,
+        cum,
+        ccum,
+        q,
+        k_new,
+        v_new,
+        k_all,
+        v_all,
+    )
+    return out, k_all, v_all
