@@ -195,6 +195,13 @@ class DenseDecoderModel:
         weights (reference w8a8 path, SURVEY.md §2.8 cutlass row)."""
         qs = self._quant_stacks
         if qs is not None and name in qs:
+            if qs[name].dtype == jnp.bfloat16:
+                # bf16 stack on the split-DMA streamer (XLLM_BF16_MM=stacked)
+                from xllm_tpu.ops.pallas.quant_matmul import (
+                    matmul_bf16_stacked,
+                )
+
+                return matmul_bf16_stacked(x, qs[name], self._cur_rel_layer)
             from xllm_tpu.ops.quant import quant_matmul_stacked
 
             return quant_matmul_stacked(
@@ -327,9 +334,27 @@ class DenseDecoderModel:
             and stack[name].dtype in (jnp.int8, jnp.float8_e4m3fn)
             and name + "_scale" in stack
         ]
+        # decode-shape bf16 stacks through the split-DMA streamer
+        # (XLLM_BF16_MM=stacked): same pull-out-of-the-scan rationale —
+        # a pallas operand sliced by the scan materializes a per-layer copy
+        bf16_stream = (
+            os.environ.get("XLLM_BF16_MM") == "stacked"
+            and t <= 256
+            and jax.default_backend() == "tpu"
+        )
+        if bf16_stream:
+            qnames += [
+                name
+                for name in stack
+                if name.endswith("_proj_w")
+                and hasattr(stack[name], "dtype")
+                and stack[name].dtype == jnp.bfloat16
+            ]
         scanned = stack
         if qnames:
-            pulled = set(qnames) | {name + "_scale" for name in qnames}
+            pulled = (
+                set(qnames) | {name + "_scale" for name in qnames}
+            ) & set(stack)  # bf16-streamed stacks carry no scale
             scanned = {k: v for k, v in stack.items() if k not in pulled}
             self._quant_stacks = {k: stack[k] for k in pulled}
         try:

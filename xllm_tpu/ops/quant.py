@@ -43,33 +43,26 @@ def quant_matmul(
     w_q: jnp.ndarray,  # [K, N] int8 or float8_e4m3fn
     scale: jnp.ndarray,  # [N] f32
 ) -> jnp.ndarray:
-    """-> [M, N] f32. Pallas fused dequant-matmul on TPU, XLA elsewhere."""
-    if jax.default_backend() == "tpu":
-        import os
+    """-> [M, N] f32. XLA fused dequant-dot (the r3 on-chip in-scan A/B,
+    scripts/probe_qmm_scan.py: XLA streams the int8 bytes and fuses the
+    convert+scale into the dot at 81 us/layer vs the best Pallas kernel's
+    92 and bf16's 143 — the dequant rides the weight stream for free).
+    Pallas kernels stay env-gated (XLLM_QMM_KERNEL=pallas) for A/Bs."""
+    import os
 
-        v2 = os.environ.get("XLLM_QMM_KERNEL", "v2") == "v2"
+    if (
+        jax.default_backend() == "tpu"
+        and os.environ.get("XLLM_QMM_KERNEL", "") == "pallas"
+    ):
         if w_q.dtype == jnp.int8:
-            from xllm_tpu.ops.pallas.quant_matmul import (
-                quant_matmul_int8,
-                quant_matmul_int8_v2,
-            )
+            from xllm_tpu.ops.pallas.quant_matmul import quant_matmul_int8_v2
 
-            return (quant_matmul_int8_v2 if v2 else quant_matmul_int8)(
-                x, w_q, scale
-            )
-        from xllm_tpu.ops.pallas.quant_matmul import (
-            quant_matmul_fp8,
-            quant_matmul_fp8_v2,
-        )
+            return quant_matmul_int8_v2(x, w_q, scale)
+        # fp8 uses v1: the v2 double-buffered variant crashes the Mosaic
+        # compiler for f8 weight scratch on v5e
+        from xllm_tpu.ops.pallas.quant_matmul import quant_matmul_fp8
 
-        # fp8 defaults to v1: the v2 double-buffered variant crashes the
-        # Mosaic compiler for f8 weight scratch on v5e (and a crashed
-        # remote compile wedges the axon tunnel for ~18 min) — opt in
-        # explicitly with XLLM_QMM_KERNEL=v2-fp8 once fixed
-        fp8_v2 = os.environ.get("XLLM_QMM_KERNEL", "") == "v2-fp8"
-        return (quant_matmul_fp8_v2 if fp8_v2 else quant_matmul_fp8)(
-            x, w_q, scale
-        )
+        return quant_matmul_fp8(x, w_q, scale)
     w = w_q.astype(x.dtype) * scale[None, :].astype(x.dtype)
     return jnp.dot(x, w, preferred_element_type=jnp.float32)
 
@@ -86,11 +79,21 @@ def quant_matmul_stacked(
     dynamic-slice of the scanned stack — the sliced layer is materialized
     as a copy first (int8 then moves read+write+read = 3x its bytes,
     erasing the quantization bandwidth win; the r2 bench measured int8
-    decode at exactly bf16 speed because of this). The stacked kernels
-    keep the whole [L, K, N] stack in HBM and index the layer with a
-    scalar-prefetched index instead.
+    decode at exactly bf16 speed because of this). The stack therefore
+    stays OUT of the scanned xs (models/decoder.py pulls it) and the live
+    layer is indexed HERE, where XLA fuses dynamic-slice + convert +
+    scale into the dot's weight stream (r3 on-chip in-scan A/B,
+    scripts/probe_qmm_scan.py: xla_int8dq 81 us/layer vs the best Pallas
+    stacked kernel's 92 and bf16's 143 — the dequant rides the int8 byte
+    stream for free). Pallas kernels stay env-gated
+    (XLLM_QMM_KERNEL=pallas) for future A/Bs.
     """
-    if jax.default_backend() == "tpu":
+    import os
+
+    if (
+        jax.default_backend() == "tpu"
+        and os.environ.get("XLLM_QMM_KERNEL", "") == "pallas"
+    ):
         if w_q.dtype == jnp.int8:
             from xllm_tpu.ops.pallas.quant_matmul import (
                 quant_matmul_int8_v2_stacked,
@@ -100,7 +103,6 @@ def quant_matmul_stacked(
         from xllm_tpu.ops.pallas.quant_matmul import quant_matmul_fp8_stacked
 
         return quant_matmul_fp8_stacked(x, w_q, scale, layer_idx)
-    w = w_q[layer_idx].astype(x.dtype) * scale[layer_idx][None, :].astype(
-        x.dtype
-    )
+    dq = jnp.bfloat16 if jax.default_backend() == "tpu" else x.dtype
+    w = w_q[layer_idx].astype(dq) * scale[layer_idx][None, :].astype(dq)
     return jnp.dot(x, w, preferred_element_type=jnp.float32)
