@@ -1,0 +1,28 @@
+#!/bin/bash
+# Chained r3 queue #3: waits for queue #2 (r6_v8), then runs the decode
+# profile ablations and a fresh bench on the new quant paths.
+cd /root/repo
+L=/tmp/r3_queue.log
+export PYTHONPATH=/root/.axon_site:/root/repo
+
+while ! grep -q "queue2 done" $L 2>/dev/null; do sleep 60; done
+
+run_retry() {
+  local tag=$1 log=$2; shift 2
+  for i in $(seq 1 60); do
+    echo "== $tag attempt $i $(date +%H:%M:%S)" >> $L
+    "$@" > "$log" 2>&1
+    rc=$?
+    echo "== $tag rc=$rc $(date +%H:%M:%S)" >> $L
+    if [ $rc -eq 0 ]; then return 0; fi
+    if ! grep -q "UNAVAILABLE\|Socket closed\|failed to connect" "$log"; then
+      echo "== $tag non-transient failure, not retrying" >> $L
+      return $rc
+    fi
+    sleep 120
+  done
+}
+
+run_retry profile /tmp/profile_r3.log python scripts/profile_decode.py
+run_retry bench2 /tmp/bench_r3b.log python bench.py
+echo "== queue3 done $(date +%H:%M:%S)" >> $L

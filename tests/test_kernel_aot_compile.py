@@ -602,3 +602,26 @@ def test_decode_v8_compiles(tpu_aot):
         ((B,), jnp.int32),
         scale=D**-0.5,
     )
+
+
+def test_fp8_stacked_prefill_shape_compiles(tpu_aot):
+    """Regression: the r3 8B bench phase OOMed Mosaic's VMEM stack in
+    quant_matmul_fp8_stacked at prefill M=2048, K=12288 (27M > 16M) —
+    the tile picker must shrink TM with K, not only TN."""
+    from xllm_tpu.ops.pallas.quant_matmul import (
+        quant_matmul_fp8_stacked,
+        quant_matmul_int8_v2_stacked,
+    )
+
+    NL = 36
+    for K, N in ((12288, 4096), (4096, 12288)):
+        x = ((2048, K), jnp.bfloat16)
+        s = ((NL, N), jnp.float32)
+        li = ((), jnp.int32)
+        tpu_aot(
+            quant_matmul_fp8_stacked, x, ((NL, K, N), jnp.float8_e4m3fn),
+            s, li,
+        )
+        tpu_aot(
+            quant_matmul_int8_v2_stacked, x, ((NL, K, N), jnp.int8), s, li
+        )

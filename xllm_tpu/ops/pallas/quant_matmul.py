@@ -511,10 +511,28 @@ def quant_matmul_fp8_stacked(
     m, k = x.shape
     nl, _, n = w_q.shape
     tm = _pick_tile(m, 256)
-    budget = 6 * 1024 * 1024
+    # large-K prefill shapes: shrink the M tile too — the r3 8B bench
+    # phase OOMed the Mosaic VMEM stack at [2048, 12288] x [36, 12288,
+    # 4096] (27 M > 16 M scoped) because only tn could shrink. Mosaic's
+    # measured stack accounting for the f8 path runs ~11 bytes per
+    # weight-tile element (f8 double-buffer + bf16 upcast + f32 staging;
+    # 17.85 M at k=12288, tn=128), not the naive 3 — budget with that.
+    while tm > 64 and tm * k * 2 > 2 * 1024 * 1024:
+        tm //= 2
+    budget = 10 * 1024 * 1024
     tn_cap = 2048
-    while tn_cap > 128 and tm * k * 2 + k * tn_cap * 3 + tm * tn_cap * 4 > budget:
+    while tn_cap > 128 and tm * k * 2 + k * tn_cap * 11 + tm * tn_cap * 4 > budget:
         tn_cap //= 2
+    if tm * k * 2 + k * tn_cap * 11 + tm * tn_cap * 4 > 15 * 1024 * 1024:
+        # K too large for a single-pass weight tile (lane dim can't go
+        # below 128): fall back to the XLA dequant-dot — which the r3
+        # in-scan A/B measured faster anyway (probe_qmm_scan.py)
+        w = w_q[layer_idx].astype(jnp.bfloat16) * scale[layer_idx][
+            None, :
+        ].astype(jnp.bfloat16)
+        return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(
+            out_dtype
+        )
     tn = _pick_tile(n, tn_cap)
     kernel = functools.partial(_fp8_mm_stacked_kernel, out_dtype=out_dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
