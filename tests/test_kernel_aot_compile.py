@@ -625,3 +625,55 @@ def test_fp8_stacked_prefill_shape_compiles(tpu_aot):
         tpu_aot(
             quant_matmul_int8_v2_stacked, x, ((NL, K, N), jnp.int8), s, li
         )
+
+
+def test_decode_v9_compiles(tpu_aot):
+    from xllm_tpu.ops.pallas.decode_attention import (
+        paged_decode_attention_write_v9_tpu,
+    )
+
+    cache = _kv_shapes()
+    common = (
+        ((B, HQ, D), jnp.bfloat16),
+        ((B, HKV, D), jnp.bfloat16),
+        ((B, HKV, D), jnp.bfloat16),
+        cache, cache,
+        ((), jnp.int32),
+        ((B,), jnp.int32),
+        ((B, NB), jnp.int32),
+        ((B,), jnp.int32),
+    )
+    for kw in ({}, {"window": 1024}, {"tile": 2}, {"tile": 3},
+               {"tile": 4, "nslots_override": 4},
+               {"tile": 8}):
+        tpu_aot(
+            paged_decode_attention_write_v9_tpu, *common,
+            scale=D**-0.5, **kw,
+        )
+    # 8B bench config (Hq=32) and fp8 KV
+    cache8 = ((36, 250, HKV, BS, D), jnp.bfloat16)
+    tpu_aot(
+        paged_decode_attention_write_v9_tpu,
+        ((64, 32, D), jnp.bfloat16),
+        ((64, HKV, D), jnp.bfloat16),
+        ((64, HKV, D), jnp.bfloat16),
+        cache8, cache8,
+        ((), jnp.int32),
+        ((64,), jnp.int32),
+        ((64, 35), jnp.int32),
+        ((64,), jnp.int32),
+        scale=D**-0.5,
+    )
+    cachef8 = ((L, NBLK, HKV, BS, D), jnp.float8_e4m3fn)
+    tpu_aot(
+        paged_decode_attention_write_v9_tpu,
+        ((B, HQ, D), jnp.bfloat16),
+        ((B, HKV, D), jnp.float8_e4m3fn),
+        ((B, HKV, D), jnp.float8_e4m3fn),
+        cachef8, cachef8,
+        ((), jnp.int32),
+        ((B,), jnp.int32),
+        ((B, NB), jnp.int32),
+        ((B,), jnp.int32),
+        scale=D**-0.5,
+    )

@@ -1080,3 +1080,157 @@ def test_decode_v8_premap_matches_devprep():
     )
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
     np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+
+
+@pytest.mark.parametrize(
+    "hq,hkv,dtype,tile", [(4, 4, jnp.float32, 4), (8, 2, jnp.float32, 2),
+                          (4, 2, jnp.bfloat16, 4), (16, 8, jnp.float32, 4),
+                          (16, 8, jnp.float32, 3)]
+)
+def test_decode_v9_matches_ref(hq, hkv, dtype, tile):
+    """v9 T-page tile decode kernel == oracle (incl. mid-batch padded
+    rows, tails shorter than T, ring wraparound across sequences)."""
+    from xllm_tpu.ops.pallas.decode_attention import (
+        paged_decode_attention_write_v9_tpu,
+    )
+
+    rng = np.random.default_rng(61)
+    L, NB, bs, D, B, NBmax = 2, 48, 16, 64, 7, 6
+    k_all, v_all = _make_cache(rng, L, NB, hkv, bs, D, dtype)
+    q = jnp.asarray(rng.standard_normal((B, hq, D)), dtype)
+    k_new = jnp.asarray(rng.standard_normal((B, hkv, D)), dtype)
+    v_new = jnp.asarray(rng.standard_normal((B, hkv, D)), dtype)
+    seq_lens_np = [18, 0, 16, 70, 1, 33, 0]
+    bt = np.zeros((B, NBmax), np.int32)
+    used = iter(range(1, NB))
+    for i, sl in enumerate(seq_lens_np):
+        for j in range((sl + bs - 1) // bs):
+            bt[i, j] = next(used)
+    slots = np.zeros(B, np.int32)
+    for i, sl in enumerate(seq_lens_np):
+        if sl > 0:
+            pos = sl - 1
+            slots[i] = bt[i, pos // bs] * bs + pos % bs
+    block_tables = jnp.asarray(bt)
+    seq_lens = jnp.asarray(seq_lens_np, dtype=jnp.int32)
+    slot_mapping = jnp.asarray(slots)
+    layer_idx = jnp.int32(1)
+    scale = D**-0.5
+
+    valid = [i for i, sl in enumerate(seq_lens_np) if sl > 0]
+    k_ref, v_ref = write_kv(
+        k_all, v_all, layer_idx,
+        k_new[jnp.asarray(valid)], v_new[jnp.asarray(valid)],
+        slot_mapping[jnp.asarray(valid)],
+    )
+    ref = paged_attention_decode_ref(
+        q, k_ref, v_ref, layer_idx, block_tables, seq_lens, scale
+    )
+    out, k_out, v_out = paged_decode_attention_write_v9_tpu(
+        q, k_new, v_new, k_all, v_all, layer_idx, slot_mapping,
+        block_tables, seq_lens, scale, interpret=True, tile=tile,
+    )
+    tol = 3e-2 if dtype == jnp.bfloat16 else 2e-5
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32)[valid],
+        np.asarray(ref, np.float32)[valid],
+        rtol=tol, atol=tol,
+    )
+    for i in valid:
+        pos = seq_lens_np[i] - 1
+        blk, off = bt[i, pos // bs], pos % bs
+        np.testing.assert_allclose(
+            np.asarray(k_out[1, blk, :, off, :], np.float32),
+            np.asarray(k_new[i], np.float32),
+        )
+        np.testing.assert_allclose(
+            np.asarray(v_out[1, blk, :, off, :], np.float32),
+            np.asarray(v_new[i], np.float32),
+        )
+    np.testing.assert_allclose(
+        np.asarray(k_out[0], np.float32), np.asarray(k_all[0], np.float32)
+    )
+
+
+def test_decode_v9_sliding_window():
+    """v9 with window: only the trailing `window` positions attend."""
+    from xllm_tpu.ops.pallas.decode_attention import (
+        paged_decode_attention_write_v9_tpu,
+    )
+    rng = np.random.default_rng(62)
+    L, NB, bs, D, B, NBmax, hq, hkv = 1, 32, 16, 64, 3, 6, 8, 4
+    k_all, v_all = _make_cache(rng, L, NB, hkv, bs, D, jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, hq, D)), jnp.float32)
+    k_new = jnp.asarray(rng.standard_normal((B, hkv, D)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((B, hkv, D)), jnp.float32)
+    seq_lens_np = [50, 7, 81]
+    bt = np.zeros((B, NBmax), np.int32)
+    used = iter(range(1, NB))
+    for i, sl in enumerate(seq_lens_np):
+        for j in range((sl + bs - 1) // bs):
+            bt[i, j] = next(used)
+    slots = np.zeros(B, np.int32)
+    for i, sl in enumerate(seq_lens_np):
+        pos = sl - 1
+        slots[i] = bt[i, pos // bs] * bs + pos % bs
+    block_tables = jnp.asarray(bt)
+    seq_lens = jnp.asarray(seq_lens_np, dtype=jnp.int32)
+    slot_mapping = jnp.asarray(slots)
+    layer_idx = jnp.int32(0)
+    scale = D**-0.5
+    window = 24
+
+    k_ref, v_ref = write_kv(
+        k_all, v_all, layer_idx, k_new, v_new, slot_mapping
+    )
+    ref = paged_attention_decode_ref(
+        q, k_ref, v_ref, layer_idx, block_tables, seq_lens, scale,
+        window=window,
+    )
+    out, _, _ = paged_decode_attention_write_v9_tpu(
+        q, k_new, v_new, k_all, v_all, layer_idx, slot_mapping,
+        block_tables, seq_lens, scale, interpret=True, window=window,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_decode_v9_premap_matches_devprep():
+    """v9 with a host-precomputed page cumsum == device-computed."""
+    from xllm_tpu.ops.pallas.decode_attention import (
+        paged_decode_attention_write_v9_tpu,
+    )
+    rng = np.random.default_rng(63)
+    L, NB, bs, D, B, NBmax, hq, hkv = 1, 32, 16, 64, 3, 6, 8, 4
+    k_all, v_all = _make_cache(rng, L, NB, hkv, bs, D, jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, hq, D)), jnp.float32)
+    k_new = jnp.asarray(rng.standard_normal((B, hkv, D)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((B, hkv, D)), jnp.float32)
+    seq_lens_np = [50, 7, 81]
+    bt = np.zeros((B, NBmax), np.int32)
+    used = iter(range(1, NB))
+    for i, sl in enumerate(seq_lens_np):
+        for j in range((sl + bs - 1) // bs):
+            bt[i, j] = next(used)
+    slots = np.zeros(B, np.int32)
+    for i, sl in enumerate(seq_lens_np):
+        pos = sl - 1
+        slots[i] = bt[i, pos // bs] * bs + pos % bs
+    args = (
+        q, k_new, v_new, k_all, v_all, jnp.int32(0),
+        jnp.asarray(slots), jnp.asarray(bt),
+        jnp.asarray(seq_lens_np, dtype=jnp.int32),
+    )
+    pages = np.asarray([(sl + bs - 1) // bs for sl in seq_lens_np])
+    cum = jnp.asarray(
+        np.concatenate([[0], np.cumsum(pages)]), jnp.int32
+    )
+    o1, k1, v1 = paged_decode_attention_write_v9_tpu(
+        *args, D**-0.5, interpret=True,
+    )
+    o2, k2, v2 = paged_decode_attention_write_v9_tpu(
+        *args, D**-0.5, interpret=True, cum=cum,
+    )
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))

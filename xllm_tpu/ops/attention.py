@@ -78,6 +78,19 @@ def decode_attention_write(
                 block_tables, seq_lens, scale, window=window, cum=cum,
                 chunk=chunk,
             )
+        if kver.startswith("v9"):
+            # v9: v7's page-pair tiles generalized to T pages per slot
+            # ("v9" -> T=4; "v9t2" -> 2), vectorized owner-map prep
+            from xllm_tpu.ops.pallas.decode_attention import (
+                paged_decode_attention_write_v9_tpu,
+            )
+
+            t = int(kver[3:]) if kver.startswith("v9t") else 4
+            return paged_decode_attention_write_v9_tpu(
+                q, k_new, v_new, k_all, v_all, layer_idx, slot_mapping,
+                block_tables, seq_lens, scale, window=window, cum=cum,
+                tile=t,
+            )
         if kver == "v7":
             from xllm_tpu.ops.pallas.decode_attention import (
                 paged_decode_attention_write_v7_tpu,

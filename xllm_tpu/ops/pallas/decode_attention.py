@@ -2292,3 +2292,356 @@ def paged_decode_attention_write_v8_tpu(
         v_all,
     )
     return out, k_all, v_all
+
+
+def _decode_kernel_v9(
+    # scalar prefetch
+    layer_ref,  # [1] int32
+    block_tables_ref,  # [B, NB] int32 (tight columns)
+    seq_lens_ref,  # [B] int32 (incl. current token)
+    slot_ref,  # [B] int32 (current token's slot)
+    pages_ref,  # [B] int32 page count per sequence
+    cum_tiles_ref,  # [B+1] int32 cumulative TILE counts (global ring)
+    seq_of_tile_ref,  # [B*ceil(NB/T)] int32 owning seq of each tile
+    # inputs
+    q_ref,  # [1, Hkv*G, D] VMEM
+    k_new_ref,  # [1, Hkv, D] VMEM
+    v_new_ref,
+    k_in,  # [L, NB, Hkv, bs, D] ANY (aliased)
+    v_in,
+    # outputs
+    o_ref,  # [1, Hkv*G, D] VMEM
+    k_out,
+    v_out,
+    # scratch
+    k_buf,  # [NSLOTS, T*Hkv, bs, D]  (tile ring: T pages per slot)
+    v_buf,
+    sem,  # DMA [2, NSLOTS, T]  (k/v, slot, page-in-tile)
+    k_patch,
+    v_patch,
+    w_sem,  # DMA [2]
+    pend_ref,  # SMEM [1]
+    cursor_ref,  # SMEM [1]: next global TILE to issue
+    *,
+    scale: float,
+    block_size: int,
+    tile: int,
+    window: int = 0,
+):
+    """v9: v7's page-pair design generalized to T-page tiles.
+
+    The r5/r6 probes established that the decode kernels are limited by
+    the SCALAR issue count per page (DMA floor 140 us/layer with the full
+    issue/wait logic live; v5's softmax bookkeeping adds ~65; v8's
+    scores-scratch detour gained nothing back). v9 divides every
+    per-iteration fixed cost by T while keeping the tile CONTIGUOUS in
+    one ring slot (no v8 multi-slot gather):
+
+    - ring slot = T consecutive pages of one sequence ([T*Hkv, bs, D]);
+    - one flash iteration (2 dots + one softmax rescale) per T pages;
+    - T conditional sub-issues / waits per tile (first unconditional);
+    - odd tails skip absent pages' DMAs; their columns mask out through
+      the causal compare and the ring is zeroed once at program 0 so
+      unwritten halves stay finite (0 * p == 0, never NaN);
+    - the tile->owner map comes from a VECTORIZED scatter+cumsum in the
+      wrapper — no jnp.searchsorted (a sequential loop on TPU, the r3
+      "v6 regression").
+
+    T=2 reproduces v7; T=4 quarters the fixed costs at 2 MB more VMEM.
+    """
+    del k_in, v_in
+    b = pl.program_id(0)
+    nprog = pl.num_programs(0)
+
+    layer = layer_ref[0]
+    seq_len = seq_lens_ref[b]
+    nblks = pl.cdiv(seq_len, block_size)
+    last = nblks - 1
+    T = tile
+    ntiles = pl.cdiv(seq_len, T * block_size)
+    rows_q, d = q_ref.shape[1], q_ref.shape[2]
+    hkv = k_new_ref.shape[1]
+    g = rows_q // hkv
+    n_cached = seq_len - 1
+    base = cum_tiles_ref[b]
+    total_tiles = cum_tiles_ref[nprog]
+    nslots = k_buf.shape[0]
+    bs = block_size
+    cols = T * hkv * bs  # tile width
+
+    @pl.when(b == 0)
+    def _():
+        pend_ref[0] = 0
+        cursor_ref[0] = 0
+        # unwritten tile tails must hold FINITE values (see docstring)
+        k_buf[...] = jnp.zeros_like(k_buf)
+        v_buf[...] = jnp.zeros_like(v_buf)
+
+    def issue_tile(gt):
+        iseq = seq_of_tile_ref[gt]
+        j0 = (gt - cum_tiles_ref[iseq]) * T
+        slot = jax.lax.rem(gt, nslots)
+        blk0 = block_tables_ref[iseq, j0]
+        pltpu.make_async_copy(
+            k_out.at[layer, blk0], k_buf.at[slot, pl.ds(0, hkv)],
+            sem.at[0, slot, 0],
+        ).start()
+        pltpu.make_async_copy(
+            v_out.at[layer, blk0], v_buf.at[slot, pl.ds(0, hkv)],
+            sem.at[1, slot, 0],
+        ).start()
+        for h in range(1, T):
+
+            @pl.when(j0 + h < pages_ref[iseq])
+            def _(h=h):
+                blkh = block_tables_ref[iseq, j0 + h]
+                pltpu.make_async_copy(
+                    k_out.at[layer, blkh],
+                    k_buf.at[slot, pl.ds(h * hkv, hkv)],
+                    sem.at[0, slot, h],
+                ).start()
+                pltpu.make_async_copy(
+                    v_out.at[layer, blkh],
+                    v_buf.at[slot, pl.ds(h * hkv, hkv)],
+                    sem.at[1, slot, h],
+                ).start()
+
+    # prologue: fill the tile ring (steady state: one failed check)
+    def prologue_cond(gt):
+        return gt < jnp.minimum(base + nslots, total_tiles)
+
+    gt0 = jax.lax.while_loop(
+        prologue_cond,
+        lambda gt: (issue_tile(gt), gt + 1)[1],
+        cursor_ref[0],
+    )
+    cursor_ref[0] = gt0
+
+    # static tile maps: query-head x kv-head block diagonal (repeats per
+    # page) and each column's token offset within the tile
+    ci = jax.lax.broadcasted_iota(jnp.int32, (rows_q, cols), 1)
+    hc = (ci % (hkv * bs)) // bs
+    hr = jax.lax.broadcasted_iota(jnp.int32, (rows_q, cols), 0) // g
+    diag_bias = jnp.where(hc == hr, 0.0, _NEG_INF).astype(jnp.float32)
+    col_off = (ci // (hkv * bs)) * bs + ci % bs  # token offset in tile
+
+    @pl.when(seq_len > 0)
+    def _():
+        q = q_ref[0]  # [Hkv*G, D]
+        k_new_p = jnp.repeat(k_new_ref[0], g, axis=0)
+        v_new_p = jnp.repeat(v_new_ref[0], g, axis=0)
+        m0 = (
+            jnp.sum(q.astype(jnp.float32) * k_new_p.astype(jnp.float32),
+                    axis=-1, keepdims=True) * scale
+        )
+        l0 = jnp.ones((rows_q, 1), jnp.float32)
+        acc0 = v_new_p.astype(jnp.float32)
+        win_lo = jnp.maximum(seq_len - window, 0) if window > 0 else 0
+
+        def body(i, carry):
+            m, l, acc = carry
+            gt = cursor_ref[0]
+
+            @pl.when(gt < jnp.minimum(base + i + nslots, total_tiles))
+            def _():
+                issue_tile(gt)
+                cursor_ref[0] = gt + 1
+
+            slot = jax.lax.rem(base + i, nslots)
+            p0 = i * T
+            for which in (0, 1):
+                pltpu.make_async_copy(
+                    k_buf.at[slot, pl.ds(0, hkv)],
+                    k_buf.at[slot, pl.ds(0, hkv)],
+                    sem.at[which, slot, 0],
+                ).wait()
+            for h in range(1, T):
+
+                @pl.when(p0 + h < nblks)
+                def _(h=h):
+                    for which in (0, 1):
+                        pltpu.make_async_copy(
+                            k_buf.at[slot, pl.ds(h * hkv, hkv)],
+                            k_buf.at[slot, pl.ds(h * hkv, hkv)],
+                            sem.at[which, slot, h],
+                        ).wait()
+
+            k_flat = _mxu(k_buf[slot]).reshape(cols, d)
+            v_flat = _mxu(v_buf[slot]).reshape(cols, d)
+            s = jax.lax.dot_general(
+                q, k_flat,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale + diag_bias
+            limit = n_cached - p0 * bs
+            s = jnp.where(col_off < limit, s, _NEG_INF)
+            if window > 0:
+                lo_lim = win_lo - p0 * bs
+                s = jnp.where(col_off >= lo_lim, s, _NEG_INF)
+
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(v_flat.dtype), v_flat,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, l_new, acc * alpha + pv
+
+        m, l, acc = jax.lax.fori_loop(0, ntiles, body, (m0, l0, acc0))
+        o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+        # tail-page patch + write-back, out of the hot loop (see v6)
+        @pl.when(pend_ref[0] == 1)
+        def _():
+            pltpu.make_async_copy(k_patch, k_patch, w_sem.at[0]).wait()
+            pltpu.make_async_copy(v_patch, v_patch, w_sem.at[1]).wait()
+
+        slot_last = jax.lax.rem(base + last // T, nslots)
+        half0 = jax.lax.rem(last, T) * hkv
+        off = jax.lax.rem(slot_ref[b], bs)
+        row = jax.lax.broadcasted_iota(jnp.int32, (hkv, bs, d), 1)
+        k_patch[...] = jnp.where(
+            row == off,
+            k_new_ref[0][:, None, :].astype(k_patch.dtype),
+            k_buf[slot_last, pl.ds(half0, hkv)],
+        )
+        v_patch[...] = jnp.where(
+            row == off,
+            v_new_ref[0][:, None, :].astype(v_patch.dtype),
+            v_buf[slot_last, pl.ds(half0, hkv)],
+        )
+        blk = block_tables_ref[b, last]
+        pltpu.make_async_copy(k_patch, k_out.at[layer, blk], w_sem.at[0]).start()
+        pltpu.make_async_copy(v_patch, v_out.at[layer, blk], w_sem.at[1]).start()
+        pend_ref[0] = 1
+
+    @pl.when(seq_len == 0)
+    def _():
+        o_ref[0] = jnp.zeros_like(o_ref[0])
+
+    @pl.when((b == nprog - 1) & (pend_ref[0] == 1))
+    def _():
+        pltpu.make_async_copy(k_patch, k_patch, w_sem.at[0]).wait()
+        pltpu.make_async_copy(v_patch, v_patch, w_sem.at[1]).wait()
+        pend_ref[0] = 0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "interpret", "window", "split_override",
+                     "nslots_override", "tile"),
+)
+def paged_decode_attention_write_v9_tpu(
+    q: jnp.ndarray,  # [B, Hq, D]
+    k_new: jnp.ndarray,  # [B, Hkv, D]
+    v_new: jnp.ndarray,
+    k_all: jnp.ndarray,  # [L, NB, Hkv, bs, D]
+    v_all: jnp.ndarray,
+    layer_idx: jnp.ndarray,  # [] int32
+    slot_mapping: jnp.ndarray,  # [B] int32
+    block_tables: jnp.ndarray,  # [B, NB_used] int32
+    seq_lens: jnp.ndarray,  # [B] int32 (incl. current token)
+    scale: float,
+    interpret: bool = False,
+    window: int = 0,
+    split_override: int = 0,  # unused (kept for the probe harness)
+    nslots_override: int = 0,
+    tile: int = 4,
+    cum: jnp.ndarray | None = None,  # [B+1] precomputed page cumsum
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """-> (out [B, Hq, D], k_all, v_all) — caches updated in place."""
+    del split_override
+    b, hq, d = q.shape
+    _, _, hkv, bs, _ = k_all.shape
+    g = hq // hkv
+    assert hq == hkv * g
+    T = tile
+    nslots = nslots_override or max(2, 12 // T)  # ~12 pages in flight
+    nb = block_tables.shape[1]
+    ntile_cols = -(-nb // T)
+
+    if cum is None:
+        pages = jax.lax.div(seq_lens + bs - 1, bs)
+    else:
+        pages = cum[1:] - cum[:-1]
+    tiles = jax.lax.div(pages + (T - 1), T)
+    cum_tiles = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(tiles).astype(jnp.int32)]
+    )
+    # owner of each global tile: scatter a 1 at every sequence's first
+    # tile index, then cumsum — fully parallel (searchsorted lowers to a
+    # sequential binary-search loop on TPU, the r3 "v6 regression")
+    starts = jnp.zeros(b * ntile_cols, jnp.int32).at[
+        cum_tiles[1:-1]
+    ].add(1, mode="drop")
+    seq_of_tile = jnp.cumsum(starts).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, hq, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, hkv, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, hkv, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, hq, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nslots, T * hkv, bs, d), k_all.dtype),
+            pltpu.VMEM((nslots, T * hkv, bs, d), v_all.dtype),
+            pltpu.SemaphoreType.DMA((2, nslots, T)),
+            pltpu.VMEM((hkv, bs, d), k_all.dtype),
+            pltpu.VMEM((hkv, bs, d), v_all.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_kernel_v9, scale=scale, block_size=bs, window=window,
+        tile=T,
+    )
+    out, k_all, v_all = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, d), q.dtype),
+            jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
+            jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
+        ],
+        input_output_aliases={10: 1, 11: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        layer_idx.reshape(1),
+        block_tables,
+        seq_lens,
+        slot_mapping,
+        pages.astype(jnp.int32),
+        cum_tiles,
+        seq_of_tile,
+        q,
+        k_new,
+        v_new,
+        k_all,
+        v_all,
+    )
+    return out, k_all, v_all
