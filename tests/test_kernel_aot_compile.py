@@ -677,3 +677,31 @@ def test_decode_v9_compiles(tpu_aot):
         ((B,), jnp.int32),
         scale=D**-0.5,
     )
+
+def test_decode_fp8_cache_bf16_rows_compiles(tpu_aot):
+    """The PRODUCTION fp8-KV decode trace: the model hands the kernels
+    bf16 post-rope K/V rows and an fp8_e4m3 cache (models/decoder.py
+    decode() does not pre-cast; the kernel's tail patch casts in place).
+    The fp8-k_new variants above compile a different combination."""
+    from xllm_tpu.ops.pallas.decode_attention import (
+        paged_decode_attention_write_v5_tpu,
+        paged_decode_attention_write_v9_tpu,
+    )
+
+    cache = ((L, NBLK, HKV, BS, D), jnp.float8_e4m3fn)
+    common = (
+        ((B, HQ, D), jnp.bfloat16),
+        ((B, HKV, D), jnp.bfloat16),
+        ((B, HKV, D), jnp.bfloat16),
+        cache, cache,
+        ((), jnp.int32),
+        ((B,), jnp.int32),
+        ((B, NB), jnp.int32),
+        ((B,), jnp.int32),
+    )
+    tpu_aot(paged_decode_attention_write_v5_tpu, *common, scale=D**-0.5)
+    for kw in ({"tile": 4}, {"tile": 2}):
+        tpu_aot(
+            paged_decode_attention_write_v9_tpu, *common,
+            scale=D**-0.5, **kw,
+        )
