@@ -122,19 +122,22 @@ def check(tag, kern, dtype_a, dtype_b):
 
 F8 = jnp.float8_e4m3fn
 BF = jnp.bfloat16
+# Trimmed to the decision-critical variants: each run regenerates and
+# ships the full cache pool through the tunnel (~15-30 min/variant), so
+# the anchor comes from probe_r7 in the same session rather than a
+# repeat here. XLLM_R8_KERNEL picks the challenger (set after reading
+# the r7 tournament; default v5).
+import os
+
+_k = os.environ.get("XLLM_R8_KERNEL", "v5")
+if _k.startswith("v9"):
+    t = int(_k[3:]) if len(_k) > 2 else 4
+    best = functools.partial(v9, cum=CUM, tile=t)
+else:
+    best = functools.partial(v5, cum=CUM)
 res = {}
-res["v5_bf16"] = run("v5_bf16 (anchor)", functools.partial(v5, cum=CUM), BF)
-res["v5_fp8"] = run("v5_fp8", functools.partial(v5, cum=CUM), F8)
-res["v9_t4_fp8"] = run("v9_t4_fp8", functools.partial(v9, cum=CUM), F8)
-res["v9_t2_fp8"] = run(
-    "v9_t2_fp8", functools.partial(v9, cum=CUM, tile=2), F8
-)
-res["v9_t4_bf16"] = run(
-    "v9_t4_bf16 (r7 cross-check)", functools.partial(v9, cum=CUM), BF
-)
-res["v5_bf16_b"] = run(
-    "v5_bf16_b (variance repeat)", functools.partial(v5, cum=CUM), BF
-)
+res[f"{_k}_fp8"] = run(f"{_k}_fp8", best, F8)
+res[f"{_k}_fp8_b"] = run(f"{_k}_fp8_b (variance repeat)", best, F8)
 
 e, rel = check("v5 fp8 vs bf16", functools.partial(v5, cum=CUM), F8, BF)
 print(json.dumps({

@@ -24,4 +24,5 @@ run_retry() {
 }
 
 run_retry r8_fp8kv /tmp/r8_fp8kv.log python scripts/probe_r8_fp8kv.py
+run_retry prof_r3b /tmp/prof_r3b.log python scripts/profile_decode.py
 echo "== queue2 done $(date +%H:%M:%S)" >> $L
