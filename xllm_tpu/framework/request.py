@@ -278,7 +278,7 @@ class Request:
                 seq.finish(FinishReason.ABORT)
 
 
-@dataclass
+@dataclass(slots=True)
 class RequestOutput:
     """Streamed/final output for one request (reference request_output.h)."""
 
@@ -290,7 +290,7 @@ class RequestOutput:
     embedding: list[float] | None = None
 
 
-@dataclass
+@dataclass(slots=True)
 class SequenceOutput:
     index: int
     text: str

@@ -16,6 +16,7 @@ from xllm_tpu.runtime.forward_params import (
     BatchedPrefillInput,
     DecodeInput,
     PrefillInput,
+    SamplingInput,
 )
 from xllm_tpu.utils import next_bucket
 
@@ -435,6 +436,149 @@ def build_decode_input(
         page_seq=page_seq,
     )
     return inp, rows
+
+
+class DecodeStepCache:
+    """Incremental decode-input assembly across consecutive steps.
+
+    In steady-state decode the batch composition is stable and each
+    sequence advances exactly one token per step, so almost every field
+    of DecodeInput/SamplingInput is a +1 of the previous step's value.
+    The full per-sequence Python build costs ~1 ms/step at batch 128 —
+    a significant slice of the engine's host loop (PERF.md host-path
+    section); the incremental update is a handful of vectorized numpy
+    ops. The reference amortizes the same cost by persisting its
+    ForwardInput tensors across steps in the graph executor
+    (acl_graph_executor_impl.h:61-177).
+
+    Safety: callers gate usage (ModelRunner) — dp == 1, no sliding
+    window, no host-KV tier (those paths may mutate block tables
+    without changing their length). Any deviation from the expected
+    one-token advance, membership change, or per-row block-count
+    change beyond append falls back to the full builders.
+
+    All updates are out-of-place: the previous step's arrays may still
+    back an in-flight dispatch.
+    """
+
+    def __init__(self) -> None:
+        self.sig = None
+
+    def invalidate(self) -> None:
+        self.sig = None
+
+    def build(
+        self,
+        seqs: list[Sequence],
+        block_size: int,
+        batch_buckets: list[int],
+        num_block_table_cols: int,
+        trash_slot: int,
+        nb_buckets: list[int] | None,
+        key,
+    ):
+        """-> (DecodeInput, rows, SamplingInput, use_penalties)."""
+        ncols = num_block_table_cols
+        if nb_buckets:
+            max_nb = max((len(s.block_ids) for s in seqs), default=1)
+            ncols = next_bucket(nb_buckets, max_nb)
+        sig = (tuple(s.seq_id for s in seqs), ncols)
+        if sig == self.sig:
+            hit = self._try_update(seqs, block_size, key)
+            if hit is not None:
+                return hit
+        return self._full_build(
+            seqs, block_size, batch_buckets, num_block_table_cols,
+            trash_slot, nb_buckets, key, sig,
+        )
+
+    def _full_build(
+        self, seqs, block_size, batch_buckets, num_block_table_cols,
+        trash_slot, nb_buckets, key, sig,
+    ):
+        inp, rows = build_decode_input(
+            seqs, block_size, batch_buckets, num_block_table_cols,
+            trash_slot, nb_buckets,
+        )
+        b_pad = inp.slot_ids.shape[0]
+        si, use_penalties = build_sampling_input(seqs, b_pad, rows, key)
+        self.sig = sig
+        self.rows = rows
+        self.inp = inp
+        self.si = si
+        self.use_penalties = use_penalties
+        self.ntok = [s.num_tokens for s in seqs]
+        self.nb = [len(s.block_ids) for s in seqs]
+        live_inc = np.zeros(b_pad, np.int32)
+        live_inc[rows] = 1
+        self.live_inc = live_inc
+        self.seeded_inc = (si.seeds >= 0).astype(np.int32)
+        return inp, rows, si, use_penalties
+
+    def _try_update(self, seqs, block_size, key):
+        ntok, nb = self.ntok, self.nb
+        grown: list[int] = []
+        for j, s in enumerate(seqs):
+            if s.num_tokens != ntok[j] + 1:
+                return None
+            d = len(s.block_ids) - nb[j]
+            if d == 1:
+                grown.append(j)
+            elif d != 0:
+                return None
+        prev, psi, rows = self.inp, self.si, self.rows
+        positions = prev.positions + self.live_inc
+        seq_lens = prev.seq_lens + self.live_inc
+        hist_positions = prev.hist_positions + self.live_inc
+        slot_mapping = prev.slot_mapping + self.live_inc
+        block_tables = prev.block_tables
+        page_cum, page_seq = prev.page_cum, prev.page_seq
+        if grown:
+            block_tables = block_tables.copy()
+            for j in grown:
+                s, i = seqs[j], rows[j]
+                bids = s.block_ids
+                block_tables[i, : len(bids)] = bids
+                pos = s.num_tokens - 1
+                slot_mapping[i] = bids[pos // block_size] * block_size + (
+                    pos % block_size
+                )
+                self.nb[j] = len(bids)
+            if page_cum is not None:
+                pages = -(-seq_lens // block_size)
+                page_cum = np.zeros(len(seq_lens) + 1, np.int32)
+                np.cumsum(pages, out=page_cum[1:])
+                page_seq = np.searchsorted(
+                    page_cum[1:],
+                    np.arange(len(seq_lens) * block_tables.shape[1]),
+                    side="right",
+                ).astype(np.int32)
+        for j, s in enumerate(seqs):
+            self.ntok[j] = s.num_tokens
+        inp = DecodeInput(
+            slot_ids=prev.slot_ids,
+            positions=positions,
+            slot_mapping=slot_mapping,
+            block_tables=block_tables,
+            seq_lens=seq_lens,
+            hist_positions=hist_positions,
+            page_cum=page_cum,
+            page_seq=page_seq,
+        )
+        si = SamplingInput(
+            temperature=psi.temperature,
+            top_k=psi.top_k,
+            top_p=psi.top_p,
+            key=key,
+            seeds=psi.seeds,
+            steps=psi.steps + self.seeded_inc,
+            repetition_penalty=psi.repetition_penalty,
+            frequency_penalty=psi.frequency_penalty,
+            presence_penalty=psi.presence_penalty,
+            hist_len=psi.hist_len + self.live_inc,
+        )
+        self.inp, self.si = inp, si
+        return inp, rows, si, self.use_penalties
 
 
 def build_verify_input(

@@ -38,6 +38,9 @@ def rejection_sample(
     """
     b, k1, v = target_logits.shape
     k = k1 - 1
+    from xllm_tpu.runtime.sampler import as_key
+
+    key = as_key(key)
 
     greedy = jnp.argmax(target_logits, axis=-1).astype(jnp.int32)  # [B, k+1]
 

@@ -36,6 +36,21 @@ _PRUNE_K = 64
 _NEG_INF = -1e30
 
 
+def as_key(key) -> jax.Array:
+    """Accept a typed PRNG key or raw uint32 key data.
+
+    The host passes raw ``np.uint32[2]`` counter words (ModelRunner
+    ``_next_key``): building/splitting a typed key on the host is a
+    device op per step (~0.8 ms through the dispatch path), while
+    wrapping raw data inside the jit is free. Threefry keys are plain
+    2x32-bit cipher keys, so distinct counter values give independent
+    streams.
+    """
+    if jax.dtypes.issubdtype(key.dtype, jax.dtypes.prng_key):
+        return key
+    return jax.random.wrap_key_data(key.astype(jnp.uint32))
+
+
 def _penalize(
     top_vals: jnp.ndarray,  # [N, k] raw candidate logits
     top_idx: jnp.ndarray,  # [N, k] candidate token ids
@@ -106,7 +121,7 @@ def sample(
     mask = mask & ((cum - probs) < si.top_p[:, None])
 
     masked = jnp.where(mask, scaled, _NEG_INF)
-    gumbel = jax.random.gumbel(si.key, (n, k), dtype=jnp.float32)
+    gumbel = jax.random.gumbel(as_key(si.key), (n, k), dtype=jnp.float32)
     if si.seeds is not None:
         # per-request reproducible stream: fold_in(seed, step)
         def row_gumbel(seed, step):

@@ -63,6 +63,9 @@ class ContinuousScheduler:
         self._waiting_heap: list[list] = []
         self._seq_counter = itertools.count()
         self.running: list[Request] = []
+        # sticky: any n>1/best_of>1 request ever seen turns the secondary
+        # prefill pass (2b) on; single-sequence workloads skip it
+        self._has_multi_seq = False
 
     def _queue_key(self, request: Request, seq_no: int | None = None):
         if seq_no is None:
@@ -98,6 +101,8 @@ class ContinuousScheduler:
     # ------------------------------------------------------------------
     def add_request(self, request: Request) -> None:
         request._queue_key = self._queue_key(request)
+        if len(request.sequences) > 1:
+            self._has_multi_seq = True
         self._push_waiting(request)
 
     def abort_request(self, request: Request) -> None:
@@ -167,21 +172,29 @@ class ContinuousScheduler:
             else 0
         )
 
-        # 1. continue chunked prefills of already-running sequences
-        #    (reference handle_prefill_requests, continuous_scheduler.cpp:390)
+        # 1. single pass over running sequences: continue chunked
+        #    prefills AND collect decode candidates (reference splits
+        #    these into handle_prefill_requests/handle_decode_requests,
+        #    continuous_scheduler.cpp:390,612 — one pass halves the
+        #    steady-state host cost of the O(batch) property walk)
+        decode_cands: list[Sequence] = []
         for req in self.running:
             for seq in req.sequences:
-                if seq.is_finished or not seq.in_prefill:
+                if seq.status is SequenceStatus.FINISHED or seq.on_hold:
                     continue
-                if seq.has_unfixed_tokens or seq.on_hold:
-                    continue  # awaiting async fixup / held by beam search
+                if not seq.in_prefill:
+                    if not getattr(seq, "beam_request", False):
+                        decode_cands.append(seq)
+                    continue
+                if seq.has_unfixed_tokens:
+                    continue  # awaiting async fixup
                 if budget - reserve <= 0:
-                    break
+                    continue
                 n = self._chunk_tokens(seq, budget - reserve)
                 if n <= 0:
                     continue
                 if not self.block_manager.allocate(seq, n):
-                    break  # pool exhausted; decode preemption below may help
+                    continue  # pool exhausted; decode preemption may help
                 out.prefill_items.append((seq, n))
                 budget -= n
 
@@ -243,59 +256,59 @@ class ContinuousScheduler:
                 extra.status = SequenceStatus.RUNNING
             self.running.append(req)
 
-        # 2b. chunks for secondary (best_of>1) sequences of admitted requests
-        for req in self.running:
-            for seq in req.sequences[1:]:
-                if seq.is_finished or not seq.in_prefill or budget <= 0:
-                    continue
-                if seq.on_hold:
-                    continue
-                if seq.num_computed_tokens == 0 and not seq.block_ids:
-                    self.block_manager.match_prefix(seq)
-                n = self._chunk_tokens(seq, budget)
-                if n <= 0 or any(s is seq for s, _ in out.prefill_items):
-                    continue
-                if not self.block_manager.allocate(seq, n):
-                    break
-                out.prefill_items.append((seq, n))
-                budget -= n
+        # 2b. chunks for secondary (best_of>1) sequences of admitted
+        #     requests (skipped entirely for single-sequence workloads)
+        if self._has_multi_seq:
+            for req in self.running:
+                for seq in req.sequences[1:]:
+                    if seq.is_finished or not seq.in_prefill or budget <= 0:
+                        continue
+                    if seq.on_hold:
+                        continue
+                    if seq.num_computed_tokens == 0 and not seq.block_ids:
+                        self.block_manager.match_prefix(seq)
+                    n = self._chunk_tokens(seq, budget)
+                    if n <= 0 or any(s is seq for s, _ in out.prefill_items):
+                        continue
+                    if not self.block_manager.allocate(seq, n):
+                        break
+                    out.prefill_items.append((seq, n))
+                    budget -= n
 
-        # 3. decode batch with preemption
-        #    (reference handle_decode_requests, continuous_scheduler.cpp:612)
-        prefilling = {id(s) for s, _ in out.prefill_items}
-        for req in list(self.running):
-            if req not in self.running:
-                continue  # preempted earlier in this loop
-            for seq in req.sequences:
-                if seq.is_finished or seq.in_prefill or id(seq) in prefilling:
-                    continue
-                if seq.on_hold or getattr(seq, "beam_request", False):
-                    # beam sequences decode via the BeamRunner only
-                    continue
-                if (
-                    seq.num_tokens >= seq.stopping.max_model_len
-                    or seq.num_generated_tokens >= seq.stopping.max_new_tokens
-                ):
-                    # placeholders already reach a stop bound; the lagged
-                    # fixup will finish the sequence — don't overrun further
-                    continue
-                self_preempted = False
-                while not self.block_manager.allocate(seq, 1):
-                    victim = self._pick_victim()
-                    if victim is None:
-                        logger.warning(
-                            "decode OOM and no preemption victim; seq %d waits",
-                            seq.seq_id,
-                        )
-                        break
-                    self._preempt(victim, out)
-                    if victim is req:
-                        self_preempted = True
-                        break
-                else:
-                    out.decode_seqs.append(seq)
-                if self_preempted:
+        # 3. decode batch with preemption over the candidates collected
+        #    in pass 1 (reference handle_decode_requests,
+        #    continuous_scheduler.cpp:612)
+        bm = self.block_manager
+        bs = bm.block_size
+        for seq in decode_cands:
+            if seq.status is not SequenceStatus.RUNNING:
+                continue  # preempted / finished earlier in this loop
+            stop = seq.stopping
+            ntok = len(seq.token_ids)
+            if (
+                ntok >= stop.max_model_len
+                or ntok - len(seq.prompt_token_ids) >= stop.max_new_tokens
+            ):
+                # placeholders already reach a stop bound; the lagged
+                # fixup will finish the sequence — don't overrun further
+                continue
+            # fast path: capacity for one more token already allocated
+            if seq.num_computed_tokens + 1 <= len(seq.block_ids) * bs:
+                out.decode_seqs.append(seq)
+                continue
+            while not bm.allocate(seq, 1):
+                victim = self._pick_victim()
+                if victim is None:
+                    logger.warning(
+                        "decode OOM and no preemption victim; seq %d waits",
+                        seq.seq_id,
+                    )
                     break
+                self._preempt(victim, out)
+                if seq.status is not SequenceStatus.RUNNING:
+                    break  # the victim was our own request
+            else:
+                out.decode_seqs.append(seq)
 
         if len(out.decode_seqs) > self.config.max_seqs_per_batch:
             out.decode_seqs = out.decode_seqs[: self.config.max_seqs_per_batch]
