@@ -70,7 +70,7 @@ def main() -> None:
     knew = jnp.zeros((BATCH, HKV, D), jnp.bfloat16)
     scale = D**-0.5
 
-    from xllm_tpu.ops.pallas.decode_attention import (
+    from xllm_tpu.ops.pallas.legacy.decode_attention import (
         paged_decode_attention_write_tpu,
         paged_decode_attention_write_v3_tpu,
         paged_decode_attention_write_v4_tpu,

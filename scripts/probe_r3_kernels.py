@@ -22,6 +22,8 @@ import jax.numpy as jnp
 
 from xllm_tpu.ops.pallas.decode_attention import (
     paged_decode_attention_write_v5_tpu as v5,
+)
+from xllm_tpu.ops.pallas.legacy.decode_attention import (
     paged_decode_attention_write_v6_tpu as v6,
     paged_decode_attention_write_v7_tpu as v7,
 )

@@ -20,7 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from xllm_tpu.ops.pallas.decode_attention import (
+from xllm_tpu.ops.pallas.legacy.decode_attention import (
     paged_decode_attention_write_v4_tpu as v4,
 )
 

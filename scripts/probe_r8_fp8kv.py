@@ -4,9 +4,16 @@ The decode kernels are DMA-bound (r5 floor: 140 us/layer for the bf16
 stream). fp8 KV halves the streamed bytes; the in-kernel `_mxu` upcast
 is VPU work off the DMA critical path. If the upcast doesn't serialize,
 fp8 KV should land near 0.5x the bf16 per-layer time + upcast overhead.
-Tournament: v5 bf16 (anchor) / v5 fp8 / v9 fp8 (t2, t4) / v9 bf16 t4
-(cross-check vs probe_r7) + numeric check fp8-vs-bf16 (expect ~fp8
-quantization error, reported not asserted).
+
+Trimmed to the decision-critical runs: ONE env-selected challenger
+kernel (XLLM_R8_KERNEL: v5 default, or v9/v9tN) run twice with fp8 KV
+(timing + variance repeat) plus the v5 fp8-vs-bf16 numeric check. The
+bf16 anchor comes from probe_r7_v9 in the same session.
+
+r3 RESULT (recorded /tmp/r8_fp8kv.log, 2026-08-20): v5_fp8 819
+us/layer vs v5_bf16 209 — v5e has NO fast f8->bf16 upcast; fp8 KV is
+4x SLOWER than the bytes it saves. Quantized KV on v5e must be int8
+(int8->bf16 converts are fast; see probe_r9_int8kv.py).
 """
 
 import functools
@@ -69,12 +76,15 @@ def run(tag, kern, dtype, iters=12):
         )
         return k_all, v_all, acc[0, 0, :4]
 
-    ka = jnp.asarray(
-        rng.standard_normal((NL, NB_TOTAL, HKV, BS, D)) * 0.1, jnp.bfloat16
-    ).astype(dtype)
-    va = jnp.asarray(
-        rng.standard_normal((NL, NB_TOTAL, HKV, BS, D)) * 0.1, jnp.bfloat16
-    ).astype(dtype)
+    # f32 generation + in-place scale: the f64 default would build two
+    # ~16 GB host temporaries at this shape (r3-advice finding)
+    ka_np = rng.standard_normal((NL, NB_TOTAL, HKV, BS, D), dtype=np.float32)
+    ka_np *= 0.1
+    ka = jnp.asarray(ka_np, jnp.bfloat16).astype(dtype)
+    va_np = rng.standard_normal((NL, NB_TOTAL, HKV, BS, D), dtype=np.float32)
+    va_np *= 0.1
+    va = jnp.asarray(va_np, jnp.bfloat16).astype(dtype)
+    del ka_np, va_np
     ka, va, o = step(ka, va)
     np.asarray(o)
     n1, n2 = iters // 4, iters
@@ -131,7 +141,8 @@ import os
 
 _k = os.environ.get("XLLM_R8_KERNEL", "v5")
 if _k.startswith("v9"):
-    t = int(_k[3:]) if len(_k) > 2 else 4
+    # mirror the production dispatch's 'v9tN' convention (ops/attention)
+    t = int(_k[3:]) if _k.startswith("v9t") else 4
     best = functools.partial(v9, cum=CUM, tile=t)
 else:
     best = functools.partial(v5, cum=CUM)

@@ -7,6 +7,7 @@ cd /root/repo
 L=/tmp/r3b_queue.log
 export PYTHONPATH=/root/.axon_site:/root/repo
 
+: > $L  # fresh log: queue2 gates on THIS run's 'queue1 done' marker
 echo "== queue start $(date +%H:%M:%S)" >> $L
 python - <<'PY' >> $L 2>&1
 import jax, jax.numpy as jnp, numpy as np
@@ -28,8 +29,10 @@ run_retry() {
     fi
     sleep 120
   done
+  echo "== $tag exhausted retries" >> $L
+  return 1
 }
 
-run_retry r7_v9 /tmp/r7_v9.log python scripts/probe_r7_v9.py
-run_retry bench_r3b /tmp/bench_r3b.log python bench.py
-echo "== queue1 done $(date +%H:%M:%S)" >> $L
+run_retry r7_v9 /tmp/r7_v9.log python scripts/probe_r7_v9.py \
+  && run_retry bench_r3b /tmp/bench_r3b.log python bench.py \
+  && echo "== queue1 done $(date +%H:%M:%S)" >> $L

@@ -21,6 +21,8 @@ run_retry() {
     fi
     sleep 120
   done
+  echo "== $tag exhausted retries" >> $L
+  return 1
 }
 
 run_retry r8_fp8kv /tmp/r8_fp8kv.log python scripts/probe_r8_fp8kv.py

@@ -59,44 +59,6 @@ def _kv_shapes():
     return cache
 
 
-def test_decode_v4_compiles(tpu_aot):
-    from xllm_tpu.ops.pallas.decode_attention import (
-        paged_decode_attention_write_v4_tpu,
-    )
-
-    cache = _kv_shapes()
-    tpu_aot(
-        paged_decode_attention_write_v4_tpu,
-        ((B, HQ, D), jnp.bfloat16),
-        ((B, HKV, D), jnp.bfloat16),
-        ((B, HKV, D), jnp.bfloat16),
-        cache, cache,
-        ((), jnp.int32),
-        ((B,), jnp.int32),
-        ((B, NB), jnp.int32),
-        ((B,), jnp.int32),
-        scale=D**-0.5,
-    )
-
-
-def test_decode_v4_fp8_kv_compiles(tpu_aot):
-    from xllm_tpu.ops.pallas.decode_attention import (
-        paged_decode_attention_write_v4_tpu,
-    )
-
-    cache = ((L, NBLK, HKV, BS, D), jnp.float8_e4m3fn)
-    tpu_aot(
-        paged_decode_attention_write_v4_tpu,
-        ((B, HQ, D), jnp.bfloat16),
-        ((B, HKV, D), jnp.float8_e4m3fn),
-        ((B, HKV, D), jnp.float8_e4m3fn),
-        cache, cache,
-        ((), jnp.int32),
-        ((B,), jnp.int32),
-        ((B, NB), jnp.int32),
-        ((B,), jnp.int32),
-        scale=D**-0.5,
-    )
 
 
 def test_prefill_batched_compiles(tpu_aot):
@@ -150,12 +112,13 @@ def test_prefill_batched_8b_compiles(tpu_aot):
     )
 
 
-def test_decode_v5_v6_premap_compile(tpu_aot):
+def test_decode_v5_premap_compile(tpu_aot):
     """The host-precomputed page-map path (DecodeInput.page_cum/page_seq)
-    must produce the same Mosaic kernel — only the XLA-side prep changes."""
+    must produce the same Mosaic kernel — only the XLA-side prep changes.
+    (Legacy generations' compile tests were retired with the kernels —
+    ops/pallas/legacy; interpret-mode coverage remains.)"""
     from xllm_tpu.ops.pallas.decode_attention import (
         paged_decode_attention_write_v5_tpu,
-        paged_decode_attention_write_v6_tpu,
     )
 
     cache = _kv_shapes()
@@ -173,17 +136,7 @@ def test_decode_v5_v6_premap_compile(tpu_aot):
         *base, cum = a
         return paged_decode_attention_write_v5_tpu(*base, scale, cum=cum)
 
-    def v6_premap(*a, scale):
-        *base, cum, seq_of_page = a
-        return paged_decode_attention_write_v6_tpu(
-            *base, scale, cum=cum, seq_of_page=seq_of_page
-        )
-
     tpu_aot(v5_premap, *common, ((B + 1,), jnp.int32), scale=D**-0.5)
-    tpu_aot(
-        v6_premap, *common,
-        ((B + 1,), jnp.int32), ((B * NB,), jnp.int32), scale=D**-0.5,
-    )
 
 
 def test_kv_writers_compile(tpu_aot):
@@ -355,100 +308,8 @@ def test_decode_v5_fp8_kv_compiles(tpu_aot):
     )
 
 
-def test_decode_v6_compiles(tpu_aot):
-    # v6 split=1 is the production default (PERF.md r2 A/B)
-    from xllm_tpu.ops.pallas.decode_attention import (
-        paged_decode_attention_write_v6_tpu,
-    )
-
-    cache = _kv_shapes()
-    for kw in ({}, {"window": 1024}):
-        tpu_aot(
-            paged_decode_attention_write_v6_tpu,
-            ((B, HQ, D), jnp.bfloat16),
-            ((B, HKV, D), jnp.bfloat16),
-            ((B, HKV, D), jnp.bfloat16),
-            cache, cache,
-            ((), jnp.int32),
-            ((B,), jnp.int32),
-            ((B, NB), jnp.int32),
-            ((B,), jnp.int32),
-            scale=D**-0.5,
-            **kw,
-        )
 
 
-def test_decode_v6_fp8_kv_compiles(tpu_aot):
-    from xllm_tpu.ops.pallas.decode_attention import (
-        paged_decode_attention_write_v6_tpu,
-    )
-
-    cache = ((L, NBLK, HKV, BS, D), jnp.float8_e4m3fn)
-    tpu_aot(
-        paged_decode_attention_write_v6_tpu,
-        ((B, HQ, D), jnp.bfloat16),
-        ((B, HKV, D), jnp.float8_e4m3fn),
-        ((B, HKV, D), jnp.float8_e4m3fn),
-        cache, cache,
-        ((), jnp.int32),
-        ((B,), jnp.int32),
-        ((B, NB), jnp.int32),
-        ((B,), jnp.int32),
-        scale=D**-0.5,
-    )
-
-
-def test_decode_v7_compiles(tpu_aot):
-    from xllm_tpu.ops.pallas.decode_attention import (
-        paged_decode_attention_write_v7_tpu,
-    )
-
-    cache = _kv_shapes()
-    tpu_aot(
-        paged_decode_attention_write_v7_tpu,
-        ((B, HQ, D), jnp.bfloat16),
-        ((B, HKV, D), jnp.bfloat16),
-        ((B, HKV, D), jnp.bfloat16),
-        cache, cache,
-        ((), jnp.int32),
-        ((B,), jnp.int32),
-        ((B, NB), jnp.int32),
-        ((B,), jnp.int32),
-        scale=D**-0.5,
-    )
-    tpu_aot(
-        paged_decode_attention_write_v7_tpu,
-        ((B, HQ, D), jnp.bfloat16),
-        ((B, HKV, D), jnp.bfloat16),
-        ((B, HKV, D), jnp.bfloat16),
-        cache, cache,
-        ((), jnp.int32),
-        ((B,), jnp.int32),
-        ((B, NB), jnp.int32),
-        ((B,), jnp.int32),
-        scale=D**-0.5,
-        window=1024,
-    )
-
-
-def test_decode_v7_fp8_kv_compiles(tpu_aot):
-    from xllm_tpu.ops.pallas.decode_attention import (
-        paged_decode_attention_write_v7_tpu,
-    )
-
-    cache = ((L, NBLK, HKV, BS, D), jnp.float8_e4m3fn)
-    tpu_aot(
-        paged_decode_attention_write_v7_tpu,
-        ((B, HQ, D), jnp.bfloat16),
-        ((B, HKV, D), jnp.float8_e4m3fn),
-        ((B, HKV, D), jnp.float8_e4m3fn),
-        cache, cache,
-        ((), jnp.int32),
-        ((B,), jnp.int32),
-        ((B, NB), jnp.int32),
-        ((B,), jnp.int32),
-        scale=D**-0.5,
-    )
 
 
 def test_matmul_bf16_v2_compiles(tpu_aot):
@@ -481,12 +342,12 @@ def test_decode_kernels_bs128_compile(tpu_aot):
     amortizes over twice the bytes; candidate bench config)."""
     from xllm_tpu.ops.pallas.decode_attention import (
         paged_decode_attention_write_v5_tpu,
-        paged_decode_attention_write_v7_tpu,
+        paged_decode_attention_write_v9_tpu,
     )
 
     cache = ((L, NBLK, HKV, 128, D), jnp.bfloat16)
     for fn in (paged_decode_attention_write_v5_tpu,
-               paged_decode_attention_write_v7_tpu):
+               paged_decode_attention_write_v9_tpu):
         tpu_aot(
             fn,
             ((B, HQ, D), jnp.bfloat16),
@@ -551,57 +412,6 @@ def test_mla_kernels_fp8_latent_compile(tpu_aot):
         dv=DV,
     )
 
-
-def test_decode_v8_compiles(tpu_aot):
-    from xllm_tpu.ops.pallas.decode_attention import (
-        paged_decode_attention_write_v8_tpu,
-    )
-
-    cache = _kv_shapes()
-    common = (
-        ((B, HQ, D), jnp.bfloat16),
-        ((B, HKV, D), jnp.bfloat16),
-        ((B, HKV, D), jnp.bfloat16),
-        cache, cache,
-        ((), jnp.int32),
-        ((B,), jnp.int32),
-        ((B, NB), jnp.int32),
-        ((B,), jnp.int32),
-    )
-    for kw in ({}, {"window": 1024}, {"chunk": 2}, {"chunk": 3},
-               {"nslots_override": 8}, {"split_override": 1},
-               {"split_override": 4}):
-        tpu_aot(
-            paged_decode_attention_write_v8_tpu, *common,
-            scale=D**-0.5, **kw,
-        )
-    # 8B bench config (Hq=32) and fp8 KV
-    cache8 = ((36, 250, HKV, BS, D), jnp.bfloat16)
-    tpu_aot(
-        paged_decode_attention_write_v8_tpu,
-        ((64, 32, D), jnp.bfloat16),
-        ((64, HKV, D), jnp.bfloat16),
-        ((64, HKV, D), jnp.bfloat16),
-        cache8, cache8,
-        ((), jnp.int32),
-        ((64,), jnp.int32),
-        ((64, 35), jnp.int32),
-        ((64,), jnp.int32),
-        scale=D**-0.5,
-    )
-    cachef8 = ((L, NBLK, HKV, BS, D), jnp.float8_e4m3fn)
-    tpu_aot(
-        paged_decode_attention_write_v8_tpu,
-        ((B, HQ, D), jnp.bfloat16),
-        ((B, HKV, D), jnp.float8_e4m3fn),
-        ((B, HKV, D), jnp.float8_e4m3fn),
-        cachef8, cachef8,
-        ((), jnp.int32),
-        ((B,), jnp.int32),
-        ((B, NB), jnp.int32),
-        ((B,), jnp.int32),
-        scale=D**-0.5,
-    )
 
 
 def test_fp8_stacked_prefill_shape_compiles(tpu_aot):
@@ -677,6 +487,126 @@ def test_decode_v9_compiles(tpu_aot):
         ((B,), jnp.int32),
         scale=D**-0.5,
     )
+
+def test_decode_int8_kv_compiles(tpu_aot):
+    """int8 KV (scaleless in-kernel; scales fold into q / the output
+    outside — see _mxu): fp8 KV measured 4x slower than bf16 on v5e
+    (probe_r8_fp8kv r3 log), so quantized KV ships as int8. Compiles
+    the probe/production trace: int8 cache + int8 new-token rows, v5
+    premap and v9 tiles, plus the bf16-rows-in-int8-cache combination
+    the model's decode() emits."""
+    from xllm_tpu.ops.pallas.decode_attention import (
+        paged_decode_attention_write_v5_tpu,
+        paged_decode_attention_write_v9_tpu,
+    )
+
+    cache = ((L, NBLK, HKV, BS, D), jnp.int8)
+    for rows_dt in (jnp.int8, jnp.bfloat16):
+        common = (
+            ((B, HQ, D), jnp.bfloat16),
+            ((B, HKV, D), rows_dt),
+            ((B, HKV, D), rows_dt),
+            cache, cache,
+            ((), jnp.int32),
+            ((B,), jnp.int32),
+            ((B, NB), jnp.int32),
+            ((B,), jnp.int32),
+        )
+        tpu_aot(
+            paged_decode_attention_write_v5_tpu, *common, scale=D**-0.5
+        )
+        for kw in ({"tile": 4}, {"tile": 2}):
+            tpu_aot(
+                paged_decode_attention_write_v9_tpu, *common,
+                scale=D**-0.5, **kw,
+            )
+
+    def v5_premap(*a, scale):
+        *base, cum = a
+        return paged_decode_attention_write_v5_tpu(*base, scale, cum=cum)
+
+    tpu_aot(
+        v5_premap,
+        ((B, HQ, D), jnp.bfloat16),
+        ((B, HKV, D), jnp.int8),
+        ((B, HKV, D), jnp.int8),
+        cache, cache,
+        ((), jnp.int32),
+        ((B,), jnp.int32),
+        ((B, NB), jnp.int32),
+        ((B,), jnp.int32),
+        ((B + 1,), jnp.int32),
+        scale=D**-0.5,
+    )
+
+
+def test_prefill_and_writers_int8_kv_compile(tpu_aot):
+    """The int8-KV bench phases drive the full path: batched prefill
+    attention + both KV writers must lower with int8 caches and int8
+    new-token rows (the model quantizes BEFORE the kernels)."""
+    from xllm_tpu.ops.pallas.kv_write import (
+        kv_write_prefill_batched_tpu,
+        kv_write_rmw_batched_tpu,
+    )
+    from xllm_tpu.ops.pallas.prefill_attention import (
+        paged_attention_prefill_batched_tpu,
+        paged_attention_prefill_tpu,
+    )
+
+    cache = ((L, NBLK, HKV, BS, D), jnp.int8)
+    tpu_aot(
+        paged_attention_prefill_batched_tpu,
+        ((P, S, HQ, D), jnp.bfloat16),
+        cache, cache,
+        ((), jnp.int32),
+        ((P, NB), jnp.int32),
+        ((P,), jnp.int32),
+        ((P,), jnp.int32),
+        scale=D**-0.5,
+    )
+    tpu_aot(
+        paged_attention_prefill_tpu,
+        ((512, HQ, D), jnp.bfloat16),
+        cache, cache,
+        ((), jnp.int32),
+        ((NB,), jnp.int32),
+        ((), jnp.int32),
+        ((), jnp.int32),
+        scale=D**-0.5,
+    )
+    tpu_aot(
+        kv_write_prefill_batched_tpu,
+        ((P, HKV, S, D), jnp.int8),
+        ((P, HKV, S, D), jnp.int8),
+        cache, cache,
+        ((), jnp.int32),
+        ((P, NB), jnp.int32),
+        ((P,), jnp.int32),
+        ((P,), jnp.int32),
+    )
+    tpu_aot(
+        kv_write_rmw_batched_tpu,
+        ((P, BS, HKV, D), jnp.int8),
+        ((P, BS, HKV, D), jnp.int8),
+        cache, cache,
+        ((), jnp.int32),
+        ((P, NB), jnp.int32),
+        ((P,), jnp.int32),
+        ((P,), jnp.int32),
+    )
+    # 8B bench shapes (Hq=32, 36 layers) with int8 cache
+    cache8 = ((36, 250, HKV, BS, D), jnp.int8)
+    tpu_aot(
+        paged_attention_prefill_batched_tpu,
+        ((P, S, 32, D), jnp.bfloat16),
+        cache8, cache8,
+        ((), jnp.int32),
+        ((P, 35), jnp.int32),
+        ((P,), jnp.int32),
+        ((P,), jnp.int32),
+        scale=D**-0.5,
+    )
+
 
 def test_decode_fp8_cache_bf16_rows_compiles(tpu_aot):
     """The PRODUCTION fp8-KV decode trace: the model hands the kernels

@@ -14,7 +14,9 @@ from xllm_tpu.ops.attention_ref import (
     paged_attention_prefill_ref,
 )
 from xllm_tpu.ops.kv_cache_ops import write_kv
-from xllm_tpu.ops.pallas.decode_attention import paged_decode_attention_write_tpu
+from xllm_tpu.ops.pallas.legacy.decode_attention import (
+    paged_decode_attention_write_tpu,
+)
 from xllm_tpu.ops.pallas.kv_write import kv_write_prefill_tpu
 from xllm_tpu.ops.pallas.prefill_attention import paged_attention_prefill_tpu
 
@@ -347,7 +349,7 @@ def test_batched_rmw_kv_write_matches_scatter():
 )
 def test_decode_v3_matches_ref(hq, hkv, dtype):
     """v3 streaming decode kernel == scatter write + ref attention."""
-    from xllm_tpu.ops.pallas.decode_attention import (
+    from xllm_tpu.ops.pallas.legacy.decode_attention import (
         paged_decode_attention_write_v3_tpu,
     )
 
@@ -413,7 +415,7 @@ def test_decode_v3_matches_ref(hq, hkv, dtype):
 def test_sliding_window_masks():
     """SWA (mistral): decode + prefill refs and the v3 kernel agree with a
     brute-force windowed softmax."""
-    from xllm_tpu.ops.pallas.decode_attention import (
+    from xllm_tpu.ops.pallas.legacy.decode_attention import (
         paged_decode_attention_write_v3_tpu,
     )
 
@@ -484,7 +486,7 @@ def test_sliding_window_masks():
 def test_decode_v4_matches_ref(hq, hkv, dtype):
     """v4 split-DMA global-ring decode kernel == oracle (incl. mid-batch
     padded rows, the DP rank-major layout)."""
-    from xllm_tpu.ops.pallas.decode_attention import (
+    from xllm_tpu.ops.pallas.legacy.decode_attention import (
         paged_decode_attention_write_v4_tpu,
     )
 
@@ -669,7 +671,7 @@ def test_decode_v6_matches_ref(hq, hkv, dtype):
     """v6 packed-head decode kernel == oracle (incl. mid-batch padded
     rows). Same streaming skeleton as v4; compute packs all heads into
     one [Hq, Hkv*bs] block-diagonal dot per page."""
-    from xllm_tpu.ops.pallas.decode_attention import (
+    from xllm_tpu.ops.pallas.legacy.decode_attention import (
         paged_decode_attention_write_v6_tpu,
     )
 
@@ -735,7 +737,7 @@ def test_decode_v6_matches_ref(hq, hkv, dtype):
 
 def test_decode_v6_sliding_window():
     """v6 with window: only the trailing `window` positions attend."""
-    from xllm_tpu.ops.pallas.decode_attention import (
+    from xllm_tpu.ops.pallas.legacy.decode_attention import (
         paged_decode_attention_write_v6_tpu,
     )
     rng = np.random.default_rng(48)
@@ -784,7 +786,7 @@ def test_decode_v6_sliding_window():
 def test_decode_v7_matches_ref(hq, hkv, dtype):
     """v7 pair-tile decode kernel == oracle (incl. mid-batch padded rows
     and odd page counts exercising the masked, never-DMA'd second half)."""
-    from xllm_tpu.ops.pallas.decode_attention import (
+    from xllm_tpu.ops.pallas.legacy.decode_attention import (
         paged_decode_attention_write_v7_tpu,
     )
 
@@ -849,7 +851,7 @@ def test_decode_v7_matches_ref(hq, hkv, dtype):
 
 def test_decode_v7_sliding_window():
     """v7 with window: only the trailing `window` positions attend."""
-    from xllm_tpu.ops.pallas.decode_attention import (
+    from xllm_tpu.ops.pallas.legacy.decode_attention import (
         paged_decode_attention_write_v7_tpu,
     )
     rng = np.random.default_rng(48)
@@ -936,7 +938,7 @@ def test_decode_v8_matches_ref(hq, hkv, dtype, chunk):
     """v8 chunked-flash decode kernel == oracle (incl. mid-batch padded
     rows, tail chunks shorter than C, and ring alignment across
     sequences)."""
-    from xllm_tpu.ops.pallas.decode_attention import (
+    from xllm_tpu.ops.pallas.legacy.decode_attention import (
         paged_decode_attention_write_v8_tpu,
     )
 
@@ -1000,7 +1002,7 @@ def test_decode_v8_matches_ref(hq, hkv, dtype, chunk):
 
 def test_decode_v8_sliding_window():
     """v8 with window: only the trailing `window` positions attend."""
-    from xllm_tpu.ops.pallas.decode_attention import (
+    from xllm_tpu.ops.pallas.legacy.decode_attention import (
         paged_decode_attention_write_v8_tpu,
     )
     rng = np.random.default_rng(52)
@@ -1044,7 +1046,7 @@ def test_decode_v8_sliding_window():
 
 def test_decode_v8_premap_matches_devprep():
     """v8 with a host-precomputed page cumsum == device-computed."""
-    from xllm_tpu.ops.pallas.decode_attention import (
+    from xllm_tpu.ops.pallas.legacy.decode_attention import (
         paged_decode_attention_write_v8_tpu,
     )
     rng = np.random.default_rng(53)

@@ -56,19 +56,20 @@ def decode_attention_write(
     cum = page_maps[0] if page_maps is not None else None
     seq_of_page = page_maps[1] if page_maps is not None else None
     if _use_pallas(q.shape[-1]):
-        # Default v5: the r3 full-config same-session A/B
-        # (scripts/probe_v6_bisect.py + probe_r3_kernels.py) measured v5 at
-        # 210 us/layer vs v6's 243 at the production shape (28 layers,
-        # 1100-page pool, 5 table columns). r2's 145 us standalone-probe
-        # figure for v6 did not reproduce in-context OR across sessions —
-        # defaults are picked from full-config same-session runs only
-        # (see PERF.md).
-        kver = os.environ.get("XLLM_DECODE_KERNEL", "v5")
+        # Default v9t4: the r3 full-config same-session tournament
+        # (scripts/probe_r7_v9.py, /tmp/r7_v9.log 2026-08-20) measured
+        # v9_t4 at 198 us/layer vs v5's 209 with max|o-o| = 1.2e-4; the
+        # same session's v5 variance repeat read 276, so the margin is
+        # within session noise but v9_t4 never measured WORSE than v5
+        # across r7 runs. v5 stays one env flip away
+        # (XLLM_DECODE_KERNEL=v5). Defaults are picked from full-config
+        # same-session runs only (see PERF.md).
+        kver = os.environ.get("XLLM_DECODE_KERNEL", "v9t4")
         if kver.startswith("v8"):
             # v8: C-page flash chunks amortize the per-page softmax
             # bookkeeping the r5 floor probe exposed (~65 us/layer between
             # v5 and the pure-DMA floor). "v8" -> chunk=4; "v8c2" -> 2.
-            from xllm_tpu.ops.pallas.decode_attention import (
+            from xllm_tpu.ops.pallas.legacy.decode_attention import (
                 paged_decode_attention_write_v8_tpu,
             )
 
@@ -92,7 +93,7 @@ def decode_attention_write(
                 tile=t,
             )
         if kver == "v7":
-            from xllm_tpu.ops.pallas.decode_attention import (
+            from xllm_tpu.ops.pallas.legacy.decode_attention import (
                 paged_decode_attention_write_v7_tpu,
             )
 
@@ -101,7 +102,7 @@ def decode_attention_write(
                 block_tables, seq_lens, scale, window=window,
             )
         if kver == "v6":
-            from xllm_tpu.ops.pallas.decode_attention import (
+            from xllm_tpu.ops.pallas.legacy.decode_attention import (
                 paged_decode_attention_write_v6_tpu,
             )
 
@@ -120,7 +121,7 @@ def decode_attention_write(
                 block_tables, seq_lens, scale, window=window, cum=cum,
             )
         if kver == "v4":
-            from xllm_tpu.ops.pallas.decode_attention import (
+            from xllm_tpu.ops.pallas.legacy.decode_attention import (
                 paged_decode_attention_write_v4_tpu,
             )
 
@@ -131,7 +132,7 @@ def decode_attention_write(
         if kver == "v1" and window <= 0:
             # v1 has no window support: sliding-window models (whose
             # out-of-window pages get recycled) always take v3+
-            from xllm_tpu.ops.pallas.decode_attention import (
+            from xllm_tpu.ops.pallas.legacy.decode_attention import (
                 paged_decode_attention_write_tpu,
             )
 
@@ -139,7 +140,7 @@ def decode_attention_write(
                 q, k_new, v_new, k_all, v_all, layer_idx, slot_mapping,
                 block_tables, seq_lens, scale,
             )
-        from xllm_tpu.ops.pallas.decode_attention import (
+        from xllm_tpu.ops.pallas.legacy.decode_attention import (
             paged_decode_attention_write_v3_tpu,
         )
 

@@ -30,8 +30,11 @@ _NSLOTS = 4
 
 
 def _mxu(x):
-    """fp8 cache tiles upcast to bf16 for the MXU (quantized KV)."""
-    return x.astype(jnp.bfloat16) if x.dtype == jnp.float8_e4m3fn else x
+    """Quantized cache tiles upcast to bf16 for the MXU (fp8 or int8 KV;
+    int8 scales fold outside the kernel — see decode_attention._mxu)."""
+    if x.dtype in (jnp.float8_e4m3fn, jnp.int8):
+        return x.astype(jnp.bfloat16)
+    return x
 
 
 def _prefill_kernel(
