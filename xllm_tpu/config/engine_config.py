@@ -133,9 +133,17 @@ class CacheConfig:
     block_size: int = 64  # tokens per block; multiple of dtype sublane tile
     num_blocks: int = 0  # 0 -> derived from memory_utilization at init
     memory_utilization: float = 0.9
-    kv_cache_dtype: str = "auto"  # auto|bfloat16|float32|fp8_e4m3
-    # (int8 KV is intentionally absent: e4m3 matches its byte width with
-    # no scale plumbing — the TPU-idiomatic quantized-KV choice)
+    kv_cache_dtype: str = "auto"  # auto|bfloat16|float32|int8|fp8_e4m3
+    # int8 is the production 8-bit KV format on v5e (fp8's in-kernel
+    # upcast measured 4x slower than the bytes it saves,
+    # scripts/probe_r8_fp8kv.py); per-head scales fold into q / the
+    # attention output outside the kernels (models/decoder.py)
+    # int8-KV quantization step (code = round(x / scale)); defaults
+    # cover qk-normed K (|K| <~ 4 rms units) and O(1) V activations.
+    # Override per checkpoint, or install calibrated per-layer-per-head
+    # arrays via model.set_kv_scales + runner rebuild.
+    kv_scale_k: float = 4.0 / 127.0
+    kv_scale_v: float = 4.0 / 127.0
     enable_prefix_cache: bool = True
     # block manager backend: "python" | "native" (C++ core) | "auto"
     # (native when the toolchain can build it — reference keeps this

@@ -49,6 +49,10 @@ def _dtype_of(name: str):
 class DenseDecoderModel:
     """Functional model: all state lives in explicit pytrees."""
 
+    # int8 KV is supported for the dense/MoE GQA families (the MLA
+    # latent cache has its own fp8 path; hybrids keep linear state)
+    supports_int8_kv = True
+
     def __init__(self, cfg: ModelConfig):
         self.cfg = cfg
         self.dtype = _dtype_of(cfg.dtype)
@@ -58,6 +62,15 @@ class DenseDecoderModel:
         # sliding-window attention (mistral/qwen2 long-context families);
         # 0 = full attention
         self.window = int(cfg.sliding_window or 0)
+        # int8 KV per-layer-per-head static scales, set by the runner
+        # ((s_k, s_v) [L, Hkv] f32). Scaleless in-kernel: the K scale
+        # folds into q, the V scale into the attention output, so the
+        # kernels only int8->bf16 convert on the DMA-critical path
+        # (fp8's upcast measured 4x slower than the bytes it saves on
+        # v5e — scripts/probe_r8_fp8kv.py; reference int8 KV:
+        # kv_cache_impl.h:29 quantized variants). Tiny closure constants
+        # — safe to capture (unlike weight stacks, CLAUDE.md gotcha).
+        self.kv_scales = None
 
     # ------------------------------------------------------------------
     # parameter tree
@@ -278,6 +291,53 @@ class DenseDecoderModel:
             q, k = apply_rope(q, k, positions, inv_freq)
         return q, k, v
 
+    # ------------------------------------------------------------------
+    # int8 KV folding (scales applied OUTSIDE the attention kernels)
+    # ------------------------------------------------------------------
+    def _kv_quant_in(self, q, k, v, layer_idx):
+        """Fold s_k into q; quantize new K/V rows to int8 codes.
+
+        logits: (q * s_k) . (k / s_k) == q . k — the softmax scale and
+        all in-kernel math are unchanged; pages and new rows share the
+        same code space."""
+        if self.kv_scales is None:
+            return q, k, v
+        sk, sv = self.kv_scales
+        skl = jax.lax.dynamic_index_in_dim(sk, layer_idx, keepdims=False)
+        svl = jax.lax.dynamic_index_in_dim(sv, layer_idx, keepdims=False)
+        g = self.cfg.num_attention_heads // self.cfg.num_kv_heads
+        q = (
+            q.astype(jnp.float32) * jnp.repeat(skl, g)[None, :, None]
+        ).astype(q.dtype)
+
+        def quant(x, s):
+            codes = jnp.round(x.astype(jnp.float32) / s[None, :, None])
+            return jnp.clip(codes, -127, 127).astype(jnp.int8)
+
+        return q, quant(k, skl), quant(v, svl)
+
+    def _kv_quant_out(self, out, layer_idx):
+        """out = sum p * (v / s_v) -> multiply s_v back per kv head."""
+        if self.kv_scales is None:
+            return out
+        _, sv = self.kv_scales
+        svl = jax.lax.dynamic_index_in_dim(sv, layer_idx, keepdims=False)
+        g = self.cfg.num_attention_heads // self.cfg.num_kv_heads
+        return (
+            out.astype(jnp.float32) * jnp.repeat(svl, g)[None, :, None]
+        ).astype(out.dtype)
+
+    def set_kv_scales(self, s_k, s_v) -> None:
+        """Install per-layer-per-head int8-KV scales ([L, Hkv] f32 or
+        scalars). Callers must rebuild the jitted step functions — the
+        scales are closure constants."""
+        c = self.cfg
+        shape = (c.num_hidden_layers, c.num_kv_heads)
+        self.kv_scales = (
+            jnp.broadcast_to(jnp.asarray(s_k, jnp.float32), shape),
+            jnp.broadcast_to(jnp.asarray(s_v, jnp.float32), shape),
+        )
+
     def _run_stack(
         self,
         stack: dict,  # layer params stacked on a leading axis
@@ -403,7 +463,8 @@ class DenseDecoderModel:
         """
 
         def attn_fn(q, k, v, k_all, v_all, layer_idx):
-            return prefill_attention_write(
+            q, k, v = self._kv_quant_in(q, k, v, layer_idx)
+            out, k_all, v_all = prefill_attention_write(
                 q,
                 k,
                 v,
@@ -417,6 +478,7 @@ class DenseDecoderModel:
                 self.scale,
                 window=self.window,
             )
+            return self._kv_quant_out(out, layer_idx), k_all, v_all
 
         x = params["embed_tokens"][inp.token_ids]
         x, k_all, v_all = self._run_layers(
@@ -457,6 +519,7 @@ class DenseDecoderModel:
         p, s = inp.token_ids.shape
 
         def attn_fn(q, k, v, k_all, v_all, layer_idx):
+            q, k, v = self._kv_quant_in(q, k, v, layer_idx)
             q4 = q.reshape(p, s, *q.shape[1:])
             k4 = k.reshape(p, s, *k.shape[1:])
             v4 = v.reshape(p, s, *v.shape[1:])
@@ -467,7 +530,8 @@ class DenseDecoderModel:
                 force_ref=self.force_ref_attention,
                 positions=inp.positions,
             )
-            return out.reshape(p * s, *out.shape[2:]), k_all, v_all
+            out = out.reshape(p * s, *out.shape[2:])
+            return self._kv_quant_out(out, layer_idx), k_all, v_all
 
         x = params["embed_tokens"][inp.token_ids.reshape(-1)]
         if inp.extra_embeds is not None:
@@ -532,7 +596,8 @@ class DenseDecoderModel:
         )
 
         def attn_fn(q, k, v, k_all, v_all, layer_idx):
-            return decode_attention_write(
+            q, k, v = self._kv_quant_in(q, k, v, layer_idx)
+            out, k_all, v_all = decode_attention_write(
                 q,
                 k,
                 v,
@@ -546,6 +611,7 @@ class DenseDecoderModel:
                 window=self.window,
                 page_maps=page_maps,
             )
+            return self._kv_quant_out(out, layer_idx), k_all, v_all
 
         x = params["embed_tokens"][token_ids]
         x, k_all, v_all = self._run_layers(

@@ -38,6 +38,10 @@ from xllm_tpu.runtime.forward_params import DecodeInput, PrefillInput
 
 
 class MlaDecoderModel(DenseDecoderModel):
+    # custom cache layout (latent / linear-state) — the GQA int8-KV
+    # scale folding does not apply
+    supports_int8_kv = False
+
     # chunk-batched latent kernels: the engine's whole-batch prefill /
     # batched-verify path applies to MLA families too
     supports_batched_prefill = True

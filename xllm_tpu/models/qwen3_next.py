@@ -51,6 +51,10 @@ from xllm_tpu.runtime.forward_params import BatchedPrefillInput, DecodeInput
 @ModelRegistry.register("qwen3_next", "qwen3_5", "qwen3_5_text",
                         "qwen3_5_moe_text")
 class Qwen3NextModel(DenseDecoderModel):
+    # custom cache layout (latent / linear-state) — the GQA int8-KV
+    # scale folding does not apply
+    supports_int8_kv = False
+
     supports_batched_prefill = True
     is_hybrid = True  # linear-attention state: engine disables spec/beam/
     # prefix-cache/CP for this family

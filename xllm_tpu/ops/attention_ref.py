@@ -23,11 +23,15 @@ def _gather_kv(
     cache_all: jnp.ndarray,  # [L, num_blocks, Hkv, bs, D]
     layer_idx: jnp.ndarray,  # [] int32
     block_tables: jnp.ndarray,  # [B, NB]
+    out_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     """-> [B, Hkv, NB*bs, D]."""
     pages = cache_all[layer_idx, block_tables]  # [B, NB, Hkv, bs, D]
-    if pages.dtype == jnp.float8_e4m3fn:  # quantized KV: upcast for math
-        pages = pages.astype(jnp.bfloat16)
+    if pages.dtype in (jnp.float8_e4m3fn, jnp.int8):
+        # quantized KV: upcast raw codes for math (int8 scales fold into
+        # q / the attention output outside — decode_attention._mxu);
+        # out_dtype follows q so CPU float32 tests avoid bf16 dots
+        pages = pages.astype(out_dtype)
     b, nb, hkv, bs, d = pages.shape
     return pages.transpose(0, 2, 1, 3, 4).reshape(b, hkv, nb * bs, d)
 
@@ -45,8 +49,8 @@ def paged_attention_decode_ref(
     b, hq, d = q.shape
     hkv = k_all.shape[2]
     g = hq // hkv
-    k = _gather_kv(k_all, layer_idx, block_tables)  # [B, Hkv, S, D]
-    v = _gather_kv(v_all, layer_idx, block_tables)
+    k = _gather_kv(k_all, layer_idx, block_tables, q.dtype)  # [B, Hkv, S, D]
+    v = _gather_kv(v_all, layer_idx, block_tables, q.dtype)
     s = k.shape[2]
     qg = q.reshape(b, hkv, g, d)
     scores = jnp.einsum(
@@ -86,8 +90,8 @@ def paged_attention_prefill_ref(
     s_q, hq, d = q.shape
     hkv = k_all.shape[2]
     g = hq // hkv
-    k = _gather_kv(k_all, layer_idx, block_table[None, :])[0]  # [Hkv, S_kv, D]
-    v = _gather_kv(v_all, layer_idx, block_table[None, :])[0]
+    k = _gather_kv(k_all, layer_idx, block_table[None, :], q.dtype)[0]  # [Hkv, S_kv, D]
+    v = _gather_kv(v_all, layer_idx, block_table[None, :], q.dtype)[0]
     s_kv = k.shape[1]
     qg = q.reshape(s_q, hkv, g, d)
     scores = jnp.einsum(
