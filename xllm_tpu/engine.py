@@ -92,6 +92,11 @@ class LLMEngine:
                 )
             config.cache.enable_prefix_cache = False
         self.block_manager = self._make_block_manager()
+        # boundary gate for per-fixup prefix-cache registration (0 = off)
+        self._cache_gate_bs = (
+            config.cache.block_size
+            if config.cache.enable_prefix_cache else 0
+        )
         # step-time models feed latency-aware budgeting (reference
         # ProfileManager, scheduler/profile/profile_manager.h:33-145);
         # observed from engine step wall time — under schedule overlap the
@@ -120,6 +125,12 @@ class LLMEngine:
 
         self.interruption_bus = InterruptionBus()
         self._decoders: dict[int, IncrementalDecoder] = {}
+        # inline detokenization in the step loop. The async serving front
+        # sets this False and detokenizes on its response thread instead
+        # (reference AsyncResponseProcessor, async_response_processor.h:29)
+        # — EXCEPT sequences with stop strings, whose stopping decision
+        # needs text at the step boundary (kept inline regardless).
+        self.inline_detok = True
         self._active_requests: dict[str, Request] = {}
         self._image_processor = None
         self._video_processor = None
@@ -149,6 +160,13 @@ class LLMEngine:
             self.spec_model_based = True
             self.overlap_depth = 0
         self._proposers: dict[int, object] = {}
+        # cross-request suffix cache over finished generations (reference
+        # global SuffixDecodingCache tree, suffix_tree.h:129,144)
+        self._global_suffix = None
+        if config.speculative.method in ("suffix", "ngram"):
+            from xllm_tpu.framework.suffix_cache import GlobalSuffixCache
+
+            self._global_suffix = GlobalSuffixCache()
         from xllm_tpu.framework.beam import BeamRunner
 
         self._beam = BeamRunner(self)
@@ -220,11 +238,8 @@ class LLMEngine:
         dp = config.parallel.dp_size
         if dp > 1:
             # per-DP-rank pools over the data-sharded block dim (reference
-            # BlockManagerPool, block_manager_pool.h:27)
-            if hierarchy is not None:
-                raise NotImplementedError(
-                    "host KV tier with attention-DP lands later"
-                )
+            # BlockManagerPool, block_manager_pool.h:27); the host tier is
+            # shared below them (hierarchy_block_manager_pool.h:40,74)
             from xllm_tpu.framework.block_manager import BlockManagerPool
 
             return BlockManagerPool(
@@ -233,6 +248,7 @@ class LLMEngine:
                 dp_size=dp,
                 enable_prefix_cache=config.cache.enable_prefix_cache,
                 manager_cls=cls,
+                hierarchy=hierarchy,
             )
         return cls(
             num_blocks=self.runner.num_blocks,
@@ -666,6 +682,10 @@ class LLMEngine:
                 continue
             tokens, logprobs, samples_token = self.runner.run_prefill(seq, n)
             seq.num_computed_tokens += n
+            if self._cache_gate_bs:
+                # register full prompt blocks now — the gated fixup path
+                # would only catch them at the next block boundary
+                self.block_manager.cache_computed_blocks(seq)
             if samples_token:
                 seq.append_placeholder()
                 tokens.copy_to_host_async()
@@ -691,6 +711,8 @@ class LLMEngine:
                 sampling_seqs, sample_rows = [], []
                 for i, (seq, n) in enumerate(group):
                     seq.num_computed_tokens += n
+                    if self._cache_gate_bs:
+                        self.block_manager.cache_computed_blocks(seq)
                     if flags[i]:
                         seq.append_placeholder()
                         sampling_seqs.append(seq)
@@ -910,6 +932,10 @@ class LLMEngine:
             self._proposers[seq.seq_id] = prop
         prop.extend(seq.token_ids, seq.num_fixed_tokens)
         draft = prop.propose(seq.token_ids, k)
+        if not draft and self._global_suffix is not None:
+            # per-sequence miss: try completed generations of earlier
+            # requests (repeated prompts / shared boilerplate)
+            draft = self._global_suffix.propose(seq.token_ids, k)
         if not draft:
             return None
         while len(draft) < k:  # pad short drafts by repeating the tail
@@ -938,7 +964,9 @@ class LLMEngine:
         # final accepted tokens' text must land in output_text (the
         # exact-decode fixup path decodes finishing tokens too)
         dec = self._decoders.get(seq.seq_id)
-        if dec is not None:
+        if dec is not None and not (
+            not self.inline_detok and not seq.stopping.stop_strings
+        ):
             delta = dec.decode_new(seq.token_ids)
             if delta:
                 seq.output_text += delta
@@ -983,9 +1011,12 @@ class LLMEngine:
             return  # the BeamRunner owns stopping + KV bookkeeping
         if not seq.is_finished:
             seq.maybe_finish(token, self.config.scheduler.max_model_len)
-            # detokenize + stop-string scan (reference async_response_processor)
+            # detokenize + stop-string scan (deferred to the response
+            # thread under async serving unless stopping needs the text)
             dec = self._decoders.get(seq.seq_id)
-            if dec is not None:
+            if dec is not None and not (
+                not self.inline_detok and not seq.stopping.stop_strings
+            ):
                 delta = dec.decode_new(seq.token_ids[: seq.num_fixed_tokens])
                 if delta:
                     seq.output_text += delta
@@ -996,7 +1027,13 @@ class LLMEngine:
                             seq.finish(FinishReason.STOP)
         if seq.is_finished:
             seq.trim_unfixed()
-        else:
+        elif self._cache_gate_bs and (
+            min(seq.num_computed_tokens, seq.num_fixed_tokens)
+            % self._cache_gate_bs == 0
+        ):
+            # prefix-cache registration catches up from its chain cursor,
+            # so calling only when a block boundary is crossed is exact —
+            # and drops ~128 no-op calls/step from the decode host loop
             self.block_manager.cache_computed_blocks(seq)
 
     # ------------------------------------------------------------------
@@ -1053,6 +1090,13 @@ class LLMEngine:
                 for seq in req.sequences:
                     self._decoders.pop(seq.seq_id, None)
                     self._proposers.pop(seq.seq_id, None)
+                    if self._global_suffix is not None and not req.aborted:
+                        # finished generations feed the cross-request
+                        # drafter (reference cache update on finish,
+                        # suffix_worker_impl.h:30)
+                        self._global_suffix.add(
+                            seq.token_ids[: seq.num_fixed_tokens]
+                        )
             outputs.append(ro)
         return outputs
 
@@ -1078,6 +1122,18 @@ class LLMEngine:
         if self.has_unfinished():
             raise RuntimeError("cannot update weights with unfinished requests")
         self.runner.update_weights(model_path)
+        self.wakeup()
+
+    def _export_weights(self) -> dict:
+        """{dotted-path: host ndarray} for the P2P weight wire
+        (reference linked-instance transfer, engine.h:137-156)."""
+        return self.runner.export_weights()
+
+    def _import_weights(self, flat: dict) -> None:
+        """Install weights pushed by a trainer/peer (no disk)."""
+        if self.has_unfinished():
+            raise RuntimeError("cannot update weights with unfinished requests")
+        self.runner.import_weights(flat)
         self.wakeup()
 
     # ------------------------------------------------------------------

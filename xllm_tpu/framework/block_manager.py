@@ -289,6 +289,7 @@ class BlockManagerPool:
         dp_size: int,
         enable_prefix_cache: bool = True,
         manager_cls=None,
+        hierarchy=None,
     ) -> None:
         if num_blocks % dp_size != 0:
             raise ValueError("num_blocks must divide evenly over DP ranks")
@@ -297,12 +298,19 @@ class BlockManagerPool:
         self.block_size = block_size
         self.blocks_per_rank = num_blocks // dp_size
         self.enable_prefix_cache = enable_prefix_cache
+        # ONE shared host tier below the per-rank device pools: hashes
+        # are content-global and device ids carry the rank base, so a
+        # block evicted on rank a can prefetch on rank b (reference
+        # HierarchyBlockManagerPool wraps per-rank pools over the shared
+        # store the same way, hierarchy_block_manager_pool.h:40,74)
+        self.hierarchy = hierarchy
         self.managers = [
             cls(
                 self.blocks_per_rank,
                 block_size,
                 enable_prefix_cache,
                 base=r * self.blocks_per_rank,
+                hierarchy=hierarchy,
             )
             for r in range(dp_size)
         ]

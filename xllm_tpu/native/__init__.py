@@ -111,6 +111,10 @@ def load() -> ctypes.CDLL:
     lib.si_extend.argtypes = [c.c_void_p, i32p, c.c_int]
     lib.si_propose.restype = c.c_int
     lib.si_propose.argtypes = [c.c_void_p, i32p, c.c_int, c.c_int, i32p]
+    lib.si_propose_from.restype = c.c_int
+    lib.si_propose_from.argtypes = [
+        c.c_void_p, i32p, c.c_int, i32p, c.c_int, c.c_int, i32p,
+    ]
 
     _lib = lib
     return lib
@@ -144,4 +148,16 @@ class NativeSuffixIndex:
         arr = np.asarray(token_ids, np.int32)
         out = np.zeros(k, np.int32)
         n = self._lib.si_propose(self._h, arr, len(arr), k, out)
+        return [int(x) for x in out[:n]]
+
+    def propose_from(
+        self, stream: "np.ndarray", query: list[int], k: int
+    ) -> list[int]:
+        """Global-cache lookup: match ``query``'s tail ngram, draft from
+        the indexed ``stream`` (reference suffix_tree.h:129 global tree)."""
+        q = np.asarray(query, np.int32)
+        out = np.zeros(k, np.int32)
+        n = self._lib.si_propose_from(
+            self._h, stream, len(stream), q, len(q), k, out
+        )
         return [int(x) for x in out[:n]]

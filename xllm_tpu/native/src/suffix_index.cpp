@@ -63,6 +63,25 @@ struct SuffixIndex {
     }
     return 0;
   }
+
+  // Global-cache variant (reference SuffixDecodingCache global tree,
+  // suffix_tree.h:129): the ngram comes from the tail of an EXTERNAL
+  // query sequence while the draft is read from the indexed stream.
+  int propose_from(const int32_t* stream, int stream_len,
+                   const int32_t* query, int q_len, int k, int32_t* out) {
+    int top = max_match < q_len ? max_match : q_len;
+    for (int n = top; n >= min_match; --n) {
+      auto it = index.find(Key{ngram_hash(query + q_len - n, n)});
+      if (it != index.end() && it->second <= stream_len) {
+        int pos = it->second;
+        int cnt = 0;
+        for (int j = pos; j < pos + k && j < stream_len; ++j)
+          out[cnt++] = stream[j];
+        return cnt;
+      }
+    }
+    return 0;
+  }
 };
 
 } // namespace
@@ -79,6 +98,11 @@ void si_extend(void* h, const int32_t* tokens, int upto) {
 int si_propose(void* h, const int32_t* tokens, int n_tok, int k,
                int32_t* out) {
   return static_cast<SuffixIndex*>(h)->propose(tokens, n_tok, k, out);
+}
+int si_propose_from(void* h, const int32_t* stream, int stream_len,
+                    const int32_t* query, int q_len, int k, int32_t* out) {
+  return static_cast<SuffixIndex*>(h)->propose_from(stream, stream_len,
+                                                    query, q_len, k, out);
 }
 
 } // extern "C"

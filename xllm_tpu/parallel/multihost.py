@@ -72,13 +72,21 @@ def _bcast(tree):
 
 
 class StepBroadcaster:
-    """Driver-side announcements; no-ops in a single-process world."""
+    """Driver-side announcements; no-ops in a single-process world.
+
+    The header carries the per-batch STATIC jit flags (use_penalties,
+    num_top, need_logprobs) — every process must select the same
+    compiled variant or the GSPMD collectives desync (the reference
+    ships the same flags inside RawForwardInput, remote_worker.cpp:176).
+    """
 
     @property
     def active(self) -> bool:
         return jax.process_count() > 1
 
-    def announce_decode(self, inp, si) -> None:
+    def announce_decode(
+        self, inp, si, use_penalties=False, num_top=0, need_logprobs=False
+    ) -> None:
         if not self.active:
             return
         b_pad = int(inp.slot_ids.shape[0])
@@ -86,17 +94,23 @@ class StepBroadcaster:
         hdr = np.zeros(_HDR, np.int32)
         # hdr[3]: page maps present (dp_size == 1 inputs carry
         # DecodeInput.page_cum/page_seq — the pytree shape must match)
-        hdr[:4] = (STEP_DECODE, b_pad, nbt, int(inp.page_cum is not None))
+        hdr[:7] = (
+            STEP_DECODE, b_pad, nbt, int(inp.page_cum is not None),
+            int(use_penalties), int(num_top), int(need_logprobs),
+        )
         _bcast(hdr)
         _bcast(tuple(jax.tree.leaves((inp, si))))
 
-    def announce_prefill(self, inp, si) -> None:
+    def announce_prefill(
+        self, inp, si, use_penalties=False, num_top=0, need_logprobs=False
+    ) -> None:
         if not self.active:
             return
         p_pad, s_pad = (int(x) for x in inp.token_ids.shape)
         nbt = int(inp.block_tables.shape[1])
         hdr = np.zeros(_HDR, np.int32)
         hdr[:4] = (STEP_PREFILL, p_pad, s_pad, nbt)
+        hdr[4:7] = (int(use_penalties), int(num_top), int(need_logprobs))
         _bcast(hdr)
         _bcast(tuple(jax.tree.leaves((inp, si))))
 
@@ -149,7 +163,9 @@ def _zero_sampling(n: int):
         temperature=np.zeros(n, np.float32),
         top_k=np.zeros(n, np.int32),
         top_p=np.zeros(n, np.float32),
-        key=jax.random.key(0),
+        # raw uint32 key data, matching the driver's host-side key
+        # counter (ModelRunner._next_key / sampler.as_key)
+        key=np.zeros(2, np.uint32),
         seeds=np.zeros(n, np.int32),
         steps=np.zeros(n, np.int32),
         repetition_penalty=np.zeros(n, np.float32),
@@ -199,6 +215,8 @@ class FollowerEngine:
                 r.params, r.k_cache, r.v_cache,
                 r._put_rows(inp, b_pad), r._put_rows(si, b_pad),
                 r.last_tokens, r.token_hist,
+                use_penalties=bool(hdr[4]), num_top=int(hdr[5]),
+                need_logprobs=bool(hdr[6]),
             )
         elif kind == STEP_PREFILL:
             p_pad, s_pad, nbt = int(hdr[1]), int(hdr[2]), int(hdr[3])
@@ -214,6 +232,8 @@ class FollowerEngine:
                 r.params, r.k_cache, r.v_cache,
                 r._put_rows(inp, p_pad), r._put_rows(si, p_pad),
                 r.last_tokens, r.token_hist,
+                use_penalties=bool(hdr[4]), num_top=int(hdr[5]),
+                need_logprobs=bool(hdr[6]),
             )
         return True
 

@@ -84,6 +84,18 @@ class ModelRunner:
         # range with its own null block
         self.dp_size = config.parallel.dp_size
         self.null_blocks = [0] * max(self.dp_size, 1)
+        # incremental decode-input assembly (steady-state decode builds
+        # are a +1 of the previous step); disabled on paths that can
+        # mutate block tables in place without changing their length
+        from xllm_tpu.runtime.input_builder import DecodeStepCache
+
+        self._decode_cache = None
+        if (
+            self.dp_size == 1
+            and not config.model.sliding_window
+            and config.cache.num_host_blocks == 0
+        ):
+            self._decode_cache = DecodeStepCache()
         # model-based speculative decoding (reference MTP/Eagle3 workers,
         # mtp_worker_impl.h:34, eagle3_worker_impl.h:23): a draft head
         # sharing the target's embed/lm_head, its own 1-layer paged KV,
@@ -111,7 +123,7 @@ class ModelRunner:
         if self.collect_expert_loads:
             self.model.collect_expert_loads = True
         self._expert_loads_acc = None
-        self._key = None
+        self._key_ctr = 0
         self._prefill_fn = None
         self._decode_fn = None
         self._embed_fn = None
@@ -173,7 +185,9 @@ class ModelRunner:
             if shardings is not None:
                 params = jax.tree.map(jax.device_put, params, shardings)
             self.params = params
-        self._key = jax.random.key(self.config.seed)
+        # host-side key counter; seed-offset keeps streams distinct per
+        # config.seed (sampler.as_key wraps the words on device)
+        self._key_ctr = self.config.seed << 20
         self.last_tokens = self._put(jnp.zeros(self.max_slots + 1, jnp.int32))
         # device-resident token history ring (per-slot rows) feeding the
         # sampler's penalty pass — no [N, V] histograms, no host round trip
@@ -360,6 +374,15 @@ class ModelRunner:
             per = self.num_blocks // self.dp_size
             self.null_blocks = [r * per for r in range(self.dp_size)]
         kv_dtype = self._resolve_kv_dtype()
+        if kv_dtype == jnp.int8:
+            if not getattr(self.model, "supports_int8_kv", False):
+                raise NotImplementedError(
+                    "int8 KV needs the GQA decoder's scale folding; this "
+                    "family lacks it (MLA uses its own fp8 latent cache)"
+                )
+            if self.model.kv_scales is None:
+                cc = self.config.cache
+                self.model.set_kv_scales(cc.kv_scale_k, cc.kv_scale_v)
         self.model.num_state_slots = self.max_slots
         k, v = self.model.new_kv_cache(self.num_blocks, self.block_size, kv_dtype)
         if self.mesh is not None:
@@ -387,21 +410,25 @@ class ModelRunner:
 
     def _resolve_kv_dtype(self):
         """Cache storage dtype from config (reference kv_cache_impl.h:29
-        quantized variants): fp8_e4m3 stores post-norm K/V raw (range
-        |x| <= 448 covers attention K/V); kernels upcast tiles on load."""
+        quantized variants). int8 is the production 8-bit KV format on
+        v5e: the fp8 in-kernel upcast measured 4x slower than the bytes
+        it saves (819 vs 209 us/layer, scripts/probe_r8_fp8kv.py) while
+        int8 converts ride the fast VPU path; per-head scales fold into
+        q / the attention output outside the kernels. fp8_e4m3 stays for
+        checkpoint compatibility on hardware with fast f8 upcasts."""
         if self.config.cache.kv_cache_dtype in ("auto", ""):
             return self.model.dtype
         table = {
             "bfloat16": jnp.bfloat16,
             "float32": jnp.float32,
             "fp8_e4m3": jnp.float8_e4m3fn,
+            "int8": jnp.int8,
         }
         if self.config.cache.kv_cache_dtype not in table:
             raise ValueError(
                 f"unsupported kv_cache_dtype "
                 f"{self.config.cache.kv_cache_dtype!r}; "
-                f"one of {sorted(table)} (int8 KV is covered by "
-                f"fp8_e4m3 — same byte width, no scale plumbing)"
+                f"one of {sorted(table)}"
             )
         return table[self.config.cache.kv_cache_dtype]
 
@@ -746,9 +773,17 @@ class ModelRunner:
         self._mtp_verify_fn = mtp_verify_step
         self._mtp_decode_fn = mtp_decode_step
 
-    def _next_key(self) -> jax.Array:
-        self._key, sub = jax.random.split(self._key)
-        return sub
+    def _next_key(self) -> np.ndarray:
+        """Raw uint32[2] key data for the device samplers.
+
+        A numpy counter instead of jax.random.split: the split is a
+        device op per dispatch (~0.8 ms of host time at the bench
+        config); sampler.as_key wraps the raw words into a typed
+        threefry key inside the jit for free.
+        """
+        self._key_ctr += 1
+        c = self._key_ctr
+        return np.array([c >> 32, c & 0xFFFFFFFF], dtype=np.uint32)
 
     def _put(self, tree):
         if self.mesh is None:
@@ -887,10 +922,14 @@ class ModelRunner:
             hidden_size=self.config.model.hidden_size,
         )
         p_pad = inp.kv_lens.shape[0]
+        seqs_only = [seq for seq, _ in items]
         si, use_penalties = build_sampling_input(
-            [seq for seq, _ in items], p_pad, rows, self._next_key()
+            seqs_only, p_pad, rows, self._next_key()
         )
-        self.broadcaster.announce_prefill(inp, si)
+        self.broadcaster.announce_prefill(
+            inp, si, use_penalties, self._num_top(seqs_only),
+            self._need_lp(seqs_only),
+        )
         inp_put, si_put = self._put_prefill(inp, si, p_pad)
         if self.draft_head is not None:
             (
@@ -1277,7 +1316,7 @@ class ModelRunner:
             top_k=np.full(n, top_k, np.int32),
             top_p=np.full(n, top_p, np.float32),
             key=(
-                jax.random.key(seed)
+                np.array([0, seed], dtype=np.uint32)
                 if seed >= 0 else self._next_key()
             ),
         )
@@ -1341,21 +1380,35 @@ class ModelRunner:
         Input tokens come from the last_tokens ring on device; returned
         arrays are un-fetched device arrays for lagged fixup.
         """
-        inp, rows = build_decode_input(
-            seqs,
-            self.block_size,
-            self.config.scheduler.decode_batch_buckets,
-            self.max_blocks_per_seq,
-            self.trash_slot,
-            self.nb_buckets,
-            self.dp_size,
-            self.null_blocks,
+        if self._decode_cache is not None:
+            inp, rows, si, use_penalties = self._decode_cache.build(
+                seqs,
+                self.block_size,
+                self.config.scheduler.decode_batch_buckets,
+                self.max_blocks_per_seq,
+                self.trash_slot,
+                self.nb_buckets,
+                self._next_key(),
+            )
+            b_pad = inp.slot_ids.shape[0]
+        else:
+            inp, rows = build_decode_input(
+                seqs,
+                self.block_size,
+                self.config.scheduler.decode_batch_buckets,
+                self.max_blocks_per_seq,
+                self.trash_slot,
+                self.nb_buckets,
+                self.dp_size,
+                self.null_blocks,
+            )
+            b_pad = inp.slot_ids.shape[0]
+            si, use_penalties = build_sampling_input(
+                seqs, b_pad, rows, self._next_key()
+            )
+        self.broadcaster.announce_decode(
+            inp, si, use_penalties, self._num_top(seqs), self._need_lp(seqs)
         )
-        b_pad = inp.slot_ids.shape[0]
-        si, use_penalties = build_sampling_input(
-            seqs, b_pad, rows, self._next_key()
-        )
-        self.broadcaster.announce_decode(inp, si)
         if self.draft_head is not None:
             (
                 self.k_cache, self.v_cache, tokens, logprobs,
@@ -1649,24 +1702,80 @@ class ModelRunner:
             self.initialize_kv_cache(self.num_blocks or None)
         logger.info("runner awake")
 
-    def update_weights(self, model_path: str | None = None) -> None:
-        """Hot-swap weights from a checkpoint dir (reference engine.h:153)."""
-        if model_path:
-            self.config.model.model_path = model_path
+    def update_weights(
+        self, model_path: str | None = None, params=None
+    ) -> None:
+        """Hot-swap weights from a checkpoint dir OR an in-memory pytree.
+
+        ``params`` (host or device arrays matching the current tree
+        structure) is the P2P/RL path: a trainer or peer instance pushes
+        weights directly without touching disk (reference linked-instance
+        weight transfer, engine.h:137-156 + Mooncake weight push)."""
         old = self.params
         self.params = None
-        if old is not None:
+        if old is not None and params is not old:
             jax.tree.map(lambda x: x.delete(), old)
-        from xllm_tpu.models.loader import load_params
         from xllm_tpu.parallel.mesh import make_named_shardings
 
         shardings = make_named_shardings(self.mesh, self.model.param_shardings())
+        if params is not None:
+            if shardings is not None:
+                params = jax.tree.map(jax.device_put, params, shardings)
+            else:
+                params = jax.tree.map(jnp.asarray, params)
+            self.params = params
+            quantized_already = any(
+                hasattr(x, "dtype")
+                and x.dtype in (jnp.int8, jnp.float8_e4m3fn)
+                for x in jax.tree.leaves(params)
+            )
+            if (
+                self.config.quant.method in ("int8", "fp8_e4m3")
+                and not quantized_already
+            ):
+                # trainer pushed full-precision weights into a
+                # quantized-serving instance: re-quantize on ingest
+                self.params = self._quantize_params(self.params)
+            logger.info("weights updated from pushed tensors")
+            return
+        if model_path:
+            self.config.model.model_path = model_path
+        from xllm_tpu.models.loader import load_params
+
         self.params = load_params(
             self.config.model, shardings, dtype=self.model.dtype
         )
         if self.config.quant.method in ("int8", "fp8_e4m3"):
             self.params = self._quantize_params(self.params)
         logger.info("weights updated from %s", self.config.model.model_path)
+
+    def export_weights(self) -> dict:
+        """Flatten params to {dotted-path: host ndarray} (the P2P wire
+        format; reverse of the pushed-params update path)."""
+        flat = {}
+
+        def walk(prefix, node):
+            if isinstance(node, dict):
+                for k, v in node.items():
+                    walk(f"{prefix}{k}/", v)
+            else:
+                flat[prefix[:-1]] = np.asarray(node)
+
+        walk("", self.params)
+        return flat
+
+    def import_weights(self, flat: dict) -> None:
+        """Install {dotted-path: ndarray} from export_weights on a peer."""
+
+        def rebuild(prefix, node):
+            if isinstance(node, dict):
+                return {
+                    k: rebuild(f"{prefix}{k}/", v) for k, v in node.items()
+                }
+            return flat[prefix[:-1]]
+
+        tree = rebuild("", self.params)
+        self.update_weights(params=tree)
 
     # ------------------------------------------------------------------
     # warmup: precompile all buckets (reference scheduler/profile/graph_warmup)
