@@ -363,6 +363,44 @@ def test_rerank_endpoint(server_client):
     loop.run_until_complete(go())
 
 
+def test_rerank_model_scored_matches_score_prompt(server_client):
+    """Default rerank mode scores (query, doc) pairs THROUGH the model
+    (reference rerank_service_impl.cpp): the endpoint's scores must
+    equal mean doc-token logprobs from engine.score_prompt, and the
+    embedding mode must stay available as the documented fast path."""
+    client, loop = server_client
+
+    async def go():
+        docs = ["w3 w4 w5 w6", "w90 w91 w92"]
+        r = await client.post(
+            "/v1/rerank",
+            json={"query": "w3 w4 w5", "documents": docs},
+        )
+        assert r.status == 200, await r.text()
+        data = await r.json()
+        by_index = {x["index"]: x["relevance_score"] for x in data["results"]}
+
+        # independent reference scores through the same engine
+        eng = client.server.app["api_server"].engine
+        tok = eng.tokenizer
+        for i, d in enumerate(docs):
+            q_ids = tok.encode("w3 w4 w5")
+            ids = q_ids + tok.encode(d)
+            lps = await eng.call("score_prompt", ids)
+            doc_lps = lps[max(len(q_ids) - 1, 0):]
+            want = float(sum(doc_lps) / len(doc_lps))
+            assert abs(by_index[i] - want) < 1e-5
+
+        r = await client.post(
+            "/v1/rerank",
+            json={"query": "w3 w4 w5", "documents": docs,
+                  "mode": "embedding"},
+        )
+        assert r.status == 200, await r.text()
+
+    loop.run_until_complete(go())
+
+
 def test_anthropic_messages(server_client):
     client, loop = server_client
 

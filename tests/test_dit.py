@@ -358,3 +358,42 @@ class TestService:
             loop.run_until_complete(client.close())
             loop.close()
             eng.stop()
+
+
+class TestCFGParallel:
+    def test_cfg_parallel_parity_with_sequential(self):
+        """(cfg=2, sp=2) CFG-parallel == sequential CFG, same inputs
+        (reference DiT CFG-parallel axis, parallel_args.h:91-106): the
+        guided combine v_u + s*(v_c - v_u) becomes one psum of
+        coef_i * v_i over the 2-wide cfg axis."""
+        from jax.sharding import Mesh
+
+        cfg = PipelineConfig(model=tiny_cfg(), num_inference_steps=3,
+                             true_cfg_scale=2.0)
+        ref_pipe = DiTPipeline(cfg)
+        params = ref_pipe.model.init_params(jax.random.PRNGKey(0))
+        txt = jax.random.normal(jax.random.PRNGKey(1), (1, 6, 32)) * 0.2
+        neg = jax.random.normal(jax.random.PRNGKey(2), (1, 6, 32)) * 0.1
+        pooled = jnp.zeros((1, 16))
+        ref, _ = ref_pipe.generate(params, txt, pooled,
+                                   neg_txt_embeds=neg, neg_pooled=pooled,
+                                   height=8, width=8)
+
+        mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
+                    ("cfg", "sp"))
+        par_pipe = DiTPipeline(cfg, mesh=mesh, cfg_axis="cfg")
+        assert par_pipe.cfg_axis == "cfg"
+        out, _ = par_pipe.generate(params, txt, pooled,
+                                   neg_txt_embeds=neg, neg_pooled=pooled,
+                                   height=8, width=8)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_cfg_axis_requires_width_two(self):
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices()[:4]).reshape(4, 1),
+                    ("cfg", "sp"))
+        pipe = DiTPipeline(PipelineConfig(model=tiny_cfg()), mesh=mesh,
+                           cfg_axis="cfg")
+        assert pipe.cfg_axis is None  # 4-wide axis rejected

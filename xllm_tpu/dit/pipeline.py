@@ -77,11 +77,23 @@ class DiTPipeline:
     """
 
     def __init__(self, cfg: PipelineConfig, dtype=jnp.float32,
-                 mesh=None, sp_axis: str = "sp", vae=None):
+                 mesh=None, sp_axis: str = "sp", vae=None,
+                 cfg_axis: str = ""):
         self.cfg = cfg
         self.dtype = dtype
         self.mesh = mesh
         self.sp_axis = sp_axis if mesh is not None else None
+        # CFG-parallel (reference DiT parallel axes, parallel_args.h:91-106):
+        # a 2-wide mesh axis runs the conditional and unconditional
+        # branches simultaneously; the guided velocity is ONE psum:
+        # v = cfg*v_c + (1-cfg)*v_u = psum_i(coef_i * v_i)
+        self.cfg_axis = (
+            cfg_axis
+            if mesh is not None
+            and cfg_axis
+            and mesh.shape.get(cfg_axis, 1) == 2
+            else None
+        )
         self.model = DiTModel(cfg.model, dtype=dtype, sp_axis=self.sp_axis)
         self.vae = vae
         self._denoise_cache: dict = {}
@@ -117,7 +129,9 @@ class DiTPipeline:
             txt_shape = (b, txt_len, d)
 
             states = [cache.init(img_shape, txt_shape, model.dtype)]
-            if use_cfg:
+            if use_cfg and self.cfg_axis is None:
+                # sequential CFG keeps a second branch state; under
+                # CFG-parallel each device's single state IS its branch
                 states.append(cache.init(img_shape, txt_shape, model.dtype))
 
             def body(carry, inp):
@@ -139,12 +153,28 @@ class DiTPipeline:
                         cstate, idx, img0, txt0, r0, rest_fn)
                     return model.final_tokens(params, img_f, vec), cstate
 
-                v_c, s0 = predict(lat_t, txt, pooled, states[0])
-                if use_cfg:
+                if use_cfg and self.cfg_axis is not None:
+                    # CFG-parallel: this device computes ONLY its branch
+                    # (rank 0 = conditional, rank 1 = unconditional); the
+                    # guided combine v_u + cfg*(v_c - v_u) is a psum of
+                    # coef_i * v_i with coef = [cfg, 1-cfg]
+                    r = jax.lax.axis_index(self.cfg_axis)
+                    is_c = (r == 0)
+                    txt_e = jnp.where(is_c, txt, neg_txt)
+                    pooled_e = jnp.where(is_c, pooled, neg_pooled)
+                    v_l, s0 = predict(lat_t, txt_e, pooled_e, states[0])
+                    coef = jnp.where(is_c, cfg_scale, 1.0 - cfg_scale)
+                    v = jax.lax.psum(
+                        coef * v_l.astype(jnp.float32), self.cfg_axis
+                    )
+                    new_states = (s0,)
+                elif use_cfg:
+                    v_c, s0 = predict(lat_t, txt, pooled, states[0])
                     v_u, s1 = predict(lat_t, neg_txt, neg_pooled, states[1])
                     v = v_u + cfg_scale * (v_c - v_u)
                     new_states = (s0, s1)
                 else:
+                    v_c, s0 = predict(lat_t, txt, pooled, states[0])
                     v = v_c
                     new_states = (s0,)
                 lat_t = lat_t + (sigma_next - sigma) * v.astype(jnp.float32)
@@ -155,6 +185,14 @@ class DiTPipeline:
             (lat, states), _ = jax.lax.scan(
                 body, (lat, tuple(states)), xs)
             skips = states[0]["skips"]
+            if use_cfg and self.cfg_axis is not None:
+                # report the CONDITIONAL branch's skip stats on every
+                # device (out spec is replicated over the cfg axis)
+                r = jax.lax.axis_index(self.cfg_axis)
+                skips = jax.lax.psum(
+                    jnp.where(r == 0, skips, jnp.zeros_like(skips)),
+                    self.cfg_axis,
+                )
             return lat, skips
 
         return denoise

@@ -282,3 +282,198 @@ def get_detector(format_name: str) -> BaseDetector:
             f"unknown tool-call format {format_name!r}; known: {sorted(_DETECTORS)}"
         )
     return cls()
+
+
+def _held_suffix(s: str, marker: str) -> int:
+    """Length of the longest tail of ``s`` that is a proper prefix of
+    ``marker`` (text that must be held back — the marker may be arriving
+    split across chunks)."""
+    for n in range(min(len(marker) - 1, len(s)), 0, -1):
+        if s.endswith(marker[:n]):
+            return n
+    return 0
+
+
+_NAME_RE = re.compile(r'"name"\s*:\s*"((?:[^"\\]|\\.)*)"')
+_ARGS_RE = re.compile(r'"arguments"\s*:\s*')
+
+
+class StreamingToolCallParser:
+    """Incremental tool-call deltas on the SSE path.
+
+    Counterpart of the reference's StreamOutputParser
+    (xllm/api_service/stream_output_parser.h:30): as the model streams,
+    text outside tool-call markers is emitted as content deltas; inside
+    a call, the name is emitted once (with id/type, OpenAI streaming
+    schema) as soon as it is complete, then the RAW argument text is
+    emitted in fragments. Raw-text fragments (not re-serialized partial
+    JSON) make the concatenation exactly the model's argument object —
+    the same prefix-stability trick the reference's incremental
+    partial-JSON tracking achieves.
+
+    Marker-based formats (hermes/qwen family ``<tool_call>...``) stream
+    true increments. Formats without streamable markers fall back to
+    buffering and emitting the complete calls in the final chunk before
+    [DONE] (still a valid OpenAI stream; noted per format below).
+    """
+
+    STREAMABLE = {"hermes", "qwen25", "qwen3"}
+
+    def __init__(self, format_name: str):
+        self.format = format_name
+        self.detector = get_detector(format_name)
+        self.streamable = format_name in self.STREAMABLE
+        self.start, self.end = "<tool_call>", "</tool_call>"
+        self.buf = ""  # unconsumed raw text (outside-call scan buffer)
+        self.call_buf = ""  # raw text of the call being streamed
+        self.in_call = False
+        self.index = -1  # current tool-call index
+        self.name_sent = False
+        self.args_at = -1  # offset of the arguments value in call_buf
+        self.args_sent = 0  # raw argument chars emitted
+        self.args_done = False
+        self.emitted_any = False
+        self._fallback_text = ""
+
+    # -- helpers -------------------------------------------------------
+    def _args_progress(self) -> tuple[int, bool]:
+        """-> (emittable_end, value_complete) for the arguments value.
+
+        Walks the raw JSON value at ``args_at`` tracking bracket depth /
+        string state; emittable_end is how far the value extends so far
+        (never past its balanced close)."""
+        s = self.call_buf
+        i = self.args_at
+        depth = 0
+        in_str = esc = False
+        started = False
+        while i < len(s):
+            ch = s[i]
+            if in_str:
+                if esc:
+                    esc = False
+                elif ch == "\\":
+                    esc = True
+                elif ch == '"':
+                    in_str = False
+                    if started and depth == 0:
+                        return i + 1, True
+            elif ch == '"':
+                in_str = True
+                started = True
+            elif ch in "{[":
+                depth += 1
+                started = True
+            elif ch in "}]":
+                depth -= 1
+                if started and depth == 0:
+                    return i + 1, True
+            elif not started and not ch.isspace():
+                started = True  # number / literal value
+            elif started and depth == 0 and ch in ",}":
+                return i, True  # bare value terminated by wrapper
+            i += 1
+        return len(s), False
+
+    def _call_deltas(self) -> list[dict]:
+        """Deltas newly available from call_buf."""
+        out: list[dict] = []
+        if not self.name_sent:
+            m = _NAME_RE.search(self.call_buf)
+            if m:
+                self.name_sent = True
+                out.append({
+                    "index": self.index,
+                    "id": "call_" + uuid.uuid4().hex[:24],
+                    "type": "function",
+                    "function": {"name": m.group(1), "arguments": ""},
+                })
+        if self.name_sent and self.args_at < 0:
+            m = _ARGS_RE.search(self.call_buf)
+            if m:
+                self.args_at = m.end()
+                self.args_sent = 0
+        if self.args_at >= 0 and not self.args_done:
+            end, complete = self._args_progress()
+            # hold back a possible split end-marker inside the raw tail
+            safe = end
+            if not complete:
+                safe = end - _held_suffix(self.call_buf[:end], self.end)
+            frag = self.call_buf[self.args_at + self.args_sent: safe]
+            if frag:
+                self.args_sent += len(frag)
+                out.append({
+                    "index": self.index,
+                    "function": {"arguments": frag},
+                })
+            if complete:
+                self.args_done = True
+        if out:
+            self.emitted_any = True
+        return out
+
+    # -- public --------------------------------------------------------
+    def feed(self, delta: str) -> tuple[str, list[dict]]:
+        """Consume a text delta -> (content_delta, tool_call_deltas)."""
+        if not self.streamable:
+            self._fallback_text += delta
+            return "", []
+        self.buf += delta
+        content_out: list[str] = []
+        deltas: list[dict] = []
+        while True:
+            if not self.in_call:
+                pos = self.buf.find(self.start)
+                if pos >= 0:
+                    content_out.append(self.buf[:pos])
+                    self.buf = self.buf[pos + len(self.start):]
+                    self.in_call = True
+                    self.index += 1
+                    self.call_buf = ""
+                    self.name_sent = False
+                    self.args_at = -1
+                    self.args_done = False
+                    continue
+                hold = _held_suffix(self.buf, self.start)
+                emit = self.buf[: len(self.buf) - hold]
+                if emit:
+                    content_out.append(emit)
+                    self.buf = self.buf[len(emit):]
+                return "".join(content_out), deltas
+            # inside a call: move text into call_buf up to the end marker
+            pos = self.buf.find(self.end)
+            if pos >= 0:
+                self.call_buf += self.buf[:pos]
+                self.buf = self.buf[pos + len(self.end):]
+                deltas.extend(self._call_deltas())
+                self.in_call = False
+                continue
+            hold = _held_suffix(self.buf, self.end)
+            self.call_buf += self.buf[: len(self.buf) - hold]
+            self.buf = self.buf[len(self.buf) - hold:]
+            deltas.extend(self._call_deltas())
+            return "".join(content_out), deltas
+
+    def finish(self) -> tuple[str, list[dict]]:
+        """End of stream -> (content_delta, tool_call_deltas)."""
+        if not self.streamable:
+            r = self.detector.parse(self._fallback_text)
+            deltas = []
+            for i, c in enumerate(r.tool_calls):
+                deltas.append({
+                    "index": i, "id": c.id, "type": "function",
+                    "function": {"name": c.name, "arguments": ""},
+                })
+                deltas.append({
+                    "index": i, "function": {"arguments": c.arguments},
+                })
+            if deltas:
+                self.emitted_any = True
+            return (r.content, deltas)
+        if self.in_call:
+            # truncated call: flush whatever argument text is available
+            deltas = self._call_deltas()
+            self.in_call = False
+            return "", deltas
+        leftover, self.buf = self.buf, ""
+        return leftover, []

@@ -96,6 +96,7 @@ class APIServer:
     # ------------------------------------------------------------------
     def app(self) -> web.Application:
         app = web.Application()
+        app["api_server"] = self  # embedding hosts reach the engine
         app.router.add_post("/v1/completions", self.completions)
         app.router.add_post("/v1/chat/completions", self.chat_completions)
         app.router.add_post("/v1/embeddings", self.embeddings)
@@ -111,6 +112,12 @@ class APIServer:
         # via jax.profiler into --profile_dir for TensorBoard/xprof.
         app.router.add_post("/start_profile", self.start_profile)
         app.router.add_post("/stop_profile", self.stop_profile)
+        # RL weight sync (reference linked-instance weight transfer,
+        # engine.h:137-156): peers pull npz'd weights from /v1/weights;
+        # /v1/update_weights installs from a peer URL, a checkpoint
+        # path, or posted npz bytes — no disk round-trip needed
+        app.router.add_get("/v1/weights", self.get_weights)
+        app.router.add_post("/v1/update_weights", self.update_weights)
         app.on_startup.append(self._on_start)
         app.on_cleanup.append(self._on_stop)
         return app
@@ -154,6 +161,69 @@ class APIServer:
     # /start_profile begins a jax.profiler trace (XLA op timeline, HBM
     # transfers, host dispatch) and /stop_profile finalizes it.
     _profiling = False
+
+    async def get_weights(self, request: web.Request) -> web.Response:
+        """Serve the current weights as one npz body (the P2P wire the
+        reference implements with Mooncake weight transfer)."""
+        import io
+
+        import numpy as np
+
+        flat = await self.engine.call("_export_weights")
+        buf = io.BytesIO()
+        np.savez(buf, **flat)
+        return web.Response(
+            body=buf.getvalue(),
+            content_type="application/octet-stream",
+        )
+
+    async def update_weights(self, request: web.Request) -> web.Response:
+        """Hot-swap weights (engine must be drained).
+
+        Body options:
+          {"source_url": "http://peer:port"} — pull npz from a linked
+            instance's /v1/weights (reference engine.h:137-156 P2P path)
+          {"model_path": "/path"} — reload from a checkpoint dir
+          raw npz bytes (content-type application/octet-stream) — push
+        """
+        import io
+
+        import numpy as np
+
+        ctype = request.headers.get("Content-Type", "")
+        try:
+            if ctype.startswith("application/octet-stream"):
+                data = await request.read()
+                flat = dict(np.load(io.BytesIO(data)))
+                await self.engine.call("_import_weights", flat)
+                return web.json_response({"status": "updated",
+                                          "source": "push"})
+            body = await request.json()
+            if body.get("source_url"):
+                import aiohttp
+
+                url = body["source_url"].rstrip("/") + "/v1/weights"
+                async with aiohttp.ClientSession() as sess:
+                    async with sess.get(url) as r:
+                        if r.status != 200:
+                            return _error(
+                                502, f"peer returned {r.status}"
+                            )
+                        data = await r.read()
+                flat = dict(np.load(io.BytesIO(data)))
+                await self.engine.call("_import_weights", flat)
+                return web.json_response({"status": "updated",
+                                          "source": body["source_url"]})
+            if body.get("model_path"):
+                await self.engine.call("update_weights",
+                                       body["model_path"])
+                return web.json_response({"status": "updated",
+                                          "source": body["model_path"]})
+            return _error(400, "need source_url, model_path, or npz body")
+        except RuntimeError as e:  # unfinished requests
+            return _error(409, str(e))
+        except Exception as e:
+            return _error(400, f"weight update failed: {e}")
 
     async def start_profile(self, request: web.Request) -> web.Response:
         import jax
@@ -393,10 +463,13 @@ class APIServer:
 
     async def rerank(self, request: web.Request) -> web.Response:
         """Jina/Cohere-style /v1/rerank (reference RerankServiceImpl,
-        server/xllm_server.cpp:40-49 URL map). Relevance = cosine
-        similarity of pooled last-hidden embeddings — the scoring path a
-        generic checkpoint supports; dedicated reranker checkpoints plug
-        in through the same embed pipeline."""
+        xllm/api_service/rerank_service_impl.cpp). Default mode scores
+        each (query, document) PAIR through the model like the
+        reference: relevance = mean log-likelihood of the document
+        tokens conditioned on the query (score_prompt). ``"mode":
+        "embedding"`` keeps the cheaper cosine-of-pooled-embeddings
+        scoring (one forward per text instead of per pair; a documented
+        deviation from the reference's cross-scoring)."""
         try:
             body = await request.json()
         except Exception:
@@ -406,6 +479,7 @@ class APIServer:
         if not query or not documents:
             return _error(400, "need 'query' and non-empty 'documents'")
         top_n = int(body.get("top_n", len(documents)))
+        mode = body.get("mode", "model")
 
         async def embed_one(text):
             final = None
@@ -413,23 +487,47 @@ class APIServer:
                 final = out
             return final.embedding or []
 
-        try:
-            import math
+        async def score_pair(doc):
+            tok = self.engine.tokenizer
+            if tok is None:
+                raise ValueError("model-scored rerank needs a tokenizer")
+            q_ids = tok.encode(query)
+            d_ids = tok.encode(doc)
+            ids = q_ids + d_ids
+            lps = await self.engine.call("score_prompt", ids)
+            # lp[i] = log p(ids[i+1] | ids[:i+1]); document tokens are
+            # positions len(q_ids)..end -> their lps start at len(q_ids)-1
+            doc_lps = lps[max(len(q_ids) - 1, 0):]
+            return float(sum(doc_lps) / max(len(doc_lps), 1))
 
-            # submit query + all documents concurrently so the engine's
-            # continuous batching packs them into a few steps instead of
-            # one full round-trip per document
-            embeds = await asyncio.gather(
-                embed_one(query), *(embed_one(d) for d in documents)
-            )
-            qv, dvs = embeds[0], embeds[1:]
-            qn = math.sqrt(sum(a * a for a in qv))
-            results = []
-            for i, dv in enumerate(dvs):
-                num = sum(a * b for a, b in zip(qv, dv))
-                den = qn * math.sqrt(sum(b * b for b in dv))
-                score = num / den if den else 0.0
-                results.append({"index": i, "relevance_score": score})
+        try:
+            if mode == "model":
+                scores = await asyncio.gather(
+                    *(score_pair(d) for d in documents)
+                )
+                results = [
+                    {"index": i, "relevance_score": s}
+                    for i, s in enumerate(scores)
+                ]
+            elif mode == "embedding":
+                import math
+
+                # submit query + all documents concurrently so the
+                # engine's continuous batching packs them into a few
+                # steps instead of one round-trip per document
+                embeds = await asyncio.gather(
+                    embed_one(query), *(embed_one(d) for d in documents)
+                )
+                qv, dvs = embeds[0], embeds[1:]
+                qn = math.sqrt(sum(a * a for a in qv))
+                results = []
+                for i, dv in enumerate(dvs):
+                    num = sum(a * b for a, b in zip(qv, dv))
+                    den = qn * math.sqrt(sum(b * b for b in dv))
+                    score = num / den if den else 0.0
+                    results.append({"index": i, "relevance_score": score})
+            else:
+                return _error(400, f"unknown rerank mode {mode!r}")
         except ValueError as e:
             return _error(400, str(e))
         results.sort(key=lambda r: r["relevance_score"], reverse=True)
@@ -972,6 +1070,18 @@ class APIServer:
                     reasoners[i] = ReasoningParser()
                 return reasoners[i]
 
+        # incremental tool-call deltas per choice (reference
+        # stream_output_parser.h:30 partial-JSON tool-call tracking);
+        # consumes the CONTENT channel (after the reasoning split)
+        toolers: dict[int, object] = {}
+        if chat and self.tool_call_parser:
+            from xllm_tpu.parser.function_call import StreamingToolCallParser
+
+            def tooler(i):
+                if i not in toolers:
+                    toolers[i] = StreamingToolCallParser(self.tool_call_parser)
+                return toolers[i]
+
         async for out in gen:
             final = out
             for o in out.outputs:
@@ -994,14 +1104,33 @@ class APIServer:
                             rd.content += tail.content
                         if rd.reasoning:
                             d["reasoning_content"] = rd.reasoning
-                        if rd.content:
-                            d["content"] = rd.content
-                    elif delta:
-                        d = {"content": delta}
+                        content_delta = rd.content
+                    else:
+                        content_delta = delta
+                    if self.tool_call_parser:
+                        t = tooler(o.index)
+                        text_out, tc = t.feed(content_delta)
+                        if out.finished:
+                            tail_text, tail_tc = t.finish()
+                            text_out += tail_text
+                            tc = tc + tail_tc
+                        if text_out:
+                            d["content"] = text_out
+                        if tc:
+                            d["tool_calls"] = tc
+                    elif content_delta:
+                        d["content"] = content_delta
+                    finish = o.finish_reason if out.finished else None
+                    if (
+                        finish == "stop"
+                        and o.index in toolers
+                        and toolers[o.index].emitted_any
+                    ):
+                        finish = "tool_calls"
                     choice = {
                         "index": o.index,
                         "delta": d,
-                        "finish_reason": o.finish_reason if out.finished else None,
+                        "finish_reason": finish,
                     }
                 else:
                     choice = {

@@ -31,6 +31,10 @@ class _Stream:
     queue: asyncio.Queue = field(default_factory=asyncio.Queue)
     first_token_at: float | None = None
     started_at: float = field(default_factory=time.monotonic)
+    # response-thread detok state (AsyncResponseProcessor): the expanded
+    # prompt ids and whether the engine keeps detok inline (stop strings)
+    prompt_ids: list | None = None
+    inline_detok: bool = False
 
     def push(self, item) -> None:
         self.loop.call_soon_threadsafe(self.queue.put_nowait, item)
@@ -47,6 +51,15 @@ class AsyncLLMEngine:
         self._stopped = threading.Event()
         self._wake = threading.Event()
         self._thread: threading.Thread | None = None
+        # decoupled response processing (reference AsyncResponseProcessor,
+        # async_response_processor.h:29): the engine thread skips detok
+        # (except stop-string sequences) and hands outputs to a response
+        # thread that detokenizes + pushes to the asyncio streams — host
+        # detok cost leaves the TPOT-critical step loop
+        self._resp_q: _queue.Queue = _queue.Queue()
+        self._resp_thread: threading.Thread | None = None
+        if self.engine.tokenizer is not None:
+            self.engine.inline_detok = False
         metrics.KV_BLOCKS_TOTAL.set(
             getattr(self.engine.block_manager, "num_blocks", 0) - 1
         )
@@ -57,12 +70,19 @@ class AsyncLLMEngine:
             return
         self._thread = threading.Thread(target=self._loop, daemon=True, name="engine")
         self._thread.start()
+        self._resp_thread = threading.Thread(
+            target=self._response_loop, daemon=True, name="responses"
+        )
+        self._resp_thread.start()
 
     def stop(self) -> None:
         self._stopped.set()
         self._wake.set()
         if self._thread is not None:
             self._thread.join(timeout=10)
+        self._resp_q.put(None)  # sentinel
+        if self._resp_thread is not None:
+            self._resp_thread.join(timeout=10)
 
     @property
     def tokenizer(self):
@@ -172,6 +192,15 @@ class AsyncLLMEngine:
                     continue
                 try:
                     req = eng.add_request(**payload)
+                    # response-thread detok needs the EXPANDED prompt
+                    # (VLM placeholder expansion) and the inline flag
+                    stream.prompt_ids = list(
+                        req.sequences[0].prompt_token_ids
+                    )
+                    stream.inline_detok = bool(
+                        eng.inline_detok
+                        or req.sampling_params.stop
+                    )
                     with self._streams_lock:
                         self._streams[req.request_id] = stream
                     metrics.REQUESTS_RUNNING.inc()
@@ -207,14 +236,57 @@ class AsyncLLMEngine:
                 break
             metrics.ENGINE_STEPS.inc()
             metrics.KV_BLOCKS_USED.set(eng.block_manager.num_used_blocks)
+            if outputs:
+                # hand off to the response thread; the step loop never
+                # detokenizes or touches asyncio machinery
+                self._resp_q.put(outputs)
+        logger.info("engine loop stopped")
+
+    def _response_loop(self) -> None:
+        """Detok + stream push off the step loop (the reference's
+        AsyncResponseProcessor thread, async_response_processor.h:29)."""
+        from xllm_tpu.framework.tokenizer import IncrementalDecoder
+
+        tok = self.engine.tokenizer
+        decoders: dict[tuple, object] = {}
+        texts: dict[tuple, str] = {}
+        while True:
+            outputs = self._resp_q.get()
+            if outputs is None:
+                break
             for ro in outputs:
-                ntok = sum(len(o.token_ids) for o in ro.outputs)
                 with self._streams_lock:
                     stream = self._streams.get(ro.request_id)
-                if stream is not None:
-                    stream.push(ro)
+                if stream is None:
+                    # consumer went away (abort/disconnect): drop any
+                    # detok state so aborted requests cannot leak it
+                    for o in ro.outputs:
+                        decoders.pop((ro.request_id, o.index), None)
+                        texts.pop((ro.request_id, o.index), None)
+                if stream is not None and tok is not None and not (
+                    stream.inline_detok
+                ):
+                    pids = stream.prompt_ids or []
+                    for o in ro.outputs:
+                        key = (ro.request_id, o.index)
+                        dec = decoders.get(key)
+                        if dec is None:
+                            dec = IncrementalDecoder(tok, len(pids))
+                            decoders[key] = dec
+                            texts[key] = ""
+                        delta = dec.decode_new(pids + list(o.token_ids))
+                        if delta:
+                            texts[key] += delta
+                        o.text = texts[key]
                 if ro.finished:
+                    for o in ro.outputs:
+                        decoders.pop((ro.request_id, o.index), None)
+                        texts.pop((ro.request_id, o.index), None)
                     metrics.REQUESTS_RUNNING.dec()
                     if ro.usage:
-                        metrics.GENERATED_TOKENS.inc(ro.usage["completion_tokens"])
-        logger.info("engine loop stopped")
+                        metrics.GENERATED_TOKENS.inc(
+                            ro.usage["completion_tokens"]
+                        )
+                if stream is not None:
+                    stream.push(ro)
+        logger.info("response loop stopped")
