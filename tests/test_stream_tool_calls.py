@@ -144,3 +144,88 @@ def test_plain_content_passthrough():
     out.append(c)
     assert "".join(out) == "hello world, no tools here <not a marker>"
     assert not p.emitted_any
+
+
+DS_TEXT = (
+    "thinking done. "
+    "<｜tool▁calls▁begin｜>"
+    "<｜tool▁call▁begin｜>function<｜tool▁sep｜>get_weather\n"
+    '```json\n{"city": "Beijing", "days": 2}\n```'
+    "<｜tool▁call▁end｜>"
+    "<｜tool▁calls▁end｜> after."
+)
+
+GLM_TEXT = (
+    "check this "
+    "<tool_call>lookup\n"
+    "<arg_key>q</arg_key>\n<arg_value>tpu</arg_value>\n"
+    "<arg_key>n</arg_key>\n<arg_value>3</arg_value>\n"
+    "</tool_call> done"
+)
+
+
+def drive_fmt(fmt, text, sizes):
+    p = StreamingToolCallParser(fmt)
+    content = []
+    calls = {}
+
+    def absorb(c, deltas):
+        content.append(c)
+        for d in deltas:
+            slot = calls.setdefault(
+                d["index"], {"name": "", "arguments": "", "id": None}
+            )
+            if "id" in d:
+                slot["id"] = d["id"]
+                slot["name"] = d["function"]["name"]
+            if d.get("function", {}).get("arguments"):
+                slot["arguments"] += d["function"]["arguments"]
+
+    i = s = 0
+    while i < len(text):
+        n = sizes[s % len(sizes)]
+        s += 1
+        absorb(*p.feed(text[i : i + n]))
+        i += n
+    absorb(*p.finish())
+    return "".join(content), calls, p
+
+
+@pytest.mark.parametrize("sizes", [[1], [5], [13], [1000]])
+def test_deepseek_streaming(sizes):
+    content, calls, p = drive_fmt("deepseek_v3", DS_TEXT, sizes)
+    assert "thinking done." in content
+    assert "tool▁call" not in content  # markers swallowed
+    assert len(calls) == 1
+    assert calls[0]["name"] == "get_weather"
+    assert json.loads(calls[0]["arguments"]) == {"city": "Beijing",
+                                                 "days": 2}
+    assert p.emitted_any
+
+
+def test_deepseek_args_stream_incrementally():
+    p = StreamingToolCallParser("deepseek_v3")
+    frags = []
+    for ch in DS_TEXT:
+        _, deltas = p.feed(ch)
+        frags += [d["function"]["arguments"] for d in deltas
+                  if d.get("function", {}).get("arguments")]
+    p.finish()
+    assert len(frags) > 5  # raw args streamed char-wise, not buffered
+    assert json.loads("".join(frags)) == {"city": "Beijing", "days": 2}
+
+
+@pytest.mark.parametrize("sizes", [[1], [4], [1000]])
+def test_glm_streaming(sizes):
+    content, calls, p = drive_fmt("glm45", GLM_TEXT, sizes)
+    assert "check this" in content and "done" in content
+    assert len(calls) == 1
+    assert calls[0]["name"] == "lookup"
+    assert json.loads(calls[0]["arguments"]) == {"q": "tpu", "n": 3}
+
+
+def test_glm_name_streams_before_call_ends():
+    """The glm name must be emitted while the call is still open."""
+    p = StreamingToolCallParser("glm45")
+    _, d = p.feed("<tool_call>lookup\n<arg_key>")
+    assert any("id" in x and x["function"]["name"] == "lookup" for x in d)

@@ -296,6 +296,38 @@ def _held_suffix(s: str, marker: str) -> int:
 
 _NAME_RE = re.compile(r'"name"\s*:\s*"((?:[^"\\]|\\.)*)"')
 _ARGS_RE = re.compile(r'"arguments"\s*:\s*')
+_DS_SEP = "<｜tool▁sep｜>"
+_DS_NAME_RE = re.compile(
+    r"function" + re.escape(_DS_SEP) + r"([\w\-.]+)"
+)
+_JSON_FENCE_RE = re.compile(r"```json\s*")
+
+# (start marker, end marker, mode, extra markers swallowed from content)
+# mode "json": args = value of the "arguments" key, raw-streamed
+# mode "fenced": args = raw JSON between ```json fences (deepseek)
+# mode "per_call": args parsed from the whole call at its end marker
+#   (glm's <arg_key>/<arg_value> XML is not prefix-stable JSON text)
+_STREAM_PROFILES = {
+    "hermes": ("<tool_call>", "</tool_call>", "json", ()),
+    "qwen25": ("<tool_call>", "</tool_call>", "json", ()),
+    "qwen3": ("<tool_call>", "</tool_call>", "json", ()),
+    "deepseek_v3": (
+        "<｜tool▁call▁begin｜>",
+        "<｜tool▁call▁end｜>",
+        "fenced",
+        ("<｜tool▁calls▁begin｜>",
+         "<｜tool▁calls▁end｜>"),
+    ),
+    "deepseek_r1": (
+        "<｜tool▁call▁begin｜>",
+        "<｜tool▁call▁end｜>",
+        "fenced",
+        ("<｜tool▁calls▁begin｜>",
+         "<｜tool▁calls▁end｜>"),
+    ),
+    "glm45": ("<tool_call>", "</tool_call>", "per_call", ()),
+    "glm47": ("<tool_call>", "</tool_call>", "per_call", ()),
+}
 
 
 class StreamingToolCallParser:
@@ -311,19 +343,23 @@ class StreamingToolCallParser:
     the same prefix-stability trick the reference's incremental
     partial-JSON tracking achieves.
 
-    Marker-based formats (hermes/qwen family ``<tool_call>...``) stream
-    true increments. Formats without streamable markers fall back to
-    buffering and emitting the complete calls in the final chunk before
-    [DONE] (still a valid OpenAI stream; noted per format below).
+    Marker formats stream true increments: hermes/qwen (JSON args),
+    deepseek v3/r1 (```json-fenced args), glm4.5/4.7 (name streams
+    immediately; the arg_key/arg_value XML args are emitted at the
+    call's end marker, since that markup is not prefix-stable JSON).
+    Formats without streamable markers (llama3_json bare JSON,
+    qwen3_coder XML, kimi_k2 sections) fall back to buffering and
+    emitting the complete calls in the final chunk before [DONE]
+    (still a valid OpenAI stream).
     """
-
-    STREAMABLE = {"hermes", "qwen25", "qwen3"}
 
     def __init__(self, format_name: str):
         self.format = format_name
         self.detector = get_detector(format_name)
-        self.streamable = format_name in self.STREAMABLE
-        self.start, self.end = "<tool_call>", "</tool_call>"
+        prof = _STREAM_PROFILES.get(format_name)
+        self.streamable = prof is not None
+        self.start, self.end, self.mode, self.swallow = prof or (
+            "", "", "", ())
         self.buf = ""  # unconsumed raw text (outside-call scan buffer)
         self.call_buf = ""  # raw text of the call being streamed
         self.in_call = False
@@ -375,30 +411,84 @@ class StreamingToolCallParser:
             i += 1
         return len(s), False
 
-    def _call_deltas(self) -> list[dict]:
+    def _emit_name(self, name: str) -> dict:
+        self.name_sent = True
+        return {
+            "index": self.index,
+            "id": "call_" + uuid.uuid4().hex[:24],
+            "type": "function",
+            "function": {"name": name, "arguments": ""},
+        }
+
+    def _call_deltas(self, call_ended: bool = False) -> list[dict]:
         """Deltas newly available from call_buf."""
         out: list[dict] = []
+        if self.mode == "per_call":
+            # glm45-class: name is the call body's first line; the
+            # arg_key/arg_value args parse only at the end marker
+            if not self.name_sent:
+                head = self.call_buf.split("<arg_key>", 1)[0]
+                if "\n" in head or "<arg_key>" in self.call_buf or (
+                    call_ended
+                ):
+                    name = head.split("\n", 1)[0].strip()
+                    if name:
+                        out.append(self._emit_name(name))
+            if call_ended and self.name_sent and not self.args_done:
+                r = self.detector.parse(
+                    self.start + self.call_buf + self.end
+                )
+                if r.tool_calls:
+                    out.append({
+                        "index": self.index,
+                        "function": {
+                            "arguments": r.tool_calls[0].arguments
+                        },
+                    })
+                self.args_done = True
+            if out:
+                self.emitted_any = True
+            return out
         if not self.name_sent:
-            m = _NAME_RE.search(self.call_buf)
-            if m:
-                self.name_sent = True
-                out.append({
-                    "index": self.index,
-                    "id": "call_" + uuid.uuid4().hex[:24],
-                    "type": "function",
-                    "function": {"name": m.group(1), "arguments": ""},
-                })
+            if self.mode == "fenced":
+                m = _DS_NAME_RE.search(self.call_buf)
+                # the name is complete once the json fence follows
+                if m and _JSON_FENCE_RE.search(self.call_buf, m.end()):
+                    out.append(self._emit_name(m.group(1)))
+            else:
+                m = _NAME_RE.search(self.call_buf)
+                if m:
+                    out.append(self._emit_name(m.group(1)))
         if self.name_sent and self.args_at < 0:
-            m = _ARGS_RE.search(self.call_buf)
+            m = (
+                _JSON_FENCE_RE.search(self.call_buf)
+                if self.mode == "fenced"
+                else _ARGS_RE.search(self.call_buf)
+            )
             if m:
                 self.args_at = m.end()
                 self.args_sent = 0
         if self.args_at >= 0 and not self.args_done:
-            end, complete = self._args_progress()
-            # hold back a possible split end-marker inside the raw tail
-            safe = end
-            if not complete:
-                safe = end - _held_suffix(self.call_buf[:end], self.end)
+            if self.mode == "fenced":
+                close = self.call_buf.find("```", self.args_at)
+                if close >= 0:
+                    end, complete = close, True
+                else:
+                    end, complete = len(self.call_buf), False
+                safe = end
+                if not complete:
+                    safe = min(
+                        end - _held_suffix(self.call_buf[:end], self.end),
+                        end - _held_suffix(self.call_buf[:end], "```"),
+                    )
+            else:
+                end, complete = self._args_progress()
+                # hold back a possible split end-marker in the raw tail
+                safe = end
+                if not complete:
+                    safe = end - _held_suffix(
+                        self.call_buf[:end], self.end
+                    )
             frag = self.call_buf[self.args_at + self.args_sent: safe]
             if frag:
                 self.args_sent += len(frag)
@@ -421,12 +511,22 @@ class StreamingToolCallParser:
         self.buf += delta
         content_out: list[str] = []
         deltas: list[dict] = []
+        markers = (self.start,) + self.swallow
         while True:
             if not self.in_call:
-                pos = self.buf.find(self.start)
-                if pos >= 0:
+                # earliest of the start marker and any swallowed
+                # section markers (deepseek's calls_begin/calls_end)
+                hits = [
+                    (pos, m)
+                    for m in markers
+                    if (pos := self.buf.find(m)) >= 0
+                ]
+                if hits:
+                    pos, m = min(hits)
                     content_out.append(self.buf[:pos])
-                    self.buf = self.buf[pos + len(self.start):]
+                    self.buf = self.buf[pos + len(m):]
+                    if m != self.start:
+                        continue  # section marker: swallow silently
                     self.in_call = True
                     self.index += 1
                     self.call_buf = ""
@@ -434,7 +534,10 @@ class StreamingToolCallParser:
                     self.args_at = -1
                     self.args_done = False
                     continue
-                hold = _held_suffix(self.buf, self.start)
+                hold = max(
+                    (_held_suffix(self.buf, m) for m in markers),
+                    default=0,
+                )
                 emit = self.buf[: len(self.buf) - hold]
                 if emit:
                     content_out.append(emit)
@@ -445,7 +548,7 @@ class StreamingToolCallParser:
             if pos >= 0:
                 self.call_buf += self.buf[:pos]
                 self.buf = self.buf[pos + len(self.end):]
-                deltas.extend(self._call_deltas())
+                deltas.extend(self._call_deltas(call_ended=True))
                 self.in_call = False
                 continue
             hold = _held_suffix(self.buf, self.end)
@@ -472,7 +575,7 @@ class StreamingToolCallParser:
             return (r.content, deltas)
         if self.in_call:
             # truncated call: flush whatever argument text is available
-            deltas = self._call_deltas()
+            deltas = self._call_deltas(call_ended=True)
             self.in_call = False
             return "", deltas
         leftover, self.buf = self.buf, ""
