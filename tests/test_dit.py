@@ -397,3 +397,39 @@ class TestCFGParallel:
         pipe = DiTPipeline(PipelineConfig(model=tiny_cfg()), mesh=mesh,
                            cfg_axis="cfg")
         assert pipe.cfg_axis is None  # 4-wide axis rejected
+
+
+class TestVAEParallel:
+    def test_vae_parallel_parity(self):
+        """VAE decode with the latent H dim sharded over sp == plain
+        decode (GSPMD conv halo exchange; reference VAE-parallel axis,
+        parallel_args.h:91-106)."""
+        from jax.sharding import Mesh
+
+        vcfg = VAEConfig(latent_channels=4, base_channels=8,
+                         channel_mults=(1, 2), norm_groups=4)
+        vae = VAEDecoder(vcfg)
+        params = vae.init_params(jax.random.PRNGKey(0))
+        z = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
+        ref = vae.decode(params, z)
+
+        mesh = Mesh(np.array(jax.devices()[:4]), ("sp",))
+        pipe = DiTPipeline(PipelineConfig(model=tiny_cfg()), mesh=mesh,
+                           vae=vae)
+        out = pipe._vae_decode(params, z)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_vae_parallel_indivisible_falls_back(self):
+        from jax.sharding import Mesh
+
+        vcfg = VAEConfig(latent_channels=4, base_channels=8,
+                         channel_mults=(1, 2), norm_groups=4)
+        vae = VAEDecoder(vcfg)
+        params = vae.init_params(jax.random.PRNGKey(0))
+        z = jax.random.normal(jax.random.PRNGKey(1), (1, 6, 6, 4))
+        mesh = Mesh(np.array(jax.devices()[:4]), ("sp",))
+        pipe = DiTPipeline(PipelineConfig(model=tiny_cfg()), mesh=mesh,
+                           vae=vae)
+        out = pipe._vae_decode(params, z)  # 6 % 4 != 0 -> plain path
+        assert out.shape[1] == 12

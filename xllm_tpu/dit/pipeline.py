@@ -97,6 +97,7 @@ class DiTPipeline:
         self.model = DiTModel(cfg.model, dtype=dtype, sp_axis=self.sp_axis)
         self.vae = vae
         self._denoise_cache: dict = {}
+        self._vae_jit = None
 
     # -- latent init ----------------------------------------------------
     def prepare_latents(self, rng, batch, height, width):
@@ -262,5 +263,31 @@ class DiTPipeline:
                  "steps": steps}
         if self.vae is not None and vae_params is not None:
             z = lat / cfg.vae_scaling_factor + cfg.vae_shift_factor
-            return self.vae.decode(vae_params, z), stats
+            return self._vae_decode(vae_params, z), stats
         return lat, stats
+
+    def _vae_decode(self, vae_params, z):
+        """VAE-parallel decode (reference DiT VAE-parallel axis,
+        parallel_args.h:91-106): the latent's H dim shards over the sp
+        mesh axis; GSPMD inserts the conv halo exchanges and the
+        mid-attention collectives. Falls back to a plain call off-mesh
+        or when H doesn't divide."""
+        if (
+            self.mesh is None
+            or self.sp_axis is None
+            or z.shape[1] % self.mesh.shape[self.sp_axis] != 0
+        ):
+            return self.vae.decode(vae_params, z)
+        if self._vae_jit is None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            rows = NamedSharding(self.mesh, P(None, self.sp_axis))
+            rep = NamedSharding(self.mesh, P())
+
+            self._vae_jit = jax.jit(
+                self.vae.decode,
+                in_shardings=(None, rows),
+                out_shardings=rows,
+            )
+        return self._vae_jit(vae_params, z)
