@@ -1,12 +1,14 @@
-"""r10: v9 tile-width sweep at the bench config (bf16).
+"""r10: v9 tile-width sweep at the bench config (bf16 AND int8 KV).
 
 r7 measured tiles t2/t3/t4 and picked t4 (198 us/layer vs v5's 209);
 t6/t8 were never timed although t8 AOT-compiles within VMEM. Larger
 tiles amortize the per-tile softmax bookkeeping (the ~58 us/layer
 between v9t4 and the 140 us pure-DMA floor) over more pages — this
 sweep measures whether the curve keeps improving or VMEM pressure
-turns it over. Runs: v9t4 anchor / v9t6 / v9t8 (+ variance repeat of
-the winner pattern) + numeric cross-check t8 vs t4.
+turns it over. The r9 probe measured v9t4_int8 at 167 us/layer (vs
+198 bf16) — the int8 t6/t8 points test whether bigger tiles amortize
+the VPU convert further. Runs: bf16 t4 anchor / t6 / t8 (+ variance
+repeat), int8 t6 / t8, numeric cross-check t8 vs t4.
 """
 
 import functools
@@ -56,7 +58,7 @@ np.cumsum(pages_np, out=cum_np[1:])
 CUM = jnp.asarray(cum_np)
 
 
-def make_kv():
+def make_kv(dtype=jnp.bfloat16):
     ka_np = rng.standard_normal(
         (NL, NB_TOTAL, HKV, BS, D), dtype=np.float32
     )
@@ -65,21 +67,40 @@ def make_kv():
         (NL, NB_TOTAL, HKV, BS, D), dtype=np.float32
     )
     va_np *= 0.1
-    ka = jnp.asarray(ka_np, jnp.bfloat16)
-    va = jnp.asarray(va_np, jnp.bfloat16)
+    if dtype == jnp.int8:
+        ka = jnp.asarray(
+            np.clip(np.rint(ka_np / (4.0 / 127)), -127, 127).astype(np.int8)
+        )
+        va = jnp.asarray(
+            np.clip(np.rint(va_np / (4.0 / 127)), -127, 127).astype(np.int8)
+        )
+    else:
+        ka = jnp.asarray(ka_np, jnp.bfloat16)
+        va = jnp.asarray(va_np, jnp.bfloat16)
     del ka_np, va_np
     return ka, va
 
 
-def run(tag, tile, iters=12):
+def run(tag, tile, iters=12, dtype=jnp.bfloat16):
     kern = functools.partial(v9, cum=CUM, tile=tile)
+    if dtype == jnp.int8:
+        kn = jnp.asarray(
+            np.clip(np.rint(np.asarray(k_new, np.float32) / (4.0 / 127)),
+                    -127, 127).astype(np.int8)
+        )
+        vn = jnp.asarray(
+            np.clip(np.rint(np.asarray(v_new, np.float32) / (4.0 / 127)),
+                    -127, 127).astype(np.int8)
+        )
+    else:
+        kn, vn = k_new, v_new
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(k_all, v_all):
         def body(carry, li):
             ka, va, acc = carry
             o, ka, va = kern(
-                q, k_new, v_new, ka, va, li, slots, btj, seq_lens,
+                q, kn, vn, ka, va, li, slots, btj, seq_lens,
                 scale=D ** -0.5,
             )
             return (ka, va, acc + o.astype(jnp.float32)), None
@@ -91,7 +112,7 @@ def run(tag, tile, iters=12):
         )
         return k_all, v_all, acc[0, 0, :4]
 
-    ka, va = make_kv()
+    ka, va = make_kv(dtype)
     ka, va, o = step(ka, va)
     np.asarray(o)  # compile + sync
     n1, n2 = iters // 4, iters
@@ -142,6 +163,8 @@ res["v9t4"] = run("v9t4 (anchor)", 4)
 res["v9t6"] = run("v9t6", 6)
 res["v9t8"] = run("v9t8", 8)
 res["v9t4_b"] = run("v9t4_b (variance repeat)", 4)
+res["v9t6_int8"] = run("v9t6_int8", 6, dtype=jnp.int8)
+res["v9t8_int8"] = run("v9t8_int8", 8, dtype=jnp.int8)
 d = check(8, 4)
 print(json.dumps({"timing_us_per_layer": res, "numeric_t8_vs_t4": d}),
       flush=True)

@@ -515,7 +515,7 @@ def test_decode_int8_kv_compiles(tpu_aot):
         tpu_aot(
             paged_decode_attention_write_v5_tpu, *common, scale=D**-0.5
         )
-        for kw in ({"tile": 4}, {"tile": 2}):
+        for kw in ({"tile": 4}, {"tile": 2}, {"tile": 6}, {"tile": 8}):
             tpu_aot(
                 paged_decode_attention_write_v9_tpu, *common,
                 scale=D**-0.5, **kw,
