@@ -339,10 +339,20 @@ def test_own_gmm_fp8_compiles(tpu_aot):
 
 def test_decode_kernels_bs128_compile(tpu_aot):
     """bench-shape compile at page size 128 (the per-page fixed cost
-    amortizes over twice the bytes; candidate bench config)."""
+    amortizes over twice the bytes; candidate bench config). Covers the
+    FULL page-128 path the bench would drive: decode v5/v9 (incl. v9
+    premap, the production trace), batched prefill attention, and both
+    writers."""
     from xllm_tpu.ops.pallas.decode_attention import (
         paged_decode_attention_write_v5_tpu,
         paged_decode_attention_write_v9_tpu,
+    )
+    from xllm_tpu.ops.pallas.kv_write import (
+        kv_write_prefill_batched_tpu,
+        kv_write_rmw_batched_tpu,
+    )
+    from xllm_tpu.ops.pallas.prefill_attention import (
+        paged_attention_prefill_batched_tpu,
     )
 
     cache = ((L, NBLK, HKV, 128, D), jnp.bfloat16)
@@ -360,6 +370,56 @@ def test_decode_kernels_bs128_compile(tpu_aot):
             ((B,), jnp.int32),
             scale=D**-0.5,
         )
+
+    def v9_premap(*a, scale):
+        *base, cum = a
+        return paged_decode_attention_write_v9_tpu(
+            *base, scale, cum=cum, tile=4
+        )
+
+    tpu_aot(
+        v9_premap,
+        ((B, HQ, D), jnp.bfloat16),
+        ((B, HKV, D), jnp.bfloat16),
+        ((B, HKV, D), jnp.bfloat16),
+        cache, cache,
+        ((), jnp.int32),
+        ((B,), jnp.int32),
+        ((B, 4), jnp.int32),
+        ((B,), jnp.int32),
+        ((B + 1,), jnp.int32),
+        scale=D**-0.5,
+    )
+    tpu_aot(
+        paged_attention_prefill_batched_tpu,
+        ((P, S, HQ, D), jnp.bfloat16),
+        cache, cache,
+        ((), jnp.int32),
+        ((P, 4), jnp.int32),
+        ((P,), jnp.int32),
+        ((P,), jnp.int32),
+        scale=D**-0.5,
+    )
+    tpu_aot(
+        kv_write_prefill_batched_tpu,
+        ((P, HKV, S, D), jnp.bfloat16),
+        ((P, HKV, S, D), jnp.bfloat16),
+        cache, cache,
+        ((), jnp.int32),
+        ((P, 4), jnp.int32),
+        ((P,), jnp.int32),
+        ((P,), jnp.int32),
+    )
+    tpu_aot(
+        kv_write_rmw_batched_tpu,
+        ((P, 128, HKV, D), jnp.bfloat16),
+        ((P, 128, HKV, D), jnp.bfloat16),
+        cache, cache,
+        ((), jnp.int32),
+        ((P, 4), jnp.int32),
+        ((P,), jnp.int32),
+        ((P,), jnp.int32),
+    )
 
 
 def test_mla_kernels_fp8_latent_compile(tpu_aot):

@@ -173,9 +173,16 @@ class SchedulerConfig:
     enable_chunked_prefill: bool = True
     # async schedule overlap (reference --enable_schedule_overlap,
     # docs/en/features/async_schedule.md): sampled tokens feed the next step
-    # on device; host fixes sequences up overlap_depth steps later
+    # on device; host fixes sequences up overlap_depth steps later.
+    # Depth must cover the device->host fetch round-trip: the loop blocks
+    # on step (t - depth)'s tokens, so steady-state TPOT is lower-bounded
+    # by RTT / depth. This rig's tunnel RTT is ~27 ms — depth 2 capped
+    # decode at ~13.5 ms/step regardless of device speed (the r4 bench
+    # regression); 4 puts the wall at ~7 ms, below the device step.
+    # Cost: token fixup (and stop detection) lags `depth` steps — bounded
+    # overrun is already handled by trim_unfixed.
     enable_schedule_overlap: bool = True
-    overlap_depth: int = 2
+    overlap_depth: int = 4
     # latency-aware scheduling (reference --enable_latency_aware_schedule):
     # when > 0, prefill chunk budgets shrink to fit the predicted TTFT
     ttft_budget_ms: float = 0.0

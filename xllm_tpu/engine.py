@@ -637,6 +637,15 @@ class LLMEngine:
     # ------------------------------------------------------------------
     def _assign_slot(self, seq: Sequence) -> None:
         if seq.slot_id < 0:
+            if not self._free_slots:
+                # the ring is sized max_seqs + 2*overlap_depth; running
+                # out means a fixup-lag pile-up — fail with a clear
+                # message instead of an IndexError mid-step
+                raise RuntimeError(
+                    "last_tokens ring exhausted (finished sequences "
+                    "holding slots through the fixup lag); raise "
+                    "max_seqs_per_batch headroom"
+                )
             seq.slot_id = self._free_slots.pop()
 
     def _release_slot(self, seq: Sequence) -> None:

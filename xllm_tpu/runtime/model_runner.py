@@ -68,7 +68,13 @@ class ModelRunner:
         # (reference async_schedule fake-token path, SURVEY.md §2.2): slot i
         # holds sequence-slot i's last sampled token; the extra trash slot
         # absorbs padded rows.
-        self.max_slots = config.scheduler.max_seqs_per_batch
+        # ring slack: a finished sequence holds its slot until its fixups
+        # drain (overlap_depth steps) — admission during that window must
+        # not underflow the pool
+        self.max_slots = (
+            config.scheduler.max_seqs_per_batch
+            + 2 * max(config.scheduler.overlap_depth, 1)
+        )
         self.trash_slot = self.max_slots
         # decode block-table column buckets (tight tables keep the decode
         # kernel's page grid proportional to live context length)
