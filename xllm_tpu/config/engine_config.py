@@ -183,6 +183,10 @@ class SchedulerConfig:
     # overrun is already handled by trim_unfixed.
     enable_schedule_overlap: bool = True
     overlap_depth: int = 4
+    # shallower drain while prefills are in flight: first tokens reach
+    # the host ~overlap_depth_prefill dispatches after sampling instead
+    # of inheriting the full decode-depth lag (TTFT vs the wall trade)
+    overlap_depth_prefill: int = 2
     # latency-aware scheduling (reference --enable_latency_aware_schedule):
     # when > 0, prefill chunk budgets shrink to fit the predicted TTFT
     ttft_budget_ms: float = 0.0

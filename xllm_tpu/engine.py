@@ -142,6 +142,11 @@ class LLMEngine:
             if config.scheduler.enable_schedule_overlap
             else 0
         )
+        self.overlap_depth_prefill = min(
+            config.scheduler.overlap_depth_prefill, self.overlap_depth
+        )
+        self._step_no = 0
+        self._last_prefill_step = -(1 << 30)
         self._free_slots = list(range(self.runner.max_slots - 1, -1, -1))
         # speculative decoding (reference SpeculativeEngine selection,
         # llm_master.cpp:47-51): suffix/ngram drafting is model-free
@@ -806,7 +811,21 @@ class LLMEngine:
             )
 
         touched: list[Sequence] = list(verified) + embed_done
+        self._step_no += 1
+        if out.prefill_items:
+            self._last_prefill_step = self._step_no
         depth = self.overlap_depth if not out.is_empty else 0
+        if (
+            depth > self.overlap_depth_prefill
+            and self._step_no - self._last_prefill_step
+            < self.overlap_depth
+        ):
+            # adaptive drain: while prefills are in flight, first tokens
+            # are what matters — drain shallower (paying a bounded fetch
+            # stall) so TTFT doesn't inherit the full decode-depth lag;
+            # steady-state decode keeps the deep ring that clears the
+            # ~27 ms fetch-RTT wall (PERF.md r4 second wall)
+            depth = self.overlap_depth_prefill
         while len(self._pending) > depth:
             touched.extend(self._process_pending(self._pending.popleft()))
 
