@@ -16,6 +16,7 @@ every step, so cache updates are in-place in HBM.
 
 from __future__ import annotations
 
+import os
 import time
 from functools import partial
 
@@ -102,6 +103,14 @@ class ModelRunner:
             and config.cache.num_host_blocks == 0
         ):
             self._decode_cache = DecodeStepCache()
+        # packed decode dispatch: ONE int32 + ONE f32 buffer instead of
+        # ~18 arrays per step (each host->device transfer pays tunnel
+        # dispatch overhead). Single-device only — the sharded/multihost
+        # paths keep the unpacked pytree (followers mirror it 1:1)
+        self._packed_dispatch = (
+            (self.mesh is None or self.mesh.size == 1)
+            and os.environ.get("XLLM_PACKED_DISPATCH", "1") != "0"
+        )
         # model-based speculative decoding (reference MTP/Eagle3 workers,
         # mtp_worker_impl.h:34, eagle3_worker_impl.h:23): a draft head
         # sharing the target's embed/lm_head, its own 1-layer paged KV,
@@ -496,12 +505,7 @@ class ModelRunner:
             last_tokens = last_tokens.at[slot].set(tokens[0])
             return k_cache, v_cache, tokens, logprobs, last_tokens, token_hist
 
-        @partial(
-            jax.jit,
-            donate_argnums=(1, 2, 5, 6),
-            static_argnames=("use_penalties", "num_top", "need_logprobs"),
-        )
-        def decode_step(
+        def decode_body(
             params, k_cache, v_cache, inp: DecodeInput, si, last_tokens,
             token_hist, use_penalties=False, num_top=0, need_logprobs=True,
         ):
@@ -531,6 +535,83 @@ class ModelRunner:
             return (
                 k_cache, v_cache, tokens, logprobs, last_tokens, token_hist,
                 counts, tops,
+            )
+
+        decode_step = jax.jit(
+            decode_body,
+            donate_argnums=(1, 2, 5, 6),
+            static_argnames=("use_penalties", "num_top", "need_logprobs"),
+        )
+
+        def _unpack_decode(ints, floats, b, nb, with_maps):
+            """Static-offset slices of the packed dispatch buffers ->
+            (DecodeInput, SamplingInput). Free inside the jit — the
+            packing exists to collapse ~18 per-step host->device
+            transfers into 2 (each transfer pays tunnel dispatch
+            overhead; PERF.md r4)."""
+            o = 0
+
+            def take(n):
+                nonlocal o
+                v = jax.lax.slice_in_dim(ints, o, o + n)
+                o += n
+                return v
+
+            slot_ids = take(b)
+            positions = take(b)
+            slot_mapping = take(b)
+            seq_lens = take(b)
+            hist_positions = take(b)
+            block_tables = take(b * nb).reshape(b, nb)
+            page_cum = page_seq = None
+            if with_maps:
+                page_cum = take(b + 1)
+                page_seq = take(b * nb)
+            top_k = take(b)
+            seeds = take(b)
+            steps = take(b)
+            hist_len = take(b)
+            key_raw = jax.lax.bitcast_convert_type(take(2), jnp.uint32)
+            inp = DecodeInput(
+                slot_ids=slot_ids,
+                positions=positions,
+                slot_mapping=slot_mapping,
+                block_tables=block_tables,
+                seq_lens=seq_lens,
+                hist_positions=hist_positions,
+                page_cum=page_cum,
+                page_seq=page_seq,
+            )
+            si = SamplingInput(
+                temperature=floats[0],
+                top_k=top_k,
+                top_p=floats[1],
+                key=key_raw,
+                seeds=seeds,
+                steps=steps,
+                repetition_penalty=floats[2],
+                frequency_penalty=floats[3],
+                presence_penalty=floats[4],
+                hist_len=hist_len,
+            )
+            return inp, si
+
+        @partial(
+            jax.jit,
+            donate_argnums=(1, 2, 5, 6),
+            static_argnames=("b", "nb", "with_maps", "use_penalties",
+                             "num_top", "need_logprobs"),
+        )
+        def decode_step_packed(
+            params, k_cache, v_cache, ints, floats, last_tokens,
+            token_hist, b, nb, with_maps, use_penalties=False, num_top=0,
+            need_logprobs=True,
+        ):
+            inp, si = _unpack_decode(ints, floats, b, nb, with_maps)
+            return decode_body(
+                params, k_cache, v_cache, inp, si, last_tokens,
+                token_hist, use_penalties=use_penalties, num_top=num_top,
+                need_logprobs=need_logprobs,
             )
 
         @partial(
@@ -618,6 +699,7 @@ class ModelRunner:
 
         self._prefill_fn = prefill_step
         self._decode_fn = decode_step
+        self._decode_fn_packed = decode_step_packed
         self._verify_fn = verify_step
         self._batched_prefill_fn = batched_prefill_step
         self._batched_verify_fn = batched_verify_step
@@ -1412,9 +1494,49 @@ class ModelRunner:
             si, use_penalties = build_sampling_input(
                 seqs, b_pad, rows, self._next_key()
             )
+        num_top = self._num_top(seqs)
+        need_lp = self._need_lp(seqs)
         self.broadcaster.announce_decode(
-            inp, si, use_penalties, self._num_top(seqs), self._need_lp(seqs)
+            inp, si, use_penalties, num_top, need_lp
         )
+        if self._packed_dispatch and self.draft_head is None:
+            with_maps = inp.page_cum is not None
+            parts = [
+                inp.slot_ids, inp.positions, inp.slot_mapping,
+                inp.seq_lens, inp.hist_positions,
+                inp.block_tables.ravel(),
+            ]
+            if with_maps:
+                parts += [inp.page_cum, inp.page_seq]
+            parts += [
+                si.top_k, si.seeds, si.steps, si.hist_len,
+                si.key.view(np.int32),
+            ]
+            ints = np.concatenate(parts)
+            floats = np.stack([
+                si.temperature, si.top_p, si.repetition_penalty,
+                si.frequency_penalty, si.presence_penalty,
+            ])
+            (
+                self.k_cache, self.v_cache, tokens, logprobs,
+                self.last_tokens, self.token_hist, counts, tops,
+            ) = self._decode_fn_packed(
+                self.params,
+                self.k_cache,
+                self.v_cache,
+                ints,
+                floats,
+                self.last_tokens,
+                self.token_hist,
+                b=b_pad,
+                nb=int(inp.block_tables.shape[1]),
+                with_maps=with_maps,
+                use_penalties=use_penalties,
+                num_top=num_top,
+                need_logprobs=need_lp,
+            )
+            self._accumulate_loads(counts)
+            return tokens, logprobs, rows, tops
         if self.draft_head is not None:
             (
                 self.k_cache, self.v_cache, tokens, logprobs,
@@ -1433,7 +1555,6 @@ class ModelRunner:
                 need_logprobs=self._need_lp(seqs),
             )
             return tokens, logprobs, rows, (None, None)
-        num_top = self._num_top(seqs)
         (
             self.k_cache, self.v_cache, tokens, logprobs, self.last_tokens,
             self.token_hist, counts, tops,
@@ -1447,7 +1568,7 @@ class ModelRunner:
             self.token_hist,
             use_penalties=use_penalties,
             num_top=num_top,
-            need_logprobs=self._need_lp(seqs),
+            need_logprobs=need_lp,
         )
         self._accumulate_loads(counts)
         return tokens, logprobs, rows, tops
