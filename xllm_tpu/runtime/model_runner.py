@@ -1995,6 +1995,43 @@ class ModelRunner:
                 top_p=np.ones(b_pad, np.float32),
                 key=key,
             )
+            if self._packed_dispatch and self.draft_head is None:
+                # warm the PRODUCTION program: serving dispatches the
+                # packed variant (and the common need_logprobs=False
+                # sampler variant)
+                with_maps = page_cum is not None
+                parts = [
+                    inp.slot_ids, inp.positions, inp.slot_mapping,
+                    inp.seq_lens, inp.hist_positions,
+                    inp.block_tables.ravel(),
+                ]
+                if with_maps:
+                    parts += [page_cum, page_seq]
+                parts += [
+                    si.top_k,
+                    np.full(b_pad, -1, np.int32),
+                    np.zeros(b_pad, np.int32),
+                    np.zeros(b_pad, np.int32),
+                    np.zeros(2, np.int32),
+                ]
+                ints = np.concatenate(parts)
+                floats = np.stack([
+                    si.temperature, si.top_p,
+                    np.ones(b_pad, np.float32),
+                    np.zeros(b_pad, np.float32),
+                    np.zeros(b_pad, np.float32),
+                ])
+                for need_lp in (False, True):
+                    (
+                        self.k_cache, self.v_cache, tokens, _,
+                        self.last_tokens, self.token_hist, _counts, _tops,
+                    ) = self._decode_fn_packed(
+                        self.params, self.k_cache, self.v_cache,
+                        ints, floats, self.last_tokens, self.token_hist,
+                        b=b_pad, nb=nb, with_maps=with_maps,
+                        need_logprobs=need_lp,
+                    )
+                continue
             (
                 self.k_cache, self.v_cache, tokens, _, self.last_tokens,
                 self.token_hist, _counts, _tops,
