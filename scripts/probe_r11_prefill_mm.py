@@ -91,7 +91,10 @@ wd = jnp.asarray(
 
 
 @jax.jit
-def scan_mlp(x):
+def scan_mlp(x, wg, wu, wd):
+    # stacks as EXPLICIT args: closure capture lifts them into lowering
+    # constants (a 2.1 GB HLO that spends minutes serializing through
+    # the tunnel — CLAUDE.md gotcha; bit this probe's first run)
     def body(h, ws):
         g, u, d = ws
         a = jax.nn.silu(
@@ -109,6 +112,6 @@ def scan_mlp(x):
     return out
 
 
-report("scan_mlp_28L", timed(scan_mlp, x, iters=6),
+report("scan_mlp_28L", timed(scan_mlp, x, wg, wu, wd, iters=6),
        NL * 2 * T * D * I * 3)
 print(json.dumps(RES), flush=True)
