@@ -73,13 +73,6 @@ class LLMEngine:
                 logger.warning("no tokenizer loaded: %s", e)
 
         self.runner = runner or ModelRunner(config)
-        if os.environ.get("XLLM_KV_FIRST") == "1":
-            # allocation-order experiment (PERF.md r4 drift note): the
-            # decode kernels' DMA rate degrades for pools allocated late
-            # in a session; placing the KV pool before the weights may
-            # land it in the fast HBM regime
-            if self.runner.k_cache is None:
-                self.runner.initialize_kv_cache()
         if self.runner.params is None:
             self.runner.load_model()
         if self.runner.k_cache is None:
