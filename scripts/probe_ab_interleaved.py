@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from xllm_tpu.ops.pallas.decode_attention import (
     paged_decode_attention_write_v5_tpu as v5,
     paged_decode_attention_write_v9_tpu as v9,
+    paged_decode_attention_write_v10_tpu as v10,
 )
 
 B, HKV, G, D, BS = 128, 8, 2, 128, 64
@@ -64,6 +65,10 @@ def parse_variant(name):
     base = name[:-1] if int8 else name
     if base == "v5":
         kern = functools.partial(v5, cum=CUM)
+    elif base.startswith("v10t"):
+        kern = functools.partial(v10, cum=CUM, tile=int(base[4:]))
+    elif base == "v10":
+        kern = functools.partial(v10, cum=CUM, tile=4)
     elif base.startswith("v9t"):
         kern = functools.partial(v9, cum=CUM, tile=int(base[3:]))
     elif base == "v9":

@@ -1236,3 +1236,74 @@ def test_decode_v9_premap_matches_devprep():
     )
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
     np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+
+
+@pytest.mark.parametrize(
+    "hq,hkv,dtype,tile", [(4, 4, jnp.float32, 4), (8, 2, jnp.float32, 2),
+                          (4, 2, jnp.bfloat16, 4), (16, 8, jnp.float32, 4),
+                          (16, 8, jnp.float32, 3)]
+)
+def test_decode_v10_matches_ref(hq, hkv, dtype, tile):
+    """v10 narrow-score decode kernel == oracle (same edge matrix as v9:
+    padded rows, tails shorter than T, ring wraparound)."""
+    from xllm_tpu.ops.pallas.decode_attention import (
+        paged_decode_attention_write_v10_tpu,
+    )
+
+    rng = np.random.default_rng(61)
+    L, NB, bs, D, B, NBmax = 2, 48, 16, 64, 7, 6
+    k_all, v_all = _make_cache(rng, L, NB, hkv, bs, D, dtype)
+    q = jnp.asarray(rng.standard_normal((B, hq, D)), dtype)
+    k_new = jnp.asarray(rng.standard_normal((B, hkv, D)), dtype)
+    v_new = jnp.asarray(rng.standard_normal((B, hkv, D)), dtype)
+    seq_lens_np = [18, 0, 16, 70, 1, 33, 0]
+    bt = np.zeros((B, NBmax), np.int32)
+    used = iter(range(1, NB))
+    for i, sl in enumerate(seq_lens_np):
+        for j in range((sl + bs - 1) // bs):
+            bt[i, j] = next(used)
+    slots = np.zeros(B, np.int32)
+    for i, sl in enumerate(seq_lens_np):
+        if sl > 0:
+            pos = sl - 1
+            slots[i] = bt[i, pos // bs] * bs + pos % bs
+    block_tables = jnp.asarray(bt)
+    seq_lens = jnp.asarray(seq_lens_np, dtype=jnp.int32)
+    slot_mapping = jnp.asarray(slots)
+    layer_idx = jnp.int32(1)
+    scale = D**-0.5
+
+    valid = [i for i, sl in enumerate(seq_lens_np) if sl > 0]
+    k_ref, v_ref = write_kv(
+        k_all, v_all, layer_idx,
+        k_new[jnp.asarray(valid)], v_new[jnp.asarray(valid)],
+        slot_mapping[jnp.asarray(valid)],
+    )
+    ref = paged_attention_decode_ref(
+        q, k_ref, v_ref, layer_idx, block_tables, seq_lens, scale
+    )
+    out, k_out, v_out = paged_decode_attention_write_v10_tpu(
+        q, k_new, v_new, k_all, v_all, layer_idx, slot_mapping,
+        block_tables, seq_lens, scale, interpret=True, tile=tile,
+    )
+    tol = 3e-2 if dtype == jnp.bfloat16 else 2e-5
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32)[valid],
+        np.asarray(ref, np.float32)[valid],
+        rtol=tol, atol=tol,
+    )
+    for i in valid:
+        pos = seq_lens_np[i] - 1
+        blk, off = bt[i, pos // bs], pos % bs
+        np.testing.assert_allclose(
+            np.asarray(k_out[1, blk, :, off, :], np.float32),
+            np.asarray(k_new[i], np.float32),
+        )
+        np.testing.assert_allclose(
+            np.asarray(v_out[1, blk, :, off, :], np.float32),
+            np.asarray(v_new[i], np.float32),
+        )
+    np.testing.assert_allclose(
+        np.asarray(k_out[0], np.float32), np.asarray(k_all[0], np.float32)
+    )
+

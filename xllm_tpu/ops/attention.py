@@ -79,6 +79,21 @@ def decode_attention_write(
                 block_tables, seq_lens, scale, window=window, cum=cum,
                 chunk=chunk,
             )
+        if kver.startswith("v10"):
+            # v10: v9's tile ring with narrow per-(page, head) scores —
+            # the r4 reconciliation showed the packed-head softmax's 8x
+            # redundant VPU elements are what hold v9 above the DMA
+            # floor ("v10" -> T=4; "v10t2" -> 2)
+            from xllm_tpu.ops.pallas.decode_attention import (
+                paged_decode_attention_write_v10_tpu,
+            )
+
+            t = int(kver[4:]) if kver.startswith("v10t") else 4
+            return paged_decode_attention_write_v10_tpu(
+                q, k_new, v_new, k_all, v_all, layer_idx, slot_mapping,
+                block_tables, seq_lens, scale, window=window, cum=cum,
+                tile=t,
+            )
         if kver.startswith("v9"):
             # v9: v7's page-pair tiles generalized to T pages per slot
             # ("v9" -> T=4; "v9t2" -> 2), vectorized owner-map prep
