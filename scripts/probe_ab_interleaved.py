@@ -25,6 +25,8 @@ import jax.numpy as jnp
 from xllm_tpu.ops.pallas.decode_attention import (
     paged_decode_attention_write_v5_tpu as v5,
     paged_decode_attention_write_v9_tpu as v9,
+)
+from xllm_tpu.ops.pallas.legacy.decode_attention import (
     paged_decode_attention_write_v10_tpu as v10,
 )
 

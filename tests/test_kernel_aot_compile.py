@@ -696,60 +696,3 @@ def test_decode_fp8_cache_bf16_rows_compiles(tpu_aot):
             scale=D**-0.5, **kw,
         )
 
-
-def test_decode_v10_compiles(tpu_aot):
-    """v10 narrow-score challenger at bench + 8B + int8 + premap shapes."""
-    from xllm_tpu.ops.pallas.decode_attention import (
-        paged_decode_attention_write_v10_tpu,
-    )
-
-    cache = _kv_shapes()
-    common = (
-        ((B, HQ, D), jnp.bfloat16),
-        ((B, HKV, D), jnp.bfloat16),
-        ((B, HKV, D), jnp.bfloat16),
-        cache, cache,
-        ((), jnp.int32),
-        ((B,), jnp.int32),
-        ((B, NB), jnp.int32),
-        ((B,), jnp.int32),
-    )
-    for kw in ({}, {"window": 1024}, {"tile": 2}):
-        tpu_aot(
-            paged_decode_attention_write_v10_tpu, *common,
-            scale=D**-0.5, **kw,
-        )
-
-    def v10_premap(*a, scale):
-        *base, cum = a
-        return paged_decode_attention_write_v10_tpu(
-            *base, scale, cum=cum, tile=4
-        )
-
-    tpu_aot(v10_premap, *common, ((B + 1,), jnp.int32), scale=D**-0.5)
-    cache8 = ((36, 250, HKV, BS, D), jnp.bfloat16)
-    tpu_aot(
-        paged_decode_attention_write_v10_tpu,
-        ((64, 32, D), jnp.bfloat16),
-        ((64, HKV, D), jnp.bfloat16),
-        ((64, HKV, D), jnp.bfloat16),
-        cache8, cache8,
-        ((), jnp.int32),
-        ((64,), jnp.int32),
-        ((64, 35), jnp.int32),
-        ((64,), jnp.int32),
-        scale=D**-0.5,
-    )
-    cachei = ((L, NBLK, HKV, BS, D), jnp.int8)
-    tpu_aot(
-        paged_decode_attention_write_v10_tpu,
-        ((B, HQ, D), jnp.bfloat16),
-        ((B, HKV, D), jnp.int8),
-        ((B, HKV, D), jnp.int8),
-        cachei, cachei,
-        ((), jnp.int32),
-        ((B,), jnp.int32),
-        ((B, NB), jnp.int32),
-        ((B,), jnp.int32),
-        scale=D**-0.5,
-    )

@@ -1246,7 +1246,7 @@ def test_decode_v9_premap_matches_devprep():
 def test_decode_v10_matches_ref(hq, hkv, dtype, tile):
     """v10 narrow-score decode kernel == oracle (same edge matrix as v9:
     padded rows, tails shorter than T, ring wraparound)."""
-    from xllm_tpu.ops.pallas.decode_attention import (
+    from xllm_tpu.ops.pallas.legacy.decode_attention import (
         paged_decode_attention_write_v10_tpu,
     )
 

@@ -56,14 +56,14 @@ def decode_attention_write(
     cum = page_maps[0] if page_maps is not None else None
     seq_of_page = page_maps[1] if page_maps is not None else None
     if _use_pallas(q.shape[-1]):
-        # Default v9t4: the r3 full-config same-session tournament
-        # (scripts/probe_r7_v9.py, /tmp/r7_v9.log 2026-08-20) measured
-        # v9_t4 at 198 us/layer vs v5's 209 with max|o-o| = 1.2e-4; the
-        # same session's v5 variance repeat read 276, so the margin is
-        # within session noise but v9_t4 never measured WORSE than v5
-        # across r7 runs. v5 stays one env flip away
-        # (XLLM_DECODE_KERNEL=v5). Defaults are picked from full-config
-        # same-session runs only (see PERF.md).
+        # Default v9t4: the r4 INTERLEAVED A/Bs (shared pools,
+        # alternating rounds — scripts/probe_ab_interleaved.py) rank
+        # v9t4 bf16 at 206 us/layer median vs v5's 202 (tie within
+        # noise; v9t4 kept for its int8 advantage) and v9t4 int8 at
+        # 169-175 vs v5 int8's 210-220. Tile widths 6/8 and the v10
+        # narrow-score challenger LOST their A/Bs (PERF.md r4). v5 and
+        # every retired generation stay one env flip away
+        # (XLLM_DECODE_KERNEL=v5 | v10t4 | ...).
         kver = os.environ.get("XLLM_DECODE_KERNEL", "v9t4")
         if kver.startswith("v8"):
             # v8: C-page flash chunks amortize the per-page softmax
@@ -80,11 +80,11 @@ def decode_attention_write(
                 chunk=chunk,
             )
         if kver.startswith("v10"):
-            # v10: v9's tile ring with narrow per-(page, head) scores —
-            # the r4 reconciliation showed the packed-head softmax's 8x
-            # redundant VPU elements are what hold v9 above the DMA
-            # floor ("v10" -> T=4; "v10t2" -> 2)
-            from xllm_tpu.ops.pallas.decode_attention import (
+            # v10: narrow per-(page, head) scores — LOST its r4
+            # interleaved A/B (259 vs v9t4's 206 median: the batched
+            # M=G dots cost more than the 8x VPU savings); kept as the
+            # documented negative result ("v10" -> T=4; "v10t2" -> 2)
+            from xllm_tpu.ops.pallas.legacy.decode_attention import (
                 paged_decode_attention_write_v10_tpu,
             )
 

@@ -1967,4 +1967,371 @@ def paged_decode_attention_write_v8_tpu(
     )
     return out, k_all, v_all
 
+# ---------------------------------------------------------------------------
+# v10 (r4 challenger, LOST its interleaved on-chip A/B): narrow
+# per-(page, head) scores via dots batched over the tile's (page, head)
+# axis — 8x fewer softmax elements than v9's packed-head layout, but the
+# batched M=G(=2) dots lower to serial small MXU ops that cost more than
+# the VPU work they save (medians 259 vs v9t4's 206 us/layer bf16,
+# /tmp/ab_v10.log 2026-08-20). Kept env-gated (XLLM_DECODE_KERNEL=v10t4)
+# as the documented negative result; oracle-tested in interpret mode.
+# ---------------------------------------------------------------------------
 
+def _decode_kernel_v10(
+    # scalar prefetch
+    layer_ref,
+    block_tables_ref,
+    seq_lens_ref,
+    slot_ref,
+    pages_ref,
+    cum_tiles_ref,
+    seq_of_tile_ref,
+    # inputs
+    q_ref,
+    k_new_ref,
+    v_new_ref,
+    k_in,
+    v_in,
+    # outputs
+    o_ref,
+    k_out,
+    v_out,
+    # scratch
+    k_buf,
+    v_buf,
+    sem,
+    k_patch,
+    v_patch,
+    w_sem,
+    pend_ref,
+    cursor_ref,
+    *,
+    scale: float,
+    block_size: int,
+    tile: int,
+    window: int = 0,
+):
+    """v10: v9's tile ring with NARROW per-(page, head) scores.
+
+    v9's packed-head dot computes [Hq, T*Hkv*bs] scores of which only
+    the block diagonal — [Hq, T*bs], one kv head's columns per query
+    row — is useful; the masks/exp/rescale still run over ALL 8x
+    elements, and the r4 reconciliation shows that VPU work (not DMA)
+    is what holds the kernel at ~209 us/layer vs the 140 us DMA floor.
+    v10 computes ONLY the useful scores with dots batched over the
+    (page, kv-head) axis of the tile buffer:
+
+        s[(p,h), g, tok] = q[h, g, :] . k_buf[(p,h), tok, :]
+
+    so the softmax stream is [T*Hkv, G, bs] (= Hq x T*bs useful
+    elements, 4096/tile at the bench shape) instead of [Hq, T*Hkv*bs]
+    (32768). No diagonal bias is needed at all — the head pairing is
+    structural. The online-softmax state stays per query row ([Hq, 1]);
+    tile maxima/sums reduce over the page axis first. DMA issue logic,
+    ring, and tail patch are identical to v9.
+    """
+    del k_in, v_in
+    b = pl.program_id(0)
+    nprog = pl.num_programs(0)
+
+    layer = layer_ref[0]
+    seq_len = seq_lens_ref[b]
+    nblks = pl.cdiv(seq_len, block_size)
+    last = nblks - 1
+    T = tile
+    ntiles = pl.cdiv(seq_len, T * block_size)
+    rows_q, d = q_ref.shape[1], q_ref.shape[2]
+    hkv = k_new_ref.shape[1]
+    g = rows_q // hkv
+    n_cached = seq_len - 1
+    base = cum_tiles_ref[b]
+    total_tiles = cum_tiles_ref[nprog]
+    nslots = k_buf.shape[0]
+    bs = block_size
+
+    @pl.when(b == 0)
+    def _():
+        pend_ref[0] = 0
+        cursor_ref[0] = 0
+        k_buf[...] = jnp.zeros_like(k_buf)
+        v_buf[...] = jnp.zeros_like(v_buf)
+
+    def issue_tile(gt):
+        iseq = seq_of_tile_ref[gt]
+        j0 = (gt - cum_tiles_ref[iseq]) * T
+        slot = jax.lax.rem(gt, nslots)
+        blk0 = block_tables_ref[iseq, j0]
+        pltpu.make_async_copy(
+            k_out.at[layer, blk0], k_buf.at[slot, pl.ds(0, hkv)],
+            sem.at[0, slot, 0],
+        ).start()
+        pltpu.make_async_copy(
+            v_out.at[layer, blk0], v_buf.at[slot, pl.ds(0, hkv)],
+            sem.at[1, slot, 0],
+        ).start()
+        for h in range(1, T):
+
+            @pl.when(j0 + h < pages_ref[iseq])
+            def _(h=h):
+                blkh = block_tables_ref[iseq, j0 + h]
+                pltpu.make_async_copy(
+                    k_out.at[layer, blkh],
+                    k_buf.at[slot, pl.ds(h * hkv, hkv)],
+                    sem.at[0, slot, h],
+                ).start()
+                pltpu.make_async_copy(
+                    v_out.at[layer, blkh],
+                    v_buf.at[slot, pl.ds(h * hkv, hkv)],
+                    sem.at[1, slot, h],
+                ).start()
+
+    def prologue_cond(gt):
+        return gt < jnp.minimum(base + nslots, total_tiles)
+
+    gt0 = jax.lax.while_loop(
+        prologue_cond,
+        lambda gt: (issue_tile(gt), gt + 1)[1],
+        cursor_ref[0],
+    )
+    cursor_ref[0] = gt0
+
+    # token offset of each narrow-score element within the tile:
+    # batch axis is (page, head) -> page = idx0 // hkv
+    pg_of = jax.lax.broadcasted_iota(
+        jnp.int32, (T * hkv, g, bs), 0
+    ) // hkv
+    tok_of = jax.lax.broadcasted_iota(jnp.int32, (T * hkv, g, bs), 2)
+    col_off = pg_of * bs + tok_of
+
+    @pl.when(seq_len > 0)
+    def _():
+        q = q_ref[0]  # [Hkv*G, D]
+        # batched-q: batch element (p, h) uses head h's G query rows
+        q_b = jnp.tile(q.reshape(hkv, g, d), (T, 1, 1))  # [T*Hkv, G, D]
+        k_new_p = jnp.repeat(k_new_ref[0], g, axis=0)
+        v_new_p = jnp.repeat(v_new_ref[0], g, axis=0)
+        m0 = (
+            jnp.sum(q.astype(jnp.float32) * k_new_p.astype(jnp.float32),
+                    axis=-1, keepdims=True) * scale
+        )
+        l0 = jnp.ones((rows_q, 1), jnp.float32)
+        acc0 = v_new_p.astype(jnp.float32)
+        win_lo = jnp.maximum(seq_len - window, 0) if window > 0 else 0
+
+        def body(i, carry):
+            m, l, acc = carry
+            gt = cursor_ref[0]
+
+            @pl.when(gt < jnp.minimum(base + i + nslots, total_tiles))
+            def _():
+                issue_tile(gt)
+                cursor_ref[0] = gt + 1
+
+            slot = jax.lax.rem(base + i, nslots)
+            p0 = i * T
+            for which in (0, 1):
+                pltpu.make_async_copy(
+                    k_buf.at[slot, pl.ds(0, hkv)],
+                    k_buf.at[slot, pl.ds(0, hkv)],
+                    sem.at[which, slot, 0],
+                ).wait()
+            for h in range(1, T):
+
+                @pl.when(p0 + h < nblks)
+                def _(h=h):
+                    for which in (0, 1):
+                        pltpu.make_async_copy(
+                            k_buf.at[slot, pl.ds(h * hkv, hkv)],
+                            k_buf.at[slot, pl.ds(h * hkv, hkv)],
+                            sem.at[which, slot, h],
+                        ).wait()
+
+            k_tile = _mxu(k_buf[slot])  # [T*Hkv, bs, D]
+            v_tile = _mxu(v_buf[slot])
+            # narrow scores: ONLY the useful (page, head) pairs
+            s = jax.lax.dot_general(
+                _mxu(q_b), k_tile,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [T*Hkv, G, bs]
+            limit = n_cached - p0 * bs
+            s = jnp.where(col_off < limit, s, _NEG_INF)
+            if window > 0:
+                lo_lim = win_lo - p0 * bs
+                s = jnp.where(col_off >= lo_lim, s, _NEG_INF)
+
+            # reduce the page axis first: [T, Hq, bs] view is a free
+            # reshape of the (p, h, g, tok) layout
+            s_rows = s.reshape(T, rows_q, bs)
+            m_tile = jnp.max(jnp.max(s_rows, axis=0), axis=-1,
+                             keepdims=True)  # [Hq, 1]
+            m_new = jnp.maximum(m, m_tile)
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s_rows - m_new[None])  # [T, Hq, bs]
+            l_new = l * alpha + jnp.sum(
+                jnp.sum(p, axis=0), axis=-1, keepdims=True
+            )
+            pv_b = jax.lax.dot_general(
+                p.reshape(T * hkv, g, bs).astype(v_tile.dtype), v_tile,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [T*Hkv, G, D]
+            pv = jnp.sum(pv_b.reshape(T, rows_q, d), axis=0)
+            return m_new, l_new, acc * alpha + pv
+
+        m, l, acc = jax.lax.fori_loop(0, ntiles, body, (m0, l0, acc0))
+        o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+        @pl.when(pend_ref[0] == 1)
+        def _():
+            pltpu.make_async_copy(k_patch, k_patch, w_sem.at[0]).wait()
+            pltpu.make_async_copy(v_patch, v_patch, w_sem.at[1]).wait()
+
+        slot_last = jax.lax.rem(base + last // T, nslots)
+        half0 = jax.lax.rem(last, T) * hkv
+        off = jax.lax.rem(slot_ref[b], bs)
+        row = jax.lax.broadcasted_iota(jnp.int32, (hkv, bs, d), 1)
+        k_patch[...] = jnp.where(
+            row == off,
+            k_new_ref[0][:, None, :].astype(k_patch.dtype),
+            k_buf[slot_last, pl.ds(half0, hkv)],
+        )
+        v_patch[...] = jnp.where(
+            row == off,
+            v_new_ref[0][:, None, :].astype(v_patch.dtype),
+            v_buf[slot_last, pl.ds(half0, hkv)],
+        )
+        blk = block_tables_ref[b, last]
+        pltpu.make_async_copy(k_patch, k_out.at[layer, blk], w_sem.at[0]).start()
+        pltpu.make_async_copy(v_patch, v_out.at[layer, blk], w_sem.at[1]).start()
+        pend_ref[0] = 1
+
+    @pl.when(seq_len == 0)
+    def _():
+        o_ref[0] = jnp.zeros_like(o_ref[0])
+
+    @pl.when((b == nprog - 1) & (pend_ref[0] == 1))
+    def _():
+        pltpu.make_async_copy(k_patch, k_patch, w_sem.at[0]).wait()
+        pltpu.make_async_copy(v_patch, v_patch, w_sem.at[1]).wait()
+        pend_ref[0] = 0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "interpret", "window", "split_override",
+                     "nslots_override", "tile"),
+)
+def paged_decode_attention_write_v10_tpu(
+    q: jnp.ndarray,  # [B, Hq, D]
+    k_new: jnp.ndarray,  # [B, Hkv, D]
+    v_new: jnp.ndarray,
+    k_all: jnp.ndarray,  # [L, NB, Hkv, bs, D]
+    v_all: jnp.ndarray,
+    layer_idx: jnp.ndarray,  # [] int32
+    slot_mapping: jnp.ndarray,  # [B] int32
+    block_tables: jnp.ndarray,  # [B, NB_used] int32
+    seq_lens: jnp.ndarray,  # [B] int32 (incl. current token)
+    scale: float,
+    interpret: bool = False,
+    window: int = 0,
+    split_override: int = 0,  # unused (kept for the probe harness)
+    nslots_override: int = 0,
+    tile: int = 4,
+    cum: jnp.ndarray | None = None,  # [B+1] precomputed page cumsum
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """v10 challenger: narrow per-(page, head) scores (see _decode_kernel_v10).
+
+    -> (out [B, Hq, D], k_all, v_all) — caches updated in place."""
+    del split_override
+    b, hq, d = q.shape
+    _, _, hkv, bs, _ = k_all.shape
+    g = hq // hkv
+    assert hq == hkv * g
+    T = tile
+    nslots = nslots_override or max(2, 12 // T)  # ~12 pages in flight
+    nb = block_tables.shape[1]
+    ntile_cols = -(-nb // T)
+
+    if cum is None:
+        pages = jax.lax.div(seq_lens + bs - 1, bs)
+    else:
+        pages = cum[1:] - cum[:-1]
+    tiles = jax.lax.div(pages + (T - 1), T)
+    cum_tiles = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(tiles).astype(jnp.int32)]
+    )
+    # owner of each global tile: scatter a 1 at every sequence's first
+    # tile index, then cumsum — fully parallel (searchsorted lowers to a
+    # sequential binary-search loop on TPU, the r3 "v6 regression")
+    starts = jnp.zeros(b * ntile_cols, jnp.int32).at[
+        cum_tiles[1:-1]
+    ].add(1, mode="drop")
+    seq_of_tile = jnp.cumsum(starts).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, hq, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, hkv, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, hkv, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, hq, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nslots, T * hkv, bs, d), k_all.dtype),
+            pltpu.VMEM((nslots, T * hkv, bs, d), v_all.dtype),
+            pltpu.SemaphoreType.DMA((2, nslots, T)),
+            pltpu.VMEM((hkv, bs, d), k_all.dtype),
+            pltpu.VMEM((hkv, bs, d), v_all.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_kernel_v10, scale=scale, block_size=bs, window=window,
+        tile=T,
+    )
+    out, k_all, v_all = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, d), q.dtype),
+            jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
+            jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
+        ],
+        input_output_aliases={10: 1, 11: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        layer_idx.reshape(1),
+        block_tables,
+        seq_lens,
+        slot_mapping,
+        pages.astype(jnp.int32),
+        cum_tiles,
+        seq_of_tile,
+        q,
+        k_new,
+        v_new,
+        k_all,
+        v_all,
+    )
+    return out, k_all, v_all
