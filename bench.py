@@ -248,6 +248,64 @@ def _latency_phase(engine: LLMEngine, n_requests: int = 32) -> dict:
     }
 
 
+def _spec_phase() -> dict:
+    """Suffix-speculative decode on repetition-heavy prompts (the
+    reference's speculative configs — suffix/ngram drafting with
+    batched verify; BASELINE.json GLM-4.5 MTP class). Reports effective
+    tokens/s and the multi-token yield per verify step."""
+    from xllm_tpu.config import SpeculativeConfig
+
+    cfg = EngineConfig(
+        model=MODEL,
+        cache=CacheConfig(block_size=64, num_blocks=400),
+        scheduler=SchedulerConfig(
+            max_seqs_per_batch=32,
+            max_tokens_per_batch=4096,
+            max_tokens_per_chunk_for_prefill=512,
+            max_model_len=512,
+            decode_batch_buckets=[32],
+            prefill_token_buckets=[512],
+            prefill_row_buckets=[1, 4],
+        ),
+        parallel=ParallelConfig(),
+        speculative=SpeculativeConfig(method="suffix",
+                                      num_speculative_tokens=4),
+    )
+    engine = LLMEngine(config=cfg, tokenizer=None)
+    rng = np.random.default_rng(3)
+    sp = SamplingParams(temperature=0.0, max_tokens=96, ignore_eos=True)
+    for i in range(32):
+        # repetition-heavy prompts: a short motif tiled, like the
+        # templated/agentic traffic speculative decoding targets
+        motif = rng.integers(1, MODEL.vocab_size - 1, size=8)
+        ids = np.tile(motif, 16).tolist()
+        engine.add_request(prompt_token_ids=ids, sampling_params=sp,
+                           request_id=f"spec-{i}")
+    # burn prefill + first verify compile
+    for _ in range(6):
+        engine.step()
+    gen0 = sum(
+        s.num_generated_tokens
+        for r in engine.scheduler.running for s in r.sequences
+    )
+    t0 = time.perf_counter()
+    steps = 0
+    while engine.has_unfinished():
+        engine.step()
+        steps += 1
+        if steps > 5000:
+            raise RuntimeError("spec phase did not converge")
+    dt = time.perf_counter() - t0
+    timed = 32 * 96 - gen0
+    out = {
+        "spec_tok_s": round(timed / dt, 1),
+        "spec_tokens_per_step": round(timed / max(steps, 1), 2),
+    }
+    engine.runner.sleep(2)
+    del engine
+    return out
+
+
 def _prefill_phase(engine: LLMEngine) -> float:
     """Prefill throughput (tokens/s) on long prompts, post-compile."""
     rng = np.random.default_rng(1)
@@ -291,6 +349,16 @@ def main() -> None:
     kv8 = os.environ.get("XLLM_BENCH_KV8", "int8")
     engine.runner.sleep(2)
     del engine
+
+    # suffix-speculative phase (multi-token yield per verify step);
+    # wrapped so the primary metric survives
+    spec = {}
+    if not os.environ.get("XLLM_BENCH_SKIP_SPEC"):
+        try:
+            spec = _spec_phase()
+        except Exception as e:
+            print(f"# spec phase failed: {e}", flush=True)
+
     engine8 = _make_engine("int8", kv=kv8)
     int8 = _decode_phase(engine8, "int8")
 
@@ -337,6 +405,7 @@ def main() -> None:
     }
     for k, v in lat.items():
         line[k] = round(v, 2)
+    line.update(spec)
     if q8b:
         line["int8_8b_tok_s"] = round(q8b["tok_s"], 1)
         line["int8_8b_vs_roofline"] = round(q8b["tok_s"] / roofline_8b, 4)
