@@ -34,7 +34,7 @@ def make_model_config():
     )
 
 
-def make_config(tp: int):
+def make_config(tp: int, dp: int = 1):
     from xllm_tpu.config import (
         CacheConfig,
         EngineConfig,
@@ -52,11 +52,11 @@ def make_config(tp: int):
             max_tokens_per_batch=256,
             max_tokens_per_chunk_for_prefill=64,
             max_model_len=128,
-            decode_batch_buckets=[4],
+            decode_batch_buckets=[4 * dp],
             prefill_token_buckets=[64],
             prefill_row_buckets=[1, 4],
         ),
-        parallel=ParallelConfig(tp_size=tp),
+        parallel=ParallelConfig(tp_size=tp, dp_size=dp),
     )
 
 
@@ -67,7 +67,7 @@ def workload():
     return [rng.integers(1, 500, size=24).tolist() for _ in range(3)]
 
 
-def main(port: str, nproc: int, pid: int) -> None:
+def main(port: str, nproc: int, pid: int, dp: int = 1) -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -77,7 +77,7 @@ def main(port: str, nproc: int, pid: int) -> None:
     init_distributed(f"localhost:{port}", nproc, pid)
     assert jax.device_count() == 4 * nproc, jax.devices()
 
-    cfg = make_config(tp=4 * nproc)
+    cfg = make_config(tp=4 * nproc // dp, dp=dp)
     if pid == 0:
         from xllm_tpu.engine import LLMEngine
         from xllm_tpu.framework.sampling_params import SamplingParams
@@ -106,9 +106,10 @@ if __name__ == "__main__":
     import sys
 
     _port, _nproc, _pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    _dp = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     os.environ["XLA_FLAGS"] = (
         "--xla_force_host_platform_device_count=4 "
         + os.environ.get("XLA_FLAGS", "")
     )
     os.environ["JAX_PLATFORMS"] = "cpu"
-    main(_port, _nproc, _pid)
+    main(_port, _nproc, _pid, _dp)

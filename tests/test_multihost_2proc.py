@@ -30,7 +30,7 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_engine_token_parity():
+def _spawn_and_collect(dp: int):
     script = os.path.join(os.path.dirname(__file__), "_multihost_proc.py")
     port = _free_port()
     env = {
@@ -43,7 +43,7 @@ def test_two_process_engine_token_parity():
     )
     procs = [
         subprocess.Popen(
-            [sys.executable, script, str(port), "2", str(pid)],
+            [sys.executable, script, str(port), "2", str(pid), str(dp)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
             text=True,
         )
@@ -62,8 +62,10 @@ def test_two_process_engine_token_parity():
     multi = json.loads(line)
     assert set(multi) == {"r0", "r1", "r2"}
     assert all(len(v) == 8 for v in multi.values())
+    return multi
 
-    # single-process reference: same workload on the in-process tp=8 mesh
+
+def _single_process_reference(dp: int):
     sys.path.insert(0, os.path.dirname(__file__))
     try:
         import _multihost_proc as wp
@@ -72,11 +74,27 @@ def test_two_process_engine_token_parity():
     from xllm_tpu.engine import LLMEngine
     from xllm_tpu.framework.sampling_params import SamplingParams
 
-    engine = LLMEngine(config=wp.make_config(tp=8), tokenizer=None)
+    engine = LLMEngine(
+        config=wp.make_config(tp=8 // dp, dp=dp), tokenizer=None
+    )
     sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
     for i, ids in enumerate(wp.workload()):
         engine.add_request(prompt_token_ids=ids, sampling_params=sp,
                            request_id=f"r{i}")
     outs = engine.generate_all(timeout_s=300)
-    single = {ro.request_id: ro.outputs[0].token_ids for ro in outs}
-    assert multi == {k: list(v) for k, v in single.items()}
+    return {ro.request_id: list(ro.outputs[0].token_ids) for ro in outs}
+
+
+def test_two_process_engine_token_parity():
+    multi = _spawn_and_collect(dp=1)
+    assert multi == _single_process_reference(dp=1)
+
+
+def test_two_process_attention_dp_token_parity():
+    """(data=2, tp=2) across two OS processes: per-rank block pools,
+    rank-major sharded batch rows, outputs replicated in-graph so the
+    driver can fetch rows owned by the other process's devices
+    (reference per-DP-rank worker batches, batch_factory.h:30 over the
+    multi-node fan-out, dist_manager.cpp:145)."""
+    multi = _spawn_and_collect(dp=2)
+    assert multi == _single_process_reference(dp=2)

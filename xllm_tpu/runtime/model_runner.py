@@ -477,6 +477,27 @@ class ModelRunner:
     # ------------------------------------------------------------------
     def _build_step_fns(self) -> None:
         model = self.model
+        mesh = self.mesh
+
+        def rep_out(*xs):
+            """Replicate small per-row outputs (tokens/logprobs/tops)
+            across the mesh: under multi-process attention-DP the rows
+            come out data-sharded, and a host fetch of an array spanning
+            non-addressable devices raises — the driver must see every
+            row (reference fan-in of worker outputs, llm_engine.cpp:933).
+            No-op off-mesh; a trivial no-op collective when already
+            replicated."""
+            if mesh is None:
+                return xs if len(xs) > 1 else xs[0]
+            from xllm_tpu.parallel.mesh import replicated
+
+            r = replicated(mesh)
+            out = tuple(
+                jax.lax.with_sharding_constraint(x, r)
+                if x is not None else None
+                for x in xs
+            )
+            return out if len(out) > 1 else out[0]
 
         @partial(
             jax.jit, donate_argnums=(1, 2, 5, 6),
@@ -530,6 +551,10 @@ class ModelRunner:
             out = sample(logits, si, hist, num_top, need_logprobs)
             tokens, logprobs = out[0], out[1]
             tops = out[2:] if num_top else (None, None)
+            tokens, logprobs, t0, t1 = rep_out(
+                tokens, logprobs, tops[0], tops[1]
+            )
+            tops = (t0, t1)
             last_tokens = last_tokens.at[inp.slot_ids].set(tokens)
             counts = getattr(model, "_expert_counts", None)
             return (
@@ -662,6 +687,10 @@ class ModelRunner:
             out = sample(logits, si, hist, num_top, need_logprobs)
             tokens, logprobs = out[0], out[1]
             tops = out[2:] if num_top else (None, None)
+            tokens, logprobs, t0, t1 = rep_out(
+                tokens, logprobs, tops[0], tops[1]
+            )
+            tops = (t0, t1)
             last_tokens = last_tokens.at[inp.sample_slots].set(tokens)
             counts = getattr(model, "_expert_counts", None)
             return (
