@@ -34,7 +34,7 @@ def make_model_config():
     )
 
 
-def make_config(tp: int, dp: int = 1):
+def make_config(tp: int, dp: int = 1, cp: int = 1):
     from xllm_tpu.config import (
         CacheConfig,
         EngineConfig,
@@ -56,7 +56,7 @@ def make_config(tp: int, dp: int = 1):
             prefill_token_buckets=[64],
             prefill_row_buckets=[1, 4],
         ),
-        parallel=ParallelConfig(tp_size=tp, dp_size=dp),
+        parallel=ParallelConfig(tp_size=tp, dp_size=dp, cp_size=cp),
     )
 
 
@@ -67,7 +67,7 @@ def workload():
     return [rng.integers(1, 500, size=24).tolist() for _ in range(3)]
 
 
-def main(port: str, nproc: int, pid: int, dp: int = 1) -> None:
+def main(port: str, nproc: int, pid: int, dp: int = 1, cp: int = 1) -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -77,7 +77,7 @@ def main(port: str, nproc: int, pid: int, dp: int = 1) -> None:
     init_distributed(f"localhost:{port}", nproc, pid)
     assert jax.device_count() == 4 * nproc, jax.devices()
 
-    cfg = make_config(tp=4 * nproc // dp, dp=dp)
+    cfg = make_config(tp=4 * nproc // dp // cp, dp=dp, cp=cp)
     if pid == 0:
         from xllm_tpu.engine import LLMEngine
         from xllm_tpu.framework.sampling_params import SamplingParams
@@ -107,9 +107,10 @@ if __name__ == "__main__":
 
     _port, _nproc, _pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
     _dp = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    _cp = int(sys.argv[5]) if len(sys.argv) > 5 else 1
     os.environ["XLA_FLAGS"] = (
         "--xla_force_host_platform_device_count=4 "
         + os.environ.get("XLA_FLAGS", "")
     )
     os.environ["JAX_PLATFORMS"] = "cpu"
-    main(_port, _nproc, _pid, _dp)
+    main(_port, _nproc, _pid, _dp, _cp)

@@ -30,7 +30,7 @@ def _free_port() -> int:
     return port
 
 
-def _spawn_and_collect(dp: int):
+def _spawn_and_collect(dp: int, cp: int = 1):
     script = os.path.join(os.path.dirname(__file__), "_multihost_proc.py")
     port = _free_port()
     env = {
@@ -43,7 +43,8 @@ def _spawn_and_collect(dp: int):
     )
     procs = [
         subprocess.Popen(
-            [sys.executable, script, str(port), "2", str(pid), str(dp)],
+            [sys.executable, script, str(port), "2", str(pid), str(dp),
+             str(cp)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
             text=True,
         )
@@ -65,7 +66,7 @@ def _spawn_and_collect(dp: int):
     return multi
 
 
-def _single_process_reference(dp: int):
+def _single_process_reference(dp: int, cp: int = 1):
     sys.path.insert(0, os.path.dirname(__file__))
     try:
         import _multihost_proc as wp
@@ -75,7 +76,8 @@ def _single_process_reference(dp: int):
     from xllm_tpu.framework.sampling_params import SamplingParams
 
     engine = LLMEngine(
-        config=wp.make_config(tp=8 // dp, dp=dp), tokenizer=None
+        config=wp.make_config(tp=8 // dp // cp, dp=dp, cp=cp),
+        tokenizer=None,
     )
     sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
     for i, ids in enumerate(wp.workload()):
@@ -98,3 +100,12 @@ def test_two_process_attention_dp_token_parity():
     multi-node fan-out, dist_manager.cpp:145)."""
     multi = _spawn_and_collect(dp=2)
     assert multi == _single_process_reference(dp=2)
+
+
+def test_two_process_context_parallel_token_parity():
+    """(cp=2, tp=2) across two OS processes: prefill token dim sharded
+    with the zigzag layout over a cp axis spanning processes
+    (allgather-KV attention rides the fabric; reference
+    npu_cp_prepare.cpp CP partition over multi-node workers)."""
+    multi = _spawn_and_collect(dp=1, cp=2)
+    assert multi == _single_process_reference(dp=1, cp=2)

@@ -225,12 +225,16 @@ class FollowerEngine:
             inp, si = jtu.tree_unflatten(
                 jtu.tree_structure(proto), list(leaves)
             )
+            # placement must MATCH the driver's (input shardings select
+            # the compiled executable — a replicated follower put against
+            # a cp-sharded driver put desyncs the collectives and hangs)
+            inp_put, si_put = r._put_prefill(inp, si, p_pad)
             (
                 r.k_cache, r.v_cache, _t, _l, r.last_tokens, r.token_hist,
                 _c, _tops,
             ) = r._batched_prefill_fn(
                 r.params, r.k_cache, r.v_cache,
-                r._put_rows(inp, p_pad), r._put_rows(si, p_pad),
+                inp_put, si_put,
                 r.last_tokens, r.token_hist,
                 use_penalties=bool(hdr[4]), num_top=int(hdr[5]),
                 need_logprobs=bool(hdr[6]),
