@@ -140,3 +140,43 @@ def test_int8_kv_requires_scale_folding_support():
     )
     with pytest.raises(NotImplementedError, match="int8 KV"):
         LLMEngine(config=ecfg, tokenizer=None)
+
+
+def test_kv_scale_calibration_improves_or_matches():
+    """Offline calibration: amax from a full-precision engine's cache ->
+    per-(layer, head) scales for the int8 engine (reference quantized-KV
+    calibration, kv_cache_impl.h:29). Calibrated scales must track the
+    true activation ranges and keep the ppl proxy within bound."""
+    import jax.numpy as jnp
+
+    from xllm_tpu.ops.quant import calibrate_kv_scales
+
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(1, 500, size=64).tolist() for _ in range(3)]
+
+    cal_eng = _engine("auto")
+    s_k, s_v = calibrate_kv_scales(cal_eng, prompts)
+    L = MODEL.num_hidden_layers
+    Hkv = MODEL.num_key_value_heads
+    assert s_k.shape == (L, Hkv) and s_v.shape == (L, Hkv)
+    assert (s_k > 0).all() and (s_v > 0).all()
+    # scales reflect the cache contents: amax/scale ~= 127/margin
+    ak = np.max(np.abs(np.asarray(cal_eng.runner.k_cache,
+                                  dtype=np.float32)), axis=(1, 3, 4))
+    np.testing.assert_allclose(s_k, np.maximum(ak * 1.25 / 127, 1e-6),
+                               rtol=1e-5)
+
+    # install on an int8 engine; scoring stays within the ppl bound
+    ids = rng.integers(1, 500, size=96).tolist()
+    lp_ref = _engine("auto").score_prompt(ids)
+    eng_i8 = _engine("int8")
+    eng_i8.runner.set_kv_scales(s_k, s_v)
+    lp_cal = eng_i8.score_prompt(ids)
+    delta = np.abs(lp_ref - lp_cal).mean()
+    ppl_shift = abs(np.exp(lp_ref.mean()) / np.exp(lp_cal.mean()) - 1.0)
+    assert delta < 0.08, delta
+    assert ppl_shift < 0.01, ppl_shift
+
+    # calibrating on an int8 engine is rejected
+    with pytest.raises(ValueError, match="full-precision"):
+        calibrate_kv_scales(_engine("int8"), prompts)

@@ -38,6 +38,52 @@ def quantize_fp8(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return w_q, scale.astype(jnp.float32)
 
 
+def calibrate_kv_scales(
+    engine, prompts: list[list[int]], margin: float = 1.25
+):
+    """Per-layer-per-head int8-KV scales from representative prompts.
+
+    Offline calibration flow (reference quantized-KV calibration class,
+    kv_cache_impl.h:29): run the prompts through a FULL-PRECISION-KV
+    engine, reduce the live cache to per-(layer, head) amax — the cache
+    IS the complete post-rope K / V activation record, so no model
+    instrumentation is needed — and derive scale = amax * margin / 127.
+    Returns (s_k, s_v) as [L, Hkv] float32 numpy arrays for
+    ``model.set_kv_scales`` on the int8-KV serving engine.
+    """
+    import numpy as np
+
+    from xllm_tpu.framework.sampling_params import SamplingParams
+
+    runner = engine.runner
+    if runner.k_cache.dtype == jnp.int8:
+        raise ValueError(
+            "calibrate on a full-precision-KV engine (kv_cache_dtype "
+            "auto/bfloat16/float32), then install the scales on the "
+            "int8 engine"
+        )
+    if runner.v_cache.ndim != 5 or runner.k_cache.shape != runner.v_cache.shape:
+        raise NotImplementedError(
+            "KV-scale calibration covers the paged GQA cache layout"
+        )
+    sp = SamplingParams(temperature=0.0, max_tokens=1, ignore_eos=True)
+    for i, ids in enumerate(prompts):
+        engine.add_request(prompt_token_ids=list(ids),
+                           sampling_params=sp,
+                           request_id=f"kvcal-{i}")
+    engine.generate_all(timeout_s=600)
+
+    @jax.jit
+    def amax(cache):  # [L, NB, Hkv, bs, D] -> [L, Hkv]
+        return jnp.max(jnp.abs(cache.astype(jnp.float32)), axis=(1, 3, 4))
+
+    ak = np.asarray(amax(runner.k_cache))
+    av = np.asarray(amax(runner.v_cache))
+    s_k = np.maximum(ak * margin / 127.0, 1e-6).astype(np.float32)
+    s_v = np.maximum(av * margin / 127.0, 1e-6).astype(np.float32)
+    return s_k, s_v
+
+
 def quant_matmul(
     x: jnp.ndarray,  # [M, K]
     w_q: jnp.ndarray,  # [K, N] int8 or float8_e4m3fn

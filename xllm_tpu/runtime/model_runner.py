@@ -236,6 +236,15 @@ class ModelRunner:
             )
         self._build_step_fns()
 
+    def set_kv_scales(self, s_k, s_v) -> None:
+        """Install calibrated int8-KV scales (ops/quant.py
+        calibrate_kv_scales) and rebuild the step programs — the scales
+        are closure constants of the jitted steps."""
+        if self.k_cache is not None and self.k_cache.dtype != jnp.int8:
+            raise ValueError("set_kv_scales applies to int8-KV engines")
+        self.model.set_kv_scales(s_k, s_v)
+        self._build_step_fns()
+
     # matmul weights eligible for weight-only quantization, any layer group
     # (dense "layers", MLA "dense_layers"/"moe_layers"). Router weights stay
     # high precision (routing sensitivity); routed expert stacks stay bf16
