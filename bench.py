@@ -19,7 +19,6 @@ import time
 
 import numpy as np
 
-import jax
 
 from xllm_tpu.config import (
     CacheConfig,

@@ -12,7 +12,6 @@ This probe separates dot-level from structure-level losses:
 All bf16, f32 accumulation. Slope timing per CLAUDE.md.
 """
 
-import functools
 import json
 import time
 

@@ -147,8 +147,6 @@ def test_kv_scale_calibration_improves_or_matches():
     per-(layer, head) scales for the int8 engine (reference quantized-KV
     calibration, kv_cache_impl.h:29). Calibrated scales must track the
     true activation ranges and keep the ppl proxy within bound."""
-    import jax.numpy as jnp
-
     from xllm_tpu.ops.quant import calibrate_kv_scales
 
     rng = np.random.default_rng(7)

@@ -14,8 +14,6 @@ pattern lengths.
 
 from __future__ import annotations
 
-from collections import defaultdict
-
 
 class SuffixProposer:
     """Per-sequence n-gram index proposing continuation drafts."""

@@ -45,7 +45,7 @@ from xllm_tpu.runtime.input_builder import (
 )
 from xllm_tpu.runtime.rejection_sampler import rejection_sample
 from xllm_tpu.runtime.sampler import sample
-from xllm_tpu.utils import cdiv, get_logger, next_bucket
+from xllm_tpu.utils import cdiv, get_logger
 
 logger = get_logger(__name__)
 
