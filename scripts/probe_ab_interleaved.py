@@ -10,7 +10,8 @@ so any residual drift hits both variants equally.
 
 Variants come from XLLM_AB (comma list, default "v9t4,v5"):
   v5 | v9tN         bf16 KV
-  v5i | v9tNi       int8 KV (folded scales; codes only — timing)
+  v9tNs             v9 with the bf16 softmax stream (softmax16)
+  v5i | v9tNi | v9tNsi    int8 KV (folded scales; codes only — timing)
 """
 
 import functools
@@ -34,7 +35,7 @@ B, HKV, G, D, BS = 128, 8, 2, 128, 64
 CTX = 192
 NPAGES = CTX // BS
 NL, NB_TOTAL, NBT = 28, 1100, 5
-ROUNDS = 4
+ROUNDS = int(os.environ.get("XLLM_AB_ROUNDS", "4"))
 ITERS = 8  # scan passes per timed segment
 
 rng = np.random.default_rng(0)
@@ -65,6 +66,9 @@ def parse_variant(name):
     name = name.strip()
     int8 = name.endswith("i")
     base = name[:-1] if int8 else name
+    sm16 = base.endswith("s")
+    if sm16:
+        base = base[:-1]
     if base == "v5":
         kern = functools.partial(v5, cum=CUM)
     elif base.startswith("v10t"):
@@ -72,9 +76,10 @@ def parse_variant(name):
     elif base == "v10":
         kern = functools.partial(v10, cum=CUM, tile=4)
     elif base.startswith("v9t"):
-        kern = functools.partial(v9, cum=CUM, tile=int(base[3:]))
+        kern = functools.partial(v9, cum=CUM, tile=int(base[3:]),
+                                 softmax16=sm16)
     elif base == "v9":
-        kern = functools.partial(v9, cum=CUM, tile=4)
+        kern = functools.partial(v9, cum=CUM, tile=4, softmax16=sm16)
     else:
         raise ValueError(name)
     return name, kern, (jnp.int8 if int8 else jnp.bfloat16)

@@ -515,7 +515,7 @@ def test_decode_v9_compiles(tpu_aot):
     )
     for kw in ({}, {"window": 1024}, {"tile": 2}, {"tile": 3},
                {"tile": 4, "nslots_override": 4},
-               {"tile": 6}, {"tile": 8}):
+               {"tile": 6}, {"tile": 8}, {"tile": 4, "softmax16": True}):
         tpu_aot(
             paged_decode_attention_write_v9_tpu, *common,
             scale=D**-0.5, **kw,

@@ -1132,6 +1132,19 @@ def test_decode_v9_matches_ref(hq, hkv, dtype, tile):
         q, k_new, v_new, k_all, v_all, layer_idx, slot_mapping,
         block_tables, seq_lens, scale, interpret=True, tile=tile,
     )
+    # the bf16-softmax stream must stay within flash-attention prob
+    # tolerance of the same oracle
+    out16, _, _ = paged_decode_attention_write_v9_tpu(
+        q, k_new, v_new, jnp.copy(k_all), jnp.copy(v_all), layer_idx,
+        slot_mapping, block_tables, seq_lens, scale, interpret=True,
+        tile=tile, softmax16=True,
+    )
+    valid16 = [i for i, sl in enumerate(seq_lens_np) if sl > 0]
+    np.testing.assert_allclose(
+        np.asarray(out16, np.float32)[valid16],
+        np.asarray(ref, np.float32)[valid16],
+        rtol=4e-2, atol=4e-2,
+    )
     tol = 3e-2 if dtype == jnp.bfloat16 else 2e-5
     np.testing.assert_allclose(
         np.asarray(out, np.float32)[valid],

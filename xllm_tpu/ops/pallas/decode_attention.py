@@ -413,6 +413,7 @@ def _decode_kernel_v9(
     block_size: int,
     tile: int,
     window: int = 0,
+    softmax16: bool = False,
 ):
     """v9: v7's page-pair design generalized to T-page tiles.
 
@@ -567,6 +568,23 @@ def _decode_kernel_v9(
 
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
             alpha = jnp.exp(m - m_new)
+            if softmax16:
+                # bf16 softmax stream: the exp runs at the doubled VPU
+                # bf16 rate and the PV dot consumes p16 directly (no
+                # separate f32->bf16 cast pass); the row sum reduces the
+                # bf16 probs with f32 accumulation. Probs tolerate 8
+                # mantissa bits (flash-attention practice); the m/l/acc
+                # online-softmax state stays f32.
+                p16 = jnp.exp((s - m_new).astype(jnp.bfloat16))
+                l_new = l * alpha + jnp.sum(
+                    p16, axis=-1, keepdims=True, dtype=jnp.float32
+                )
+                pv = jax.lax.dot_general(
+                    p16.astype(v_flat.dtype), v_flat,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                return m_new, l_new, acc * alpha + pv
             p = jnp.exp(s - m_new)
             l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
             pv = jax.lax.dot_general(
@@ -618,7 +636,7 @@ def _decode_kernel_v9(
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "interpret", "window", "split_override",
-                     "nslots_override", "tile"),
+                     "nslots_override", "tile", "softmax16"),
 )
 def paged_decode_attention_write_v9_tpu(
     q: jnp.ndarray,  # [B, Hq, D]
@@ -637,6 +655,7 @@ def paged_decode_attention_write_v9_tpu(
     nslots_override: int = 0,
     tile: int = 4,
     cum: jnp.ndarray | None = None,  # [B+1] precomputed page cumsum
+    softmax16: bool = False,  # bf16 softmax stream (A/B challenger)
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """-> (out [B, Hq, D], k_all, v_all) — caches updated in place."""
     del split_override
@@ -701,7 +720,7 @@ def paged_decode_attention_write_v9_tpu(
     )
     kernel = functools.partial(
         _decode_kernel_v9, scale=scale, block_size=bs, window=window,
-        tile=T,
+        tile=T, softmax16=softmax16,
     )
     out, k_all, v_all = pl.pallas_call(
         kernel,
