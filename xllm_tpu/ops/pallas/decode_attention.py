@@ -9,11 +9,12 @@ is updated in place in HBM — no XLA scatter, no cache copy inside the layer
 scan (the scatter forced a whole-cache copy per layer).
 
 This module carries only the kernels the dispatch actually selects
-(ops/attention.py): **v9** (tile-of-T-pages slots; the r7 full-config
-tournament default, 198 us/layer) and **v5** (slot-ring page pipeline;
-the fallback, 209). Retired generations v1/v3/v4/v6/v7/v8 — each of
-which LOST a same-session on-chip A/B (PERF.md kernel history) — live
-env-gated in ops/pallas/legacy/decode_attention.py.
+(ops/attention.py): **v9** (tile-of-T-pages slots; the default —
+interleaved medians 206 us/layer bf16 / 169-175 int8 at the bench
+config) and **v5** (slot-ring page pipeline; the fallback, 202 bf16
+but 210-220 int8). Retired generations v1/v3/v4/v6/v7/v8/v10 — each
+of which LOST an on-chip A/B (PERF.md kernel history) — live env-gated
+in ops/pallas/legacy/decode_attention.py.
 
 Shared design (both kernels):
 - grid = (batch,) over a GLOBAL page ring: host-precomputed cumulative
