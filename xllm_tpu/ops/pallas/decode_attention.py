@@ -656,7 +656,10 @@ def paged_decode_attention_write_v9_tpu(
     nslots_override: int = 0,
     tile: int = 4,
     cum: jnp.ndarray | None = None,  # [B+1] precomputed page cumsum
-    softmax16: bool = False,  # bf16 softmax stream (A/B challenger)
+    softmax16: bool = False,  # bf16 softmax stream — measured NEUTRAL
+    # (223.5 vs 216.9 us/layer median, /tmp/ab_sm16.log r4): kept as the
+    # documented negative result; the residual above the DMA floor is
+    # not the softmax arithmetic
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """-> (out [B, Hq, D], k_all, v_all) — caches updated in place."""
     del split_override
