@@ -11,7 +11,8 @@ so any residual drift hits both variants equally.
 Variants come from XLLM_AB (comma list, default "v9t4,v5"):
   v5 | v9tN         bf16 KV
   v9tNs             v9 with the bf16 softmax stream (softmax16)
-  v5i | v9tNi | v9tNsi    int8 KV (folded scales; codes only — timing)
+  v9tNp             v9 with hoisted mask constants (premask)
+  v5i | v9tNi | v9tNpi   int8 KV (folded scales; codes only — timing)
 """
 
 import functools
@@ -66,6 +67,9 @@ def parse_variant(name):
     name = name.strip()
     int8 = name.endswith("i")
     base = name[:-1] if int8 else name
+    premask = base.endswith("p")
+    if premask:
+        base = base[:-1]
     sm16 = base.endswith("s")
     if sm16:
         base = base[:-1]
@@ -77,9 +81,10 @@ def parse_variant(name):
         kern = functools.partial(v10, cum=CUM, tile=4)
     elif base.startswith("v9t"):
         kern = functools.partial(v9, cum=CUM, tile=int(base[3:]),
-                                 softmax16=sm16)
+                                 softmax16=sm16, premask=premask)
     elif base == "v9":
-        kern = functools.partial(v9, cum=CUM, tile=4, softmax16=sm16)
+        kern = functools.partial(v9, cum=CUM, tile=4, softmax16=sm16,
+                                 premask=premask)
     else:
         raise ValueError(name)
     return name, kern, (jnp.int8 if int8 else jnp.bfloat16)

@@ -515,7 +515,8 @@ def test_decode_v9_compiles(tpu_aot):
     )
     for kw in ({}, {"window": 1024}, {"tile": 2}, {"tile": 3},
                {"tile": 4, "nslots_override": 4},
-               {"tile": 6}, {"tile": 8}, {"tile": 4, "softmax16": True}):
+               {"tile": 6}, {"tile": 8}, {"tile": 4, "softmax16": True},
+               {"tile": 4, "premask": True}):
         tpu_aot(
             paged_decode_attention_write_v9_tpu, *common,
             scale=D**-0.5, **kw,
@@ -575,7 +576,8 @@ def test_decode_int8_kv_compiles(tpu_aot):
         tpu_aot(
             paged_decode_attention_write_v5_tpu, *common, scale=D**-0.5
         )
-        for kw in ({"tile": 4}, {"tile": 2}, {"tile": 6}, {"tile": 8}):
+        for kw in ({"tile": 4}, {"tile": 2}, {"tile": 6}, {"tile": 8},
+                   {"tile": 4, "premask": True}):
             tpu_aot(
                 paged_decode_attention_write_v9_tpu, *common,
                 scale=D**-0.5, **kw,

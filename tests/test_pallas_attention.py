@@ -1251,6 +1251,46 @@ def test_decode_v9_premap_matches_devprep():
     np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
 
 
+@pytest.mark.parametrize("tile", [2, 4])
+def test_decode_v9_premask_matches(tile):
+    """v9 premask (mask constants hoisted to resident VMEM inputs) is
+    bit-identical to the in-kernel mask build, including padded rows,
+    single-token and tile-straddling sequences."""
+    from xllm_tpu.ops.pallas.decode_attention import (
+        paged_decode_attention_write_v9_tpu,
+    )
+    rng = np.random.default_rng(64)
+    L, NB, bs, D, B, NBmax, hq, hkv = 2, 40, 16, 64, 4, 6, 8, 4
+    k_all, v_all = _make_cache(rng, L, NB, hkv, bs, D, jnp.float32)
+    q = jnp.asarray(rng.standard_normal((B, hq, D)), jnp.float32)
+    k_new = jnp.asarray(rng.standard_normal((B, hkv, D)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((B, hkv, D)), jnp.float32)
+    seq_lens_np = [50, 7, 81, 0]
+    bt = np.zeros((B, NBmax), np.int32)
+    used = iter(range(1, NB))
+    for i, sl in enumerate(seq_lens_np):
+        for j in range((sl + bs - 1) // bs):
+            bt[i, j] = next(used)
+    slots = np.zeros(B, np.int32)
+    for i, sl in enumerate(seq_lens_np):
+        pos = max(sl - 1, 0)
+        slots[i] = bt[i, pos // bs] * bs + pos % bs
+    args = (
+        q, k_new, v_new, k_all, v_all, jnp.int32(1),
+        jnp.asarray(slots), jnp.asarray(bt),
+        jnp.asarray(seq_lens_np, dtype=jnp.int32),
+    )
+    o1, k1, v1 = paged_decode_attention_write_v9_tpu(
+        *args, D**-0.5, interpret=True, tile=tile,
+    )
+    o2, k2, v2 = paged_decode_attention_write_v9_tpu(
+        *args, D**-0.5, interpret=True, tile=tile, premask=True,
+    )
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
 @pytest.mark.parametrize(
     "hq,hkv,dtype,tile", [(4, 4, jnp.float32, 4), (8, 2, jnp.float32, 2),
                           (4, 2, jnp.bfloat16, 4), (16, 8, jnp.float32, 4),

@@ -96,16 +96,20 @@ def decode_attention_write(
             )
         if kver.startswith("v9"):
             # v9: v7's page-pair tiles generalized to T pages per slot
-            # ("v9" -> T=4; "v9t2" -> 2), vectorized owner-map prep
+            # ("v9" -> T=4; "v9t2" -> 2), vectorized owner-map prep.
+            # Trailing "p" (v9t4p) = premask: the static mask tables ride
+            # as resident VMEM inputs instead of being rebuilt by every
+            # grid program (decode_attention kernel docstring).
             from xllm_tpu.ops.pallas.decode_attention import (
                 paged_decode_attention_write_v9_tpu,
             )
 
-            t = int(kver[3:]) if kver.startswith("v9t") else 4
+            base = kver[:-1] if kver.endswith("p") else kver
+            t = int(base[3:]) if base.startswith("v9t") else 4
             return paged_decode_attention_write_v9_tpu(
                 q, k_new, v_new, k_all, v_all, layer_idx, slot_mapping,
                 block_tables, seq_lens, scale, window=window, cum=cum,
-                tile=t,
+                tile=t, premask=kver.endswith("p"),
             )
         if kver == "v7":
             from xllm_tpu.ops.pallas.legacy.decode_attention import (

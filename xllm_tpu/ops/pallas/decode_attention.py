@@ -394,27 +394,15 @@ def _decode_kernel_v9(
     q_ref,  # [1, Hkv*G, D] VMEM
     k_new_ref,  # [1, Hkv, D] VMEM
     v_new_ref,
-    k_in,  # [L, NB, Hkv, bs, D] ANY (aliased)
-    v_in,
-    # outputs
-    o_ref,  # [1, Hkv*G, D] VMEM
-    k_out,
-    v_out,
-    # scratch
-    k_buf,  # [NSLOTS, T*Hkv, bs, D]  (tile ring: T pages per slot)
-    v_buf,
-    sem,  # DMA [2, NSLOTS, T]  (k/v, slot, page-in-tile)
-    k_patch,
-    v_patch,
-    w_sem,  # DMA [2]
-    pend_ref,  # SMEM [1]
-    cursor_ref,  # SMEM [1]: next global TILE to issue
-    *,
+    # premask=True inserts diag_ref [rows_q, cols] f32 and coloff_ref
+    # [rows_q, cols] i32 here (resident VMEM blocks, index map (0, 0))
+    *rest,
     scale: float,
     block_size: int,
     tile: int,
     window: int = 0,
     softmax16: bool = False,
+    premask: bool = False,
 ):
     """v9: v7's page-pair design generalized to T-page tiles.
 
@@ -436,7 +424,27 @@ def _decode_kernel_v9(
       "v6 regression").
 
     T=2 reproduces v7; T=4 quarters the fixed costs at 2 MB more VMEM.
+
+    premask (r4 structural hypothesis — measured NEUTRAL): with
+    "arbitrary" grid semantics Mosaic re-executes the whole body per
+    program, so the [rows_q, cols] iota/compare mask build below runs
+    B(=128) times per layer — a per-program VPU cost the
+    softmax16/narrow-score A/Bs never touched. premask=True receives
+    diag_bias and col_off as VMEM inputs whose index map is constant,
+    so the pipeline fetches them once and every program reads the
+    resident block. The 6-round interleaved A/B measured 207.4 vs
+    208.7 us/layer bf16 and 167.4 vs 167.1 int8 (/tmp/ab_premask.log,
+    2026-08-21) — the iota build is NOT the residual above the DMA
+    floor; kept env-gated (XLLM_DECODE_KERNEL=v9t4p) as the documented
+    negative result.
     """
+    if premask:
+        (diag_ref, coloff_ref, k_in, v_in, o_ref, k_out, v_out, k_buf,
+         v_buf, sem, k_patch, v_patch, w_sem, pend_ref, cursor_ref) = rest
+    else:
+        diag_ref = coloff_ref = None
+        (k_in, v_in, o_ref, k_out, v_out, k_buf, v_buf, sem, k_patch,
+         v_patch, w_sem, pend_ref, cursor_ref) = rest
     del k_in, v_in
     b = pl.program_id(0)
     nprog = pl.num_programs(0)
@@ -507,11 +515,15 @@ def _decode_kernel_v9(
 
     # static tile maps: query-head x kv-head block diagonal (repeats per
     # page) and each column's token offset within the tile
-    ci = jax.lax.broadcasted_iota(jnp.int32, (rows_q, cols), 1)
-    hc = (ci % (hkv * bs)) // bs
-    hr = jax.lax.broadcasted_iota(jnp.int32, (rows_q, cols), 0) // g
-    diag_bias = jnp.where(hc == hr, 0.0, _NEG_INF).astype(jnp.float32)
-    col_off = (ci // (hkv * bs)) * bs + ci % bs  # token offset in tile
+    if premask:
+        diag_bias = diag_ref[...]
+        col_off = coloff_ref[...]
+    else:
+        ci = jax.lax.broadcasted_iota(jnp.int32, (rows_q, cols), 1)
+        hc = (ci % (hkv * bs)) // bs
+        hr = jax.lax.broadcasted_iota(jnp.int32, (rows_q, cols), 0) // g
+        diag_bias = jnp.where(hc == hr, 0.0, _NEG_INF).astype(jnp.float32)
+        col_off = (ci // (hkv * bs)) * bs + ci % bs  # token offset in tile
 
     @pl.when(seq_len > 0)
     def _():
@@ -637,7 +649,7 @@ def _decode_kernel_v9(
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "interpret", "window", "split_override",
-                     "nslots_override", "tile", "softmax16"),
+                     "nslots_override", "tile", "softmax16", "premask"),
 )
 def paged_decode_attention_write_v9_tpu(
     q: jnp.ndarray,  # [B, Hq, D]
@@ -660,6 +672,8 @@ def paged_decode_attention_write_v9_tpu(
     # (223.5 vs 216.9 us/layer median, /tmp/ab_sm16.log r4): kept as the
     # documented negative result; the residual above the DMA floor is
     # not the softmax arithmetic
+    premask: bool = False,  # hoist the static mask build out of the
+    # per-program body into resident VMEM inputs (see kernel docstring)
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """-> (out [B, Hq, D], k_all, v_all) — caches updated in place."""
     del split_override
@@ -688,6 +702,30 @@ def paged_decode_attention_write_v9_tpu(
     ].add(1, mode="drop")
     seq_of_tile = jnp.cumsum(starts).astype(jnp.int32)
 
+    mask_inputs = []
+    mask_specs = []
+    if premask:
+        # one-time (XLA hoists it out of the layer scan) build of the
+        # static tile maps the kernel would otherwise rebuild per program
+        cols = T * hkv * bs
+        rows_q = hq
+        ci = jax.lax.broadcasted_iota(jnp.int32, (rows_q, cols), 1)
+        hc = (ci % (hkv * bs)) // bs
+        hr = jax.lax.broadcasted_iota(jnp.int32, (rows_q, cols), 0) // g
+        diag_bias = jnp.where(hc == hr, 0.0, _NEG_INF).astype(jnp.float32)
+        col_off = (ci // (hkv * bs)) * bs + ci % bs
+        mask_inputs = [diag_bias, col_off]
+        mask_specs = [
+            pl.BlockSpec(
+                (rows_q, cols), lambda i, *_: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (rows_q, cols), lambda i, *_: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
         grid=(b,),
@@ -701,6 +739,7 @@ def paged_decode_attention_write_v9_tpu(
             pl.BlockSpec(
                 (1, hkv, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
+            *mask_specs,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -724,8 +763,9 @@ def paged_decode_attention_write_v9_tpu(
     )
     kernel = functools.partial(
         _decode_kernel_v9, scale=scale, block_size=bs, window=window,
-        tile=T, softmax16=softmax16,
+        tile=T, softmax16=softmax16, premask=premask,
     )
+    n_mask = len(mask_inputs)
     out, k_all, v_all = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -734,7 +774,7 @@ def paged_decode_attention_write_v9_tpu(
             jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
             jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
         ],
-        input_output_aliases={10: 1, 11: 2},
+        input_output_aliases={10 + n_mask: 1, 11 + n_mask: 2},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -750,6 +790,7 @@ def paged_decode_attention_write_v9_tpu(
         q,
         k_new,
         v_new,
+        *mask_inputs,
         k_all,
         v_all,
     )

@@ -79,6 +79,8 @@ def _mla_decode_kernel(
 
         q = q_ref[0]  # [H, Dk]
 
+        # hoisted out of the page walk (see prefill_attention)
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (h, block_size), 1)
         def body(i, carry):
             m, l, acc = carry
             slot = jax.lax.rem(i, _NSLOTS)
@@ -106,9 +108,7 @@ def _mla_decode_kernel(
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale  # [H, bs]
-            kv_idx = i * block_size + jax.lax.broadcasted_iota(
-                jnp.int32, (h, block_size), 1
-            )
+            kv_idx = i * block_size + col_iota
             s_ = jnp.where(kv_idx < seq_len, s_, _NEG_INF)
 
             m_new = jnp.maximum(m, jnp.max(s_, axis=-1, keepdims=True))
@@ -265,6 +265,8 @@ def _mla_prefill_kernel(
             )
         )
 
+        # hoisted out of the page walk (see prefill_attention)
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (hg * tq, block_size), 1)
         def body(i, carry):
             m, l, acc = carry
             slot = jax.lax.rem(i, _NSLOTS)
@@ -282,9 +284,7 @@ def _mla_prefill_kernel(
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale  # [HG*TQ, bs]
-            kv_idx = i * block_size + jax.lax.broadcasted_iota(
-                jnp.int32, (hg * tq, block_size), 1
-            )
+            kv_idx = i * block_size + col_iota
             mask = (kv_idx <= row_pos) & (kv_idx < kv_len)
             s_ = jnp.where(mask, s_, _NEG_INF)
 
@@ -452,6 +452,8 @@ def _mla_prefill_batched_kernel(
             )
         )
 
+        # hoisted out of the page walk (see prefill_attention)
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (hg * tq, block_size), 1)
         def body(i, carry):
             m, l, acc = carry
             slot = jax.lax.rem(i, _NSLOTS)
@@ -471,9 +473,7 @@ def _mla_prefill_batched_kernel(
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale
-            kv_idx = i * block_size + jax.lax.broadcasted_iota(
-                jnp.int32, (hg * tq, block_size), 1
-            )
+            kv_idx = i * block_size + col_iota
             mask = (kv_idx <= row_pos) & (kv_idx < kv_len)
             s_ = jnp.where(mask, s_, _NEG_INF)
 

@@ -101,6 +101,12 @@ def _prefill_kernel(
                 tq,
             )
         )  # [G*TQ, bs]
+        # loop-invariant column iota hoisted out of the page walk: Mosaic
+        # does not LICM vector materializations out of fori_loop bodies,
+        # so building it per page re-spent VPU cycles nblks times
+        col_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (group * tq, block_size), 1
+        )
 
         def body(i, carry):
             m, l, acc = carry  # [Hkv, G*TQ, 1] x2, [Hkv, G*TQ, D]
@@ -124,9 +130,7 @@ def _prefill_kernel(
                     )
                 )
             s = jnp.stack(s_parts, axis=0) * scale  # [Hkv, G*TQ, bs]
-            kv_idx = i * block_size + jax.lax.broadcasted_iota(
-                jnp.int32, (group * tq, block_size), 1
-            )
+            kv_idx = i * block_size + col_iota
             mask = (kv_idx <= row_pos) & (kv_idx < kv_len)
             if window > 0:
                 mask = mask & (kv_idx > row_pos - window)
@@ -242,6 +246,10 @@ def _batched_prefill_kernel(
                 tq,
             )
         )
+        # hoisted out of the page walk (see _prefill_kernel)
+        col_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (group * tq, block_size), 1
+        )
 
         def body(i, carry):
             m, l, acc = carry
@@ -263,9 +271,7 @@ def _batched_prefill_kernel(
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             ) * scale  # [Hkv, G*TQ, bs]
-            kv_idx = i * block_size + jax.lax.broadcasted_iota(
-                jnp.int32, (group * tq, block_size), 1
-            )
+            kv_idx = i * block_size + col_iota
             mask = (kv_idx <= row_pos) & (kv_idx < kv_len)
             if window > 0:
                 mask = mask & (kv_idx > row_pos - window)
