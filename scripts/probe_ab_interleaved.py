@@ -80,8 +80,15 @@ def parse_variant(name):
     elif base == "v10":
         kern = functools.partial(v10, cum=CUM, tile=4)
     elif base.startswith("v9t"):
-        kern = functools.partial(v9, cum=CUM, tile=int(base[3:]),
-                                 softmax16=sm16, premask=premask)
+        spec = base[3:]  # "4" | "4n6" (tile [+ nslots override])
+        if "n" in spec:
+            tpart, npart = spec.split("n")
+            ns = int(npart)
+        else:
+            tpart, ns = spec, 0
+        kern = functools.partial(v9, cum=CUM, tile=int(tpart),
+                                 softmax16=sm16, premask=premask,
+                                 nslots_override=ns)
     elif base == "v9":
         kern = functools.partial(v9, cum=CUM, tile=4, softmax16=sm16,
                                  premask=premask)
