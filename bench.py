@@ -124,6 +124,9 @@ def _make_engine(
         cache=CacheConfig(
             block_size=bs, num_blocks=num_blocks * 64 // bs,
             kv_cache_dtype=kv,
+            # r5 layout lever: interleaved K/V single-array cache (one DMA
+            # fetches a page's K and V — ops/pallas v11 + ilv kernels)
+            kv_layout=os.environ.get("XLLM_BENCH_KV_LAYOUT", "split"),
         ),
         scheduler=SchedulerConfig(
             max_seqs_per_batch=batch,

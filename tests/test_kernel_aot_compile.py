@@ -698,3 +698,107 @@ def test_decode_fp8_cache_bf16_rows_compiles(tpu_aot):
             scale=D**-0.5, **kw,
         )
 
+
+def test_interleaved_kernels_compile(tpu_aot):
+    """The interleaved-layout path (kv_layout=interleaved): v11 decode at
+    bench shapes (bf16 + int8 cache, window, tiles), the interleaved
+    batched prefill attention, and both interleaved writers."""
+    from xllm_tpu.ops.pallas.decode_attention import (
+        paged_decode_attention_write_v11_tpu,
+    )
+    from xllm_tpu.ops.pallas.kv_write import (
+        kv_write_prefill_batched_ilv_tpu,
+        kv_write_rmw_batched_ilv_tpu,
+    )
+    from xllm_tpu.ops.pallas.prefill_attention import (
+        paged_attention_prefill_batched_ilv_tpu,
+    )
+
+    for cache_dt, rows_dt in (
+        (jnp.bfloat16, jnp.bfloat16),
+        (jnp.int8, jnp.int8),
+        (jnp.int8, jnp.bfloat16),
+    ):
+        cache = ((L, NBLK, 2, HKV, BS, D), cache_dt)
+        common = (
+            ((B, HQ, D), jnp.bfloat16),
+            ((B, HKV, D), rows_dt),
+            ((B, HKV, D), rows_dt),
+            cache,
+            ((), jnp.int32),
+            ((B,), jnp.int32),
+            ((B, NB), jnp.int32),
+            ((B,), jnp.int32),
+        )
+        for kw in ({}, {"tile": 2}, {"window": 1024}):
+            tpu_aot(
+                paged_decode_attention_write_v11_tpu, *common,
+                scale=D**-0.5, **kw,
+            )
+
+    # premap trace (the production decode path passes DecodeInput.page_cum)
+    def v11_premap(*a, scale):
+        *base, cum = a
+        return paged_decode_attention_write_v11_tpu(
+            *base, scale, cum=cum, tile=4
+        )
+
+    cache = ((L, NBLK, 2, HKV, BS, D), jnp.bfloat16)
+    tpu_aot(
+        v11_premap,
+        ((B, HQ, D), jnp.bfloat16),
+        ((B, HKV, D), jnp.bfloat16),
+        ((B, HKV, D), jnp.bfloat16),
+        cache,
+        ((), jnp.int32),
+        ((B,), jnp.int32),
+        ((B, NB), jnp.int32),
+        ((B,), jnp.int32),
+        ((B + 1,), jnp.int32),
+        scale=D**-0.5,
+    )
+    # 8B bench config (Hq=32, 36 layers)
+    cache8 = ((36, 250, 2, HKV, BS, D), jnp.bfloat16)
+    tpu_aot(
+        paged_decode_attention_write_v11_tpu,
+        ((64, 32, D), jnp.bfloat16),
+        ((64, HKV, D), jnp.bfloat16),
+        ((64, HKV, D), jnp.bfloat16),
+        cache8,
+        ((), jnp.int32),
+        ((64,), jnp.int32),
+        ((64, 35), jnp.int32),
+        ((64,), jnp.int32),
+        scale=D**-0.5,
+    )
+    for cache_dt in (jnp.bfloat16, jnp.int8):
+        cache = ((L, NBLK, 2, HKV, BS, D), cache_dt)
+        tpu_aot(
+            paged_attention_prefill_batched_ilv_tpu,
+            ((P, S, HQ, D), jnp.bfloat16),
+            cache,
+            ((), jnp.int32),
+            ((P, NB), jnp.int32),
+            ((P,), jnp.int32),
+            ((P,), jnp.int32),
+            scale=D**-0.5,
+        )
+        tpu_aot(
+            kv_write_prefill_batched_ilv_tpu,
+            ((P, 2, HKV, S, D), cache_dt),
+            cache,
+            ((), jnp.int32),
+            ((P, NB), jnp.int32),
+            ((P,), jnp.int32),
+            ((P,), jnp.int32),
+        )
+        tpu_aot(
+            kv_write_rmw_batched_ilv_tpu,
+            ((P, BS, HKV, D), cache_dt),
+            ((P, BS, HKV, D), cache_dt),
+            cache,
+            ((), jnp.int32),
+            ((P, NB), jnp.int32),
+            ((P,), jnp.int32),
+            ((P,), jnp.int32),
+        )

@@ -132,6 +132,12 @@ class CacheConfig:
 
     block_size: int = 64  # tokens per block; multiple of dtype sublane tile
     num_blocks: int = 0  # 0 -> derived from memory_utilization at init
+    # "split": separate K/V arrays [L, NB, Hkv, bs, D].
+    # "interleaved": one array [L, NB, 2, Hkv, bs, D] — a page's K and V
+    # are contiguous, so the decode/prefill kernels fetch both in ONE DMA
+    # (halves the DMA issue count; the r5 layout lever, PERF.md). GQA
+    # families only; MLA/hybrid models keep their own layouts.
+    kv_layout: str = "split"
     memory_utilization: float = 0.9
     kv_cache_dtype: str = "auto"  # auto|bfloat16|float32|int8|fp8_e4m3
     # int8 is the production 8-bit KV format on v5e (fp8's in-kernel

@@ -52,6 +52,7 @@ class DenseDecoderModel:
     # int8 KV is supported for the dense/MoE GQA families (the MLA
     # latent cache has its own fp8 path; hybrids keep linear state)
     supports_int8_kv = True
+    supports_interleaved_kv = True  # GQA cache can use the interleaved layout
 
     def __init__(self, cfg: ModelConfig):
         self.cfg = cfg
@@ -153,8 +154,17 @@ class DenseDecoderModel:
     # ------------------------------------------------------------------
     # KV cache
     # ------------------------------------------------------------------
+    # "split": separate K and V arrays [L, NB, Hkv, bs, D].
+    # "interleaved": ONE array [L, NB, 2, Hkv, bs, D] with a page's K and
+    # V contiguous, so the Pallas kernels fetch both in a single DMA (the
+    # r5 layout lever; v_all becomes a rank-1 placeholder like MLA's).
+    kv_layout = "split"
+
     def kv_cache_shape(self, num_blocks: int, block_size: int) -> tuple[int, ...]:
         c = self.cfg
+        if self.kv_layout == "interleaved":
+            return (c.num_hidden_layers, num_blocks, 2, c.num_kv_heads,
+                    block_size, c.head_dim)
         return (c.num_hidden_layers, num_blocks, c.num_kv_heads, block_size, c.head_dim)
 
     def kv_bytes_per_token(self, bytes_per_el: int | None = None) -> int:
@@ -169,6 +179,8 @@ class DenseDecoderModel:
     def kv_cache_sharding(self) -> P:
         # blocks shard over attention-DP ranks, kv heads over TP
         # (reference per-DP-rank KV pools + TP head split)
+        if self.kv_layout == "interleaved":
+            return P(None, DATA_AXIS, None, TP_AXIS, None, None)
         return P(None, DATA_AXIS, TP_AXIS, None, None)
 
     def new_kv_cache(
@@ -176,6 +188,10 @@ class DenseDecoderModel:
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         shape = self.kv_cache_shape(num_blocks, block_size)
         dt = dtype or self.dtype
+        if self.kv_layout == "interleaved":
+            # v slot is a rank-1 placeholder (the MLA convention): K and
+            # V share the interleaved array
+            return jnp.zeros(shape, dt), jnp.zeros((1,), dt)
         return jnp.zeros(shape, dt), jnp.zeros(shape, dt)
 
     def place_caches(self, k, v, mesh):

@@ -41,6 +41,7 @@ class MlaDecoderModel(DenseDecoderModel):
     # custom cache layout (latent / linear-state) — the GQA int8-KV
     # scale folding does not apply
     supports_int8_kv = False
+    supports_interleaved_kv = False  # latent cache has its own layout
 
     # chunk-batched latent kernels: the engine's whole-batch prefill /
     # batched-verify path applies to MLA families too

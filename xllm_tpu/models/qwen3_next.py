@@ -54,6 +54,7 @@ class Qwen3NextModel(DenseDecoderModel):
     # custom cache layout (latent / linear-state) — the GQA int8-KV
     # scale folding does not apply
     supports_int8_kv = False
+    supports_interleaved_kv = False  # hybrid cache keeps the split layout
 
     supports_batched_prefill = True
     is_hybrid = True  # linear-attention state: engine disables spec/beam/

@@ -18,9 +18,45 @@ import jax
 import jax.numpy as jnp
 
 from xllm_tpu.ops import attention_ref
-from xllm_tpu.ops.kv_cache_ops import write_kv
+from xllm_tpu.ops.kv_cache_ops import write_kv, write_kv_interleaved
 
 _FORCE_REF = os.environ.get("XLLM_ATTENTION_BACKEND", "auto") == "ref"
+
+
+def is_interleaved(k_all) -> bool:
+    """True when the cache uses the interleaved layout
+    [L, NB, 2, Hkv, bs, D] (K and V of a page contiguous; v_all is a
+    rank-1 placeholder, like MLA's latent pair)."""
+    return k_all.ndim == 6
+
+
+def _parse_tiled_kernel(kver: str, prefix: str):
+    """Parse 'v9t4', 'v9t4p', 'v9t4n6', 'v11t2', ... -> (tile, nslots,
+    premask). Raises with the supported grammar on anything else (the
+    probe harness's richer grammar silently diverged from this parser
+    once — ADVICE r4)."""
+    spec = kver[len(prefix):]
+    premask = spec.endswith("p")
+    if premask:
+        spec = spec[:-1]
+        if prefix != "v9":
+            raise ValueError(
+                f"premask suffix 'p' is a v9-family option: {kver!r}"
+            )
+    tile, nslots = 4, 0
+    if spec.startswith("t"):
+        spec = spec[1:]
+        if "n" in spec:
+            tpart, npart = spec.split("n", 1)
+            tile, nslots = int(tpart), int(npart)
+        else:
+            tile = int(spec)
+    elif spec:
+        raise ValueError(
+            f"bad XLLM_DECODE_KERNEL {kver!r}: expected "
+            f"{prefix}[tT[nN]][p], e.g. {prefix}t4, {prefix}t4n6"
+        )
+    return tile, nslots, premask
 
 
 def _use_pallas(head_dim: int = 128) -> bool:
@@ -52,9 +88,37 @@ def decode_attention_write(
     # maps (DecodeInput.page_cum/page_seq) — computing them on device puts
     # a sequential searchsorted inside every layer of the decode scan
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Write each sequence's new K/V row, then attend. -> (out, k, v)."""
+    """Write each sequence's new K/V row, then attend. -> (out, k, v).
+
+    Interleaved layout (k_all 6-dim, v_all a rank-1 placeholder): the
+    v11 kernel fetches each page's K and V in one DMA; the placeholder
+    v_all threads through unchanged."""
     cum = page_maps[0] if page_maps is not None else None
     seq_of_page = page_maps[1] if page_maps is not None else None
+    if is_interleaved(k_all):
+        kv_all = k_all
+        if _use_pallas(q.shape[-1]):
+            from xllm_tpu.ops.pallas.decode_attention import (
+                paged_decode_attention_write_v11_tpu,
+            )
+
+            kver = os.environ.get("XLLM_DECODE_KERNEL", "v11t4")
+            tile, nslots, _ = _parse_tiled_kernel(kver, "v11") \
+                if kver.startswith("v11") else (4, 0, False)
+            out, kv_all = paged_decode_attention_write_v11_tpu(
+                q, k_new, v_new, kv_all, layer_idx, slot_mapping,
+                block_tables, seq_lens, scale, window=window, cum=cum,
+                tile=tile, nslots_override=nslots,
+            )
+            return out, kv_all, v_all
+        kv_all = write_kv_interleaved(
+            kv_all, layer_idx, k_new, v_new, slot_mapping
+        )
+        out = attention_ref.paged_attention_decode_ref(
+            q, kv_all[:, :, 0], kv_all[:, :, 1], layer_idx, block_tables,
+            seq_lens, scale, window=window,
+        )
+        return out, kv_all, v_all
     if _use_pallas(q.shape[-1]):
         # Default v9t4: the r4 INTERLEAVED A/Bs (shared pools,
         # alternating rounds — scripts/probe_ab_interleaved.py) rank
@@ -104,12 +168,11 @@ def decode_attention_write(
                 paged_decode_attention_write_v9_tpu,
             )
 
-            base = kver[:-1] if kver.endswith("p") else kver
-            t = int(base[3:]) if base.startswith("v9t") else 4
+            t, nslots, premask = _parse_tiled_kernel(kver, "v9")
             return paged_decode_attention_write_v9_tpu(
                 q, k_new, v_new, k_all, v_all, layer_idx, slot_mapping,
                 block_tables, seq_lens, scale, window=window, cum=cum,
-                tile=t, premask=kver.endswith("p"),
+                tile=t, premask=premask, nslots_override=nslots,
             )
         if kver == "v7":
             from xllm_tpu.ops.pallas.legacy.decode_attention import (
@@ -200,6 +263,51 @@ def prefill_attention_write_batched(
     e.g. speculative verify rows) use the RMW writer.
     """
     p, s, hq, d = q.shape
+    if is_interleaved(k_all):
+        kv_all = k_all
+        if _use_pallas(d) and not force_ref:
+            from xllm_tpu.ops.pallas.kv_write import (
+                kv_write_prefill_batched_ilv_tpu,
+                kv_write_rmw_batched_ilv_tpu,
+            )
+            from xllm_tpu.ops.pallas.prefill_attention import (
+                paged_attention_prefill_batched_ilv_tpu,
+            )
+
+            ntoks = kv_lens - q_offsets
+            block_size = kv_all.shape[4]
+            k_w = k_new.astype(kv_all.dtype)
+            v_w = v_new.astype(kv_all.dtype)
+            if s <= block_size:
+                kv_all = kv_write_rmw_batched_ilv_tpu(
+                    k_w, v_w, kv_all, layer_idx, block_tables,
+                    q_offsets, ntoks,
+                )
+            else:
+                kvt = jnp.stack(
+                    [k_w.transpose(0, 2, 1, 3), v_w.transpose(0, 2, 1, 3)],
+                    axis=1,
+                )  # [P, 2, Hkv, S, D]
+                kv_all = kv_write_prefill_batched_ilv_tpu(
+                    kvt, kv_all, layer_idx, block_tables, q_offsets, ntoks,
+                )
+            out = paged_attention_prefill_batched_ilv_tpu(
+                q, kv_all, layer_idx, block_tables, q_offsets, kv_lens,
+                scale, window=window,
+            )
+            return out, kv_all, v_all
+        kv_all = write_kv_interleaved(
+            kv_all, layer_idx,
+            k_new.reshape(p * s, *k_new.shape[2:]),
+            v_new.reshape(p * s, *v_new.shape[2:]),
+            slot_mapping.reshape(p * s),
+        )
+        out = jax.vmap(
+            attention_ref.paged_attention_prefill_ref,
+            in_axes=(0, None, None, None, 0, 0, 0, None, None, 0),
+        )(q, kv_all[:, :, 0], kv_all[:, :, 1], layer_idx, block_tables,
+          q_offsets, kv_lens, scale, window, positions)
+        return out, kv_all, v_all
     if _use_pallas(d) and not force_ref:
         from xllm_tpu.ops.pallas.kv_write import (
             kv_write_prefill_batched_tpu,
@@ -261,6 +369,15 @@ def prefill_attention_write(
     window: int = 0,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Write the chunk's K/V into its pages, then flash-attend causally."""
+    if is_interleaved(k_all):
+        # interleaved layout rides the batched kernels with P=1
+        pos = (q_offset + jnp.arange(q.shape[0], dtype=jnp.int32))[None]
+        out, k_all, v_all = prefill_attention_write_batched(
+            q[None], k_new[None], v_new[None], k_all, v_all, layer_idx,
+            slot_mapping[None], block_table[None], q_offset.reshape(1),
+            kv_len.reshape(1), scale, window=window, positions=pos,
+        )
+        return out[0], k_all, v_all
     if _use_pallas(q.shape[-1]):
         from xllm_tpu.ops.pallas.kv_write import (
             kv_write_prefill_tpu,

@@ -38,3 +38,25 @@ def write_kv(
         v_new.astype(v_all.dtype), mode="drop"
     )
     return k_all, v_all
+
+
+def write_kv_interleaved(
+    kv_all: jnp.ndarray,  # [L, num_blocks, 2, Hkv, bs, D]
+    layer_idx: jnp.ndarray,  # [] int32
+    k_new: jnp.ndarray,  # [T, Hkv, D]
+    v_new: jnp.ndarray,  # [T, Hkv, D]
+    slot_mapping: jnp.ndarray,  # [T] int32, block*bs + off (0 = null)
+) -> jnp.ndarray:
+    """Interleaved-layout scatter writer (portable path).
+
+    The interleaved cache stores K and V of a page contiguously
+    ([L, NB, 2, Hkv, bs, D]) so the Pallas kernels fetch both in one
+    DMA; this is the XLA-scatter equivalent for CPU tests/fallback.
+    """
+    block_size = kv_all.shape[4]
+    block_idx = slot_mapping // block_size
+    offset = slot_mapping % block_size
+    new = jnp.stack([k_new, v_new], axis=1).astype(kv_all.dtype)  # [T,2,H,D]
+    return kv_all.at[layer_idx, block_idx, :, :, offset, :].set(
+        new, mode="drop"
+    )

@@ -9,12 +9,15 @@ is updated in place in HBM — no XLA scatter, no cache copy inside the layer
 scan (the scatter forced a whole-cache copy per layer).
 
 This module carries only the kernels the dispatch actually selects
-(ops/attention.py): **v9** (tile-of-T-pages slots; the default —
-interleaved medians 206 us/layer bf16 / 169-175 int8 at the bench
-config) and **v5** (slot-ring page pipeline; the fallback, 202 bf16
-but 210-220 int8). Retired generations v1/v3/v4/v6/v7/v8/v10 — each
-of which LOST an on-chip A/B (PERF.md kernel history) — live env-gated
-in ops/pallas/legacy/decode_attention.py.
+(ops/attention.py): **v9** (tile-of-T-pages slots; the split-layout
+default — interleaved medians 206 us/layer bf16 / 169-175 int8 at the
+bench config), **v5** (slot-ring page pipeline; the fallback, 202 bf16
+but 210-220 int8), and **v11** (the interleaved-KV-layout kernel: K and
+V of a page live contiguously in ONE cache array, so a page is ONE DMA
+and a block-contiguous tile is one [T, 2, Hkv, bs, D] burst). Retired
+generations v1/v3/v4/v6/v7/v8/v10 — each of which LOST an on-chip A/B
+(PERF.md kernel history) — live env-gated in
+ops/pallas/legacy/decode_attention.py.
 
 Shared design (both kernels):
 - grid = (batch,) over a GLOBAL page ring: host-precomputed cumulative
@@ -795,3 +798,362 @@ def paged_decode_attention_write_v9_tpu(
         v_all,
     )
     return out, k_all, v_all
+
+
+def _decode_kernel_v11(
+    # scalar prefetch
+    layer_ref,  # [1] int32
+    block_tables_ref,  # [B, NB] int32 (tight columns)
+    seq_lens_ref,  # [B] int32 (incl. current token)
+    slot_ref,  # [B] int32 (current token's slot)
+    pages_ref,  # [B] int32 page count per sequence
+    cum_tiles_ref,  # [B+1] int32 cumulative TILE counts (global ring)
+    seq_of_tile_ref,  # [B*ceil(NB/T)] int32 owning seq of each tile
+    # inputs
+    q_ref,  # [1, Hkv*G, D] VMEM
+    k_new_ref,  # [1, Hkv, D] VMEM
+    v_new_ref,
+    kv_in,  # [L, NB, 2, Hkv, bs, D] ANY (aliased)
+    # outputs
+    o_ref,  # [1, Hkv*G, D] VMEM
+    kv_out,
+    # scratch
+    kv_buf,  # [NSLOTS, T, 2, Hkv, bs, D]
+    sem,  # DMA [NSLOTS, T]
+    kv_patch,  # [2, Hkv, bs, D]
+    w_sem,  # DMA [1]
+    pend_ref,  # SMEM [1]
+    cursor_ref,  # SMEM [1]
+    *,
+    scale: float,
+    block_size: int,
+    tile: int,
+    window: int = 0,
+):
+    """v11: v9's T-page tiles over the INTERLEAVED cache layout.
+
+    Five kernel-structure theories for the ~65 us/layer decode residual
+    above the 140 us DMA floor all measured neutral (PERF.md r4); the
+    remaining levers are LAYOUT-level. v11 stores K and V of a page
+    contiguously in one array [L, NB, 2, Hkv, bs, D], so:
+
+    - one page = ONE [2, Hkv, bs, D] DMA (v9 issues two per page);
+    - when a tile's T pages hold consecutive block ids (the block
+      manager's ordered free list makes this the common case), the whole
+      tile is ONE [T, 2, Hkv, bs, D] burst — 1 issue where v9 spends 8;
+    - the tail-page patch writes back K and V in one DMA.
+
+    Compute: K pages land contiguous at kv_buf[slot, t, 0], so the score
+    pass runs T per-page packed dots [Hkv*G, D] x [D, Hkv*bs] whose
+    concatenated columns reproduce v9's tile ordering exactly — masks,
+    online softmax, and the PV accumulation are v9's, unchanged. The
+    contiguity check is recomputed at wait time from the same scalars,
+    so issue and wait always agree on the DMA descriptor shape.
+    """
+    del kv_in
+    b = pl.program_id(0)
+    nprog = pl.num_programs(0)
+
+    layer = layer_ref[0]
+    seq_len = seq_lens_ref[b]
+    nblks = pl.cdiv(seq_len, block_size)
+    last = nblks - 1
+    T = tile
+    ntiles = pl.cdiv(seq_len, T * block_size)
+    rows_q, d = q_ref.shape[1], q_ref.shape[2]
+    hkv = k_new_ref.shape[1]
+    g = rows_q // hkv
+    n_cached = seq_len - 1
+    base = cum_tiles_ref[b]
+    total_tiles = cum_tiles_ref[nprog]
+    nslots = kv_buf.shape[0]
+    bs = block_size
+    w = hkv * bs  # per-page score width
+    cols = T * w  # tile width
+
+    @pl.when(b == 0)
+    def _():
+        pend_ref[0] = 0
+        cursor_ref[0] = 0
+        # unwritten tile tails must hold FINITE values (see v9 docstring)
+        kv_buf[...] = jnp.zeros_like(kv_buf)
+
+    def tile_contig(iseq, j0):
+        """-> (blk0, full-tile-and-block-contiguous?)."""
+        blk0 = block_tables_ref[iseq, j0]
+        ok = j0 + T <= pages_ref[iseq]
+        for h in range(1, T):
+            ok = ok & (block_tables_ref[iseq, j0 + h] == blk0 + h)
+        return blk0, ok
+
+    def issue_tile(gt):
+        iseq = seq_of_tile_ref[gt]
+        j0 = (gt - cum_tiles_ref[iseq]) * T
+        slot = jax.lax.rem(gt, nslots)
+        blk0, contig = tile_contig(iseq, j0)
+
+        @pl.when(contig)
+        def _():
+            pltpu.make_async_copy(
+                kv_out.at[layer, pl.ds(blk0, T)], kv_buf.at[slot],
+                sem.at[slot, 0],
+            ).start()
+
+        @pl.when(jnp.logical_not(contig))
+        def _():
+            pltpu.make_async_copy(
+                kv_out.at[layer, blk0], kv_buf.at[slot, 0], sem.at[slot, 0]
+            ).start()
+            for h in range(1, T):
+
+                @pl.when(j0 + h < pages_ref[iseq])
+                def _(h=h):
+                    blkh = block_tables_ref[iseq, j0 + h]
+                    pltpu.make_async_copy(
+                        kv_out.at[layer, blkh], kv_buf.at[slot, h],
+                        sem.at[slot, h],
+                    ).start()
+
+    # prologue: fill the tile ring (steady state: one failed check)
+    def prologue_cond(gt):
+        return gt < jnp.minimum(base + nslots, total_tiles)
+
+    gt0 = jax.lax.while_loop(
+        prologue_cond,
+        lambda gt: (issue_tile(gt), gt + 1)[1],
+        cursor_ref[0],
+    )
+    cursor_ref[0] = gt0
+
+    # static tile maps (v9's): query-head x kv-head block diagonal and
+    # each column's token offset within the tile
+    ci = jax.lax.broadcasted_iota(jnp.int32, (rows_q, cols), 1)
+    hc = (ci % w) // bs
+    hr = jax.lax.broadcasted_iota(jnp.int32, (rows_q, cols), 0) // g
+    diag_bias = jnp.where(hc == hr, 0.0, _NEG_INF).astype(jnp.float32)
+    col_off = (ci // w) * bs + ci % bs  # token offset in tile
+
+    @pl.when(seq_len > 0)
+    def _():
+        q = q_ref[0]  # [Hkv*G, D]
+        k_new_p = jnp.repeat(k_new_ref[0], g, axis=0)
+        v_new_p = jnp.repeat(v_new_ref[0], g, axis=0)
+        m0 = (
+            jnp.sum(q.astype(jnp.float32) * k_new_p.astype(jnp.float32),
+                    axis=-1, keepdims=True) * scale
+        )
+        l0 = jnp.ones((rows_q, 1), jnp.float32)
+        acc0 = v_new_p.astype(jnp.float32)
+        win_lo = jnp.maximum(seq_len - window, 0) if window > 0 else 0
+
+        def body(i, carry):
+            m, l, acc = carry
+            gt = cursor_ref[0]
+
+            @pl.when(gt < jnp.minimum(base + i + nslots, total_tiles))
+            def _():
+                issue_tile(gt)
+                cursor_ref[0] = gt + 1
+
+            slot = jax.lax.rem(base + i, nslots)
+            p0 = i * T
+            blk0, contig = tile_contig(b, p0)
+
+            @pl.when(contig)
+            def _():
+                pltpu.make_async_copy(
+                    kv_buf.at[slot], kv_buf.at[slot], sem.at[slot, 0]
+                ).wait()
+
+            @pl.when(jnp.logical_not(contig))
+            def _():
+                pltpu.make_async_copy(
+                    kv_buf.at[slot, 0], kv_buf.at[slot, 0], sem.at[slot, 0]
+                ).wait()
+                for h in range(1, T):
+
+                    @pl.when(p0 + h < nblks)
+                    def _(h=h):
+                        pltpu.make_async_copy(
+                            kv_buf.at[slot, h], kv_buf.at[slot, h],
+                            sem.at[slot, h],
+                        ).wait()
+
+            s_parts = []
+            for t in range(T):
+                k_t = _mxu(kv_buf[slot, t, 0]).reshape(w, d)
+                s_parts.append(
+                    jax.lax.dot_general(
+                        q, k_t,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+            s = jnp.concatenate(s_parts, axis=1) * scale + diag_bias
+            limit = n_cached - p0 * bs
+            s = jnp.where(col_off < limit, s, _NEG_INF)
+            if window > 0:
+                lo_lim = win_lo - p0 * bs
+                s = jnp.where(col_off >= lo_lim, s, _NEG_INF)
+
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jnp.zeros((rows_q, d), jnp.float32)
+            for t in range(T):
+                v_t = _mxu(kv_buf[slot, t, 1]).reshape(w, d)
+                pv = pv + jax.lax.dot_general(
+                    p[:, t * w:(t + 1) * w].astype(v_t.dtype), v_t,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            return m_new, l_new, acc * alpha + pv
+
+        m, l, acc = jax.lax.fori_loop(0, ntiles, body, (m0, l0, acc0))
+        o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+        # tail-page patch + write-back, out of the hot loop (see v6)
+        @pl.when(pend_ref[0] == 1)
+        def _():
+            pltpu.make_async_copy(kv_patch, kv_patch, w_sem.at[0]).wait()
+
+        slot_last = jax.lax.rem(base + last // T, nslots)
+        t_last = jax.lax.rem(last, T)
+        off = jax.lax.rem(slot_ref[b], bs)
+        row = jax.lax.broadcasted_iota(jnp.int32, (hkv, bs, d), 1)
+        kv_patch[0] = jnp.where(
+            row == off,
+            k_new_ref[0][:, None, :].astype(kv_patch.dtype),
+            kv_buf[slot_last, t_last, 0],
+        )
+        kv_patch[1] = jnp.where(
+            row == off,
+            v_new_ref[0][:, None, :].astype(kv_patch.dtype),
+            kv_buf[slot_last, t_last, 1],
+        )
+        blk = block_tables_ref[b, last]
+        pltpu.make_async_copy(kv_patch, kv_out.at[layer, blk], w_sem.at[0]).start()
+        pend_ref[0] = 1
+
+    @pl.when(seq_len == 0)
+    def _():
+        o_ref[0] = jnp.zeros_like(o_ref[0])
+
+    @pl.when((b == nprog - 1) & (pend_ref[0] == 1))
+    def _():
+        pltpu.make_async_copy(kv_patch, kv_patch, w_sem.at[0]).wait()
+        pend_ref[0] = 0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "interpret", "window", "nslots_override",
+                     "tile"),
+)
+def paged_decode_attention_write_v11_tpu(
+    q: jnp.ndarray,  # [B, Hq, D]
+    k_new: jnp.ndarray,  # [B, Hkv, D]
+    v_new: jnp.ndarray,
+    kv_all: jnp.ndarray,  # [L, NB, 2, Hkv, bs, D] (interleaved layout)
+    layer_idx: jnp.ndarray,  # [] int32
+    slot_mapping: jnp.ndarray,  # [B] int32
+    block_tables: jnp.ndarray,  # [B, NB_used] int32
+    seq_lens: jnp.ndarray,  # [B] int32 (incl. current token)
+    scale: float,
+    interpret: bool = False,
+    window: int = 0,
+    nslots_override: int = 0,
+    tile: int = 4,
+    cum: jnp.ndarray | None = None,  # [B+1] precomputed page cumsum
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """-> (out [B, Hq, D], kv_all) — cache updated in place.
+
+    Interleaved-layout decode: K and V of a page are one contiguous
+    [2, Hkv, bs, D] region, fetched in ONE DMA (a block-contiguous tile
+    in one [T, 2, Hkv, bs, D] burst). See _decode_kernel_v11.
+    """
+    b, hq, d = q.shape
+    _, _, two, hkv, bs, _ = kv_all.shape
+    assert two == 2, "interleaved cache must be [L, NB, 2, Hkv, bs, D]"
+    g = hq // hkv
+    assert hq == hkv * g
+    T = tile
+    nslots = nslots_override or max(2, 12 // T)  # ~12 pages in flight
+    nb = block_tables.shape[1]
+    ntile_cols = -(-nb // T)
+
+    if cum is None:
+        pages = jax.lax.div(seq_lens + bs - 1, bs)
+    else:
+        pages = cum[1:] - cum[:-1]
+    tiles = jax.lax.div(pages + (T - 1), T)
+    cum_tiles = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(tiles).astype(jnp.int32)]
+    )
+    # vectorized tile->owner map (see v9: no searchsorted on TPU)
+    starts = jnp.zeros(b * ntile_cols, jnp.int32).at[
+        cum_tiles[1:-1]
+    ].add(1, mode="drop")
+    seq_of_tile = jnp.cumsum(starts).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, hq, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, hkv, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, hkv, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, hq, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nslots, T, 2, hkv, bs, d), kv_all.dtype),
+            pltpu.SemaphoreType.DMA((nslots, T)),
+            pltpu.VMEM((2, hkv, bs, d), kv_all.dtype),
+            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_kernel_v11, scale=scale, block_size=bs, window=window,
+        tile=T,
+    )
+    out, kv_all = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, d), q.dtype),
+            jax.ShapeDtypeStruct(kv_all.shape, kv_all.dtype),
+        ],
+        input_output_aliases={10: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        layer_idx.reshape(1),
+        block_tables,
+        seq_lens,
+        slot_mapping,
+        pages.astype(jnp.int32),
+        cum_tiles,
+        seq_of_tile,
+        q,
+        k_new,
+        v_new,
+        kv_all,
+    )
+    return out, kv_all

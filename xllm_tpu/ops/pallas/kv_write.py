@@ -888,3 +888,227 @@ def latent_write_rmw_batched_tpu(
         layer_idx.reshape(1), block_tables, q_offsets, ntoks, lt, cache,
     )
     return cache
+
+
+# ----------------------------------------------------------------------
+# interleaved-layout writers: K and V of a page live contiguously in ONE
+# cache array [L, NB, 2, Hkv, bs, D], so each page is a single DMA (the
+# layout the v11 decode kernel streams — see decode_attention.py)
+# ----------------------------------------------------------------------
+def _kv_write_batched_ilv_kernel(
+    # scalar prefetch
+    layer_ref,  # [1]
+    block_tables_ref,  # [P, NBmax]
+    q_offsets_ref,  # [P] (page-aligned per row)
+    ntoks_ref,  # [P]
+    # inputs
+    kvt,  # [P, 2, Hkv, S_pad + bs, D] ANY
+    kv_in,
+    # outputs (aliased)
+    kv_out,  # [L, NB, 2, Hkv, bs, D]
+    # scratch
+    page_sem,  # [MAXP]
+    *,
+    block_size: int,
+    max_pages: int,
+):
+    del kv_in
+    p = pl.program_id(0)
+    layer = layer_ref[0]
+    q_offset = q_offsets_ref[p]
+    ntok = ntoks_ref[p]
+    first_page = q_offset // block_size
+
+    def page_dma(pg):
+        r0 = pg * block_size
+        blk = block_tables_ref[p, first_page + pg]
+        return pltpu.make_async_copy(
+            kvt.at[p, :, :, pl.ds(r0, block_size), :],
+            kv_out.at[layer, blk],
+            page_sem.at[pg],
+        )
+
+    for pg in range(max_pages):
+
+        @pl.when(pg * block_size < ntok)
+        def _(pg=pg):
+            page_dma(pg).start()
+
+    for pg in range(max_pages):
+
+        @pl.when(pg * block_size < ntok)
+        def _(pg=pg):
+            page_dma(pg).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def kv_write_prefill_batched_ilv_tpu(
+    kvt: jnp.ndarray,  # [P, 2, Hkv, S_pad, D] (K at [:,0], V at [:,1])
+    kv_all: jnp.ndarray,  # [L, NB, 2, Hkv, bs, D]
+    layer_idx: jnp.ndarray,  # [] int32
+    block_tables: jnp.ndarray,  # [P, NBmax] int32
+    q_offsets: jnp.ndarray,  # [P] int32 (page-aligned)
+    ntoks: jnp.ndarray,  # [P] int32 (0 = padded row)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Full-page writer over the interleaved layout: ONE DMA per page
+    covers that page's K and V."""
+    p, two, hkv, s_pad, d = kvt.shape
+    assert two == 2
+    bs = kv_all.shape[4]
+    max_pages = (s_pad + bs - 1) // bs
+    kvt = jnp.pad(kvt, ((0, 0), (0, 0), (0, 0), (0, bs), (0, 0)))
+
+    kernel = functools.partial(
+        _kv_write_batched_ilv_kernel, block_size=bs, max_pages=max_pages
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(p,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((max_pages,))],
+    )
+    (kv_all,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(kv_all.shape, kv_all.dtype)],
+        input_output_aliases={5: 0},
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        layer_idx.reshape(1),
+        block_tables,
+        q_offsets,
+        ntoks,
+        kvt,
+        kv_all,
+    )
+    return kv_all
+
+
+def _kv_write_rmw_batched_ilv_kernel(
+    # scalar prefetch
+    layer_ref,  # [1]
+    block_tables_ref,  # [P, NBmax]
+    q_offsets_ref,  # [P]
+    ntoks_ref,  # [P]
+    # inputs
+    kt_ref,  # [1, S, Hkv, D] VMEM (token-major)
+    vt_ref,
+    kv_in,
+    # outputs (aliased)
+    kv_out,  # [L, NB, 2, Hkv, bs, D]
+    # scratch
+    kv_pg,  # [2, Hkv, bs, D]
+    sem,  # [1]
+    *,
+    block_size: int,
+    s: int,
+):
+    """Interleaved RMW writer: each touched page is ONE read DMA, per-row
+    vector merges, ONE write DMA (the split layout spends four)."""
+    del kv_in
+    p = pl.program_id(0)
+    layer = layer_ref[0]
+    q_offset = q_offsets_ref[p]
+    ntok = ntoks_ref[p]
+    _, _, hkv, d = kt_ref.shape
+    first_page = q_offset // block_size
+    last_page = (q_offset + jnp.maximum(ntok, 1) - 1) // block_size
+
+    def do_page(page_idx):
+        blk = block_tables_ref[p, page_idx]
+        rd = pltpu.make_async_copy(kv_out.at[layer, blk], kv_pg, sem.at[0])
+        rd.start()
+        rd.wait()
+        row = jax.lax.broadcasted_iota(jnp.int32, (hkv, block_size, d), 1)
+        for j in range(s):
+            pos = q_offset + j
+            hit = (
+                (j < ntok)
+                & (pos // block_size == page_idx)
+                & (row == jax.lax.rem(pos, block_size))
+            )
+            kv_pg[0] = jnp.where(
+                hit, kt_ref[0, j][:, None, :].astype(kv_pg.dtype), kv_pg[0]
+            )
+            kv_pg[1] = jnp.where(
+                hit, vt_ref[0, j][:, None, :].astype(kv_pg.dtype), kv_pg[1]
+            )
+        wr = pltpu.make_async_copy(kv_pg, kv_out.at[layer, blk], sem.at[0])
+        wr.start()
+        wr.wait()
+
+    @pl.when(ntok > 0)
+    def _():
+        do_page(first_page)
+
+        @pl.when(last_page != first_page)
+        def _():
+            do_page(last_page)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def kv_write_rmw_batched_ilv_tpu(
+    kt: jnp.ndarray,  # [P, S, Hkv, D], S <= block_size
+    vt: jnp.ndarray,
+    kv_all: jnp.ndarray,  # [L, NB, 2, Hkv, bs, D]
+    layer_idx: jnp.ndarray,
+    block_tables: jnp.ndarray,  # [P, NBmax]
+    q_offsets: jnp.ndarray,  # [P] any alignment
+    ntoks: jnp.ndarray,  # [P] (0 = padded row)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    p, s, hkv, d = kt.shape
+    bs = kv_all.shape[4]
+    assert s <= bs, "RMW writer covers chunks within two pages"
+    kernel = functools.partial(
+        _kv_write_rmw_batched_ilv_kernel, block_size=bs, s=s
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(p,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, s, hkv, d), lambda pi, *_: (pi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, s, hkv, d), lambda pi, *_: (pi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((2, hkv, bs, d), kv_all.dtype),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+    )
+    (kv_all,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(kv_all.shape, kv_all.dtype)],
+        input_output_aliases={6: 0},
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        layer_idx.reshape(1),
+        block_tables,
+        q_offsets,
+        ntoks,
+        kt,
+        vt,
+        kv_all,
+    )
+    return kv_all

@@ -447,3 +447,181 @@ def paged_attention_prefill_tpu(
         v_all,
     )
     return out.transpose(1, 0, 2)
+
+
+def _batched_prefill_ilv_kernel(
+    # scalar prefetch
+    layer_ref,  # [1] int32
+    block_tables_ref,  # [P, NBmax] int32
+    q_offsets_ref,  # [P] int32
+    kv_lens_ref,  # [P] int32
+    # inputs
+    q_ref,  # [1, Hq, TQ, D] VMEM (this row's query tile)
+    kv_hbm,  # [L, NB, 2, Hkv, bs, D] ANY (interleaved layout)
+    # outputs
+    o_ref,  # [1, Hq, TQ, D] VMEM
+    # scratch
+    kv_buf,  # [NSLOTS, 2, Hkv, bs, D]
+    sem,  # [NSLOTS]
+    *,
+    scale: float,
+    block_size: int,
+    group: int,
+    window: int = 0,
+):
+    """Interleaved-layout variant of _batched_prefill_kernel: a page's K
+    and V arrive in ONE [2, Hkv, bs, D] DMA (half the issue count of the
+    split layout), landing K-contiguous at kv_buf[slot, 0] and
+    V-contiguous at kv_buf[slot, 1]; the flash math is unchanged."""
+    p, t = pl.program_id(0), pl.program_id(1)
+    layer = layer_ref[0]
+    q_offset = q_offsets_ref[p]
+    kv_len = kv_lens_ref[p]
+    hq, tq, d = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+    hkv = hq // group
+
+    tile_last_pos = q_offset + (t + 1) * tq - 1
+    kv_limit = jnp.minimum(kv_len, tile_last_pos + 1)
+    nblks = pl.cdiv(kv_limit, block_size)
+
+    def kv_dma(slot, i):
+        return pltpu.make_async_copy(
+            kv_hbm.at[layer, block_tables_ref[p, i]],
+            kv_buf.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(nblks > 0)
+    def _():
+        for s in range(_NSLOTS - 1):
+
+            @pl.when(s < nblks)
+            def _(s=s):
+                kv_dma(s, s).start()
+
+        q = q_ref[0].reshape(hkv, group * tq, d)
+        row_pos = (
+            q_offset
+            + t * tq
+            + jax.lax.rem(
+                jax.lax.broadcasted_iota(jnp.int32, (group * tq, block_size), 0),
+                tq,
+            )
+        )
+        # hoisted out of the page walk (see _prefill_kernel)
+        col_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (group * tq, block_size), 1
+        )
+
+        def body(i, carry):
+            m, l, acc = carry
+            slot = jax.lax.rem(i, _NSLOTS)
+            nxt = i + _NSLOTS - 1
+
+            @pl.when(nxt < nblks)
+            def _():
+                kv_dma(jax.lax.rem(nxt, _NSLOTS), nxt).start()
+
+            pltpu.make_async_copy(
+                kv_buf.at[slot], kv_buf.at[slot], sem.at[slot]
+            ).wait()
+            s = jax.lax.dot_general(
+                q,
+                _mxu(kv_buf[slot, 0]),
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [Hkv, G*TQ, bs]
+            kv_idx = i * block_size + col_iota
+            mask = (kv_idx <= row_pos) & (kv_idx < kv_len)
+            if window > 0:
+                mask = mask & (kv_idx > row_pos - window)
+            s = jnp.where(mask[None], s, _NEG_INF)
+
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p_ = jnp.exp(s - m_new)
+            l_new = l * alpha + jnp.sum(p_, axis=-1, keepdims=True)
+
+            pv = jax.lax.dot_general(
+                p_.astype(_mxu(kv_buf[slot, 1]).dtype),
+                _mxu(kv_buf[slot, 1]),
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            acc_new = acc * alpha + pv
+            return m_new, l_new, acc_new
+
+        m0 = jnp.full((hkv, group * tq, 1), _NEG_INF, jnp.float32)
+        l0 = jnp.zeros((hkv, group * tq, 1), jnp.float32)
+        acc0 = jnp.zeros((hkv, group * tq, d), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, nblks, body, (m0, l0, acc0))
+        out = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        o_ref[0] = out.reshape(hq, tq, d)
+
+    @pl.when(nblks == 0)
+    def _():
+        o_ref[0] = jnp.zeros_like(o_ref[0])
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "window"))
+def paged_attention_prefill_batched_ilv_tpu(
+    q: jnp.ndarray,  # [P, S, Hq, D]
+    kv_all: jnp.ndarray,  # [L, NB, 2, Hkv, bs, D] (interleaved layout)
+    layer_idx: jnp.ndarray,  # [] int32
+    block_tables: jnp.ndarray,  # [P, NBmax] int32
+    q_offsets: jnp.ndarray,  # [P] int32
+    kv_lens: jnp.ndarray,  # [P] int32 (0 = padded row)
+    scale: float,
+    interpret: bool = False,
+    window: int = 0,
+) -> jnp.ndarray:
+    """P prompt chunks over the interleaved cache in one dispatch."""
+    p, s, hq, d = q.shape
+    _, _, two, hkv, bs, _ = kv_all.shape
+    assert two == 2
+    g = hq // hkv
+    tq = _pick_q_tile(s, hq)
+
+    qt = q.transpose(0, 2, 1, 3)  # [P, Hq, S, D]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(p, s // tq),
+        in_specs=[
+            pl.BlockSpec(
+                (1, hq, tq, d),
+                lambda pi, t, *_: (pi, 0, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, hq, tq, d),
+            lambda pi, t, *_: (pi, 0, t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((_NSLOTS, 2, hkv, bs, d), kv_all.dtype),
+            pltpu.SemaphoreType.DMA((_NSLOTS,)),
+        ],
+    )
+    kernel = functools.partial(
+        _batched_prefill_ilv_kernel, scale=scale, block_size=bs, group=g,
+        window=window,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((p, hq, s, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        layer_idx.reshape(1),
+        block_tables,
+        q_offsets,
+        kv_lens,
+        qt,
+        kv_all,
+    )
+    return out.transpose(0, 2, 1, 3)

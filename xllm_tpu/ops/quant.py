@@ -62,9 +62,13 @@ def calibrate_kv_scales(
             "auto/bfloat16/float32), then install the scales on the "
             "int8 engine"
         )
-    if runner.v_cache.ndim != 5 or runner.k_cache.shape != runner.v_cache.shape:
+    interleaved = runner.k_cache.ndim == 6
+    if not interleaved and (
+        runner.v_cache.ndim != 5
+        or runner.k_cache.shape != runner.v_cache.shape
+    ):
         raise NotImplementedError(
-            "KV-scale calibration covers the paged GQA cache layout"
+            "KV-scale calibration covers the paged GQA cache layouts"
         )
     sp = SamplingParams(temperature=0.0, max_tokens=1, ignore_eos=True)
     for i, ids in enumerate(prompts):
@@ -77,8 +81,12 @@ def calibrate_kv_scales(
     def amax(cache):  # [L, NB, Hkv, bs, D] -> [L, Hkv]
         return jnp.max(jnp.abs(cache.astype(jnp.float32)), axis=(1, 3, 4))
 
-    ak = np.asarray(amax(runner.k_cache))
-    av = np.asarray(amax(runner.v_cache))
+    if interleaved:  # [L, NB, 2, Hkv, bs, D]
+        ak = np.asarray(amax(runner.k_cache[:, :, 0]))
+        av = np.asarray(amax(runner.k_cache[:, :, 1]))
+    else:
+        ak = np.asarray(amax(runner.k_cache))
+        av = np.asarray(amax(runner.v_cache))
     s_k = np.maximum(ak * margin / 127.0, 1e-6).astype(np.float32)
     s_v = np.maximum(av * margin / 127.0, 1e-6).astype(np.float32)
     return s_k, s_v

@@ -408,6 +408,14 @@ class ModelRunner:
                 cc = self.config.cache
                 self.model.set_kv_scales(cc.kv_scale_k, cc.kv_scale_v)
         self.model.num_state_slots = self.max_slots
+        if self.config.cache.kv_layout == "interleaved":
+            if getattr(self.model, "supports_interleaved_kv", False):
+                self.model.kv_layout = "interleaved"
+            else:
+                logger.warning(
+                    "kv_layout=interleaved unsupported for %s; using split",
+                    type(self.model).__name__,
+                )
         k, v = self.model.new_kv_cache(self.num_blocks, self.block_size, kv_dtype)
         if self.mesh is not None:
             k, v = self.model.place_caches(k, v, self.mesh)
@@ -1195,11 +1203,13 @@ class ModelRunner:
         if not pairs:
             return
         if self._copy_blocks_fn is None:
+            paged_v = self.v_cache.ndim >= 5  # rank-1 = MLA/interleaved
 
             @partial(jax.jit, donate_argnums=(0, 1))
             def copy_blocks(k_all, v_all, src, dst):
                 k_all = k_all.at[:, dst].set(k_all[:, src])
-                v_all = v_all.at[:, dst].set(v_all[:, src])
+                if paged_v:
+                    v_all = v_all.at[:, dst].set(v_all[:, src])
                 return k_all, v_all
 
             self._copy_blocks_fn = copy_blocks
