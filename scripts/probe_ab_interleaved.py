@@ -87,13 +87,17 @@ def parse_variant(name):
     if base.endswith("x"):
         tables = "scatter"
         base = base[:-1]
+    patch_mode = 2
+    if len(base) >= 2 and base[-2] == "w" and base[-1].isdigit():
+        patch_mode = int(base[-1])  # v9t4w0 / v9t4w1: tail write-back
+        base = base[:-2]            # probe (0 = none, 1 = K page only)
     premask = base.endswith("p")
     if premask:
         base = base[:-1]
     sm16 = base.endswith("s")
     if sm16:
         base = base[:-1]
-    if (premask or sm16) and not base.startswith("v9"):
+    if (premask or sm16 or patch_mode != 2) and not base.startswith("v9"):
         # suffixes silently no-oping under another base would corrupt the
         # A/B labels this harness exists to make trustworthy (ADVICE r4)
         raise ValueError(f"premask/softmax16 are v9-only options: {name!r}")
@@ -117,10 +121,11 @@ def parse_variant(name):
             tpart, ns = spec, 0
         kern = functools.partial(v9, cum=CUM, tile=int(tpart),
                                  softmax16=sm16, premask=premask,
-                                 nslots_override=ns)
+                                 nslots_override=ns,
+                                 patch_mode=patch_mode)
     elif base == "v9":
         kern = functools.partial(v9, cum=CUM, tile=4, softmax16=sm16,
-                                 premask=premask)
+                                 premask=premask, patch_mode=patch_mode)
     else:
         raise ValueError(name)
     return name, kern, (jnp.int8 if int8 else jnp.bfloat16), layout, tables

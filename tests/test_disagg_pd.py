@@ -358,3 +358,71 @@ def test_pd_mla_and_dsa_latent_cache():
         got = out.outputs[0].token_ids
         assert got == expect, ("dsa" if dsa else "mla", got, expect)
         assert dec.engine.block_manager.num_used_blocks == 0
+
+
+def test_pd_ooc_perfmodel_pull_quota():
+    """VERDICT r4 item 5: the offline pull quota is SOLVED against the
+    fitted step-time model (reference perf_model.h:50,
+    pd_ooc_scheduler.cpp:337-340) — largest admissible batch under the
+    online TPOT budget minus the live batch — not a fixed count."""
+    from xllm_tpu.disagg.ooc import OOCDecodeNode, OOCPrefillNode
+    from xllm_tpu.disagg.pd import AsyncPrefillInstance, DecodeInstance
+    from xllm_tpu.scheduler.profile import ProfileManager
+
+    # known linear model: tpot(batch) = (1 + batch) ms
+    prof = ProfileManager(refit_every=1)
+    for b in range(1, 20):
+        prof.observe_decode(b, (1 + b) * 1e-3)
+    prof.refit_every = 10 ** 9  # freeze: observed CPU steps must not
+    # perturb the known model this test asserts against
+    assert prof.max_decode_batch_for_tpot(10e-3) == 9
+
+    dec = OOCDecodeNode(
+        DecodeInstance(LLMEngine(tiny_config())), tpot_budget_s=10e-3,
+        headroom=1.0, profile=prof, max_pull=100,
+    )
+    assert dec.pull_quota() == 9  # empty engine: the full model budget
+
+    # install online work, then the quota shrinks by the live batch
+    rng = np.random.default_rng(9)
+    pre = OOCPrefillNode(AsyncPrefillInstance(LLMEngine(tiny_config())))
+    sp = SamplingParams(temperature=0.0, max_tokens=4, ignore_eos=True)
+    ready = []
+    for i in range(4):
+        pre.submit_online(
+            [int(x) for x in rng.integers(1, 90, 9 + i)], sp,
+            ready.append, request_id=f"on-{i}",
+        )
+    for _ in range(200):
+        pre.pump()
+        if len(ready) == 4:
+            break
+    for h in ready:
+        dec.accept(h, offline=False)
+    assert dec.pull_quota() == 5  # 9 admissible - 4 online
+
+    # budget below the live batch's predicted step time: no pulls
+    dec.tpot_budget_s = 2e-3  # max batch 1 < any live online batch
+    assert dec.pull_quota() == 0 and not dec.able_to_pull()
+
+    # offline work waits under the tight budget, drains once online ends
+    for i in range(3):
+        pre.submit_offline(
+            [int(x) for x in rng.integers(1, 90, 7)], sp,
+            request_id=f"off-{i}",
+        )
+    for _ in range(200):
+        pre.pump()
+        if len(pre.offline_backlog) == 3:
+            break
+    eng = dec.decode.engine
+    while eng.has_unfinished():
+        dec.pump(pre)
+        assert dec.pulls == 0  # online still running: budget blocks pulls
+    dec.tpot_budget_s = 10e-3
+    for _ in range(400):
+        dec.pump(pre)
+        if not eng.has_unfinished() and not pre.offline_backlog:
+            break
+    assert dec.pulls == 3
+    assert eng.block_manager.num_used_blocks == 0

@@ -136,3 +136,137 @@ def test_eplb_end_to_end_live_loads():
     # with threshold 1.0 and skew from top-k routing, at least one
     # rebalance fired and the placement is no longer identity somewhere
     assert eng_on._eplb.rebalances >= 1
+
+
+def test_replication_beats_permutation_on_single_hot_expert():
+    """VERDICT r4 item 4: one dominant expert cannot be balanced by any
+    permutation; replica slots split its load (reference redundant
+    experts, eplb_policy.h:30-56)."""
+    from xllm_tpu.framework.eplb import rebalance_replicated
+
+    loads = np.array([100, 1, 1, 1], np.float64)
+    perm = rebalance_greedy(loads, num_devices=2)
+    perm_imb = imbalance(loads, perm, num_devices=2)
+    assert perm_imb > 1.5  # permutation-only stays badly imbalanced
+
+    placement = rebalance_replicated(loads, num_devices=2, num_slots=6)
+    assert placement.shape == (6,)
+    assert sorted(set(placement.tolist())) == [0, 1, 2, 3]  # all present
+    reps = np.bincount(placement, minlength=4)
+    assert reps[0] >= 2  # the hot expert got replicated
+    rep_imb = imbalance(loads, placement, num_devices=2)
+    assert rep_imb < 1.1, (perm_imb, rep_imb)
+    # replicas of the hot expert spread across devices
+    dev_of_slots = np.repeat(np.arange(2), 3)
+    assert len(set(dev_of_slots[placement == 0])) == 2
+
+
+def test_manager_with_replica_slots():
+    m = EplbManager(num_layers=1, num_experts=4, num_devices=2,
+                    rebalance_interval=2, threshold=1.1, num_slots=6)
+    assert m.placement.shape == (1, 6)
+    # skew on expert 2 — NOT replicated by the initial placement
+    m.record(np.array([[1, 1, 50, 1]], np.int64))
+    m.record(np.array([[1, 1, 50, 1]], np.int64))
+    assert m.should_rebalance()
+    placement = m.compute_placement()
+    assert placement.shape == (1, 6)
+    assert np.bincount(placement[0], minlength=4)[2] >= 2
+
+
+def test_moe_replica_routing_matches_logical():
+    """Replica slots hold identical weights, so outputs must equal the
+    non-replicated computation exactly (f32, same combine order)."""
+    import jax.numpy as jnp
+
+    from xllm_tpu.ops.moe import moe_mlp
+
+    rng = np.random.default_rng(0)
+    T, D, E, I, K = 8, 16, 4, 8, 2
+    x = jnp.asarray(rng.standard_normal((T, D)), jnp.float32)
+    rw = jnp.asarray(rng.standard_normal((D, E)), jnp.float32)
+    gu = jnp.asarray(rng.standard_normal((E, D, 2 * I)), jnp.float32)
+    dn = jnp.asarray(rng.standard_normal((E, I, D)), jnp.float32)
+    base = moe_mlp(x, rw, gu, dn, K, True,
+                   placement=jnp.arange(E, dtype=jnp.int32))
+    # expand: slots [0,1,2,3,0,2] — experts 0 and 2 replicated
+    placement = jnp.asarray([0, 1, 2, 3, 0, 2], jnp.int32)
+    gu6 = gu[placement]
+    dn6 = dn[placement]
+    out, counts = moe_mlp(x, rw, gu6, dn6, K, True, placement=placement,
+                          return_counts=True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(base), rtol=1e-6)
+    assert counts.shape == (6,)
+    # physical loads fold back to the same logical totals
+    logical = np.zeros(E, np.int64)
+    np.add.at(logical, np.asarray(placement), np.asarray(counts))
+    assert logical.sum() == T * K
+
+
+def test_engine_e2e_with_redundant_experts():
+    """Live loop with replica slots: outputs match the replica-free run,
+    a rebalance fires, and the applied placement carries replicas."""
+    from xllm_tpu.config import (
+        CacheConfig, EngineConfig, EplbConfig, ModelConfig,
+        ParallelConfig, SchedulerConfig,
+    )
+    from xllm_tpu.engine import LLMEngine
+    from xllm_tpu.framework.sampling_params import SamplingParams
+
+    mc = ModelConfig(
+        model_type="qwen3_moe", dtype="float32", vocab_size=200,
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        qk_norm=True, num_experts=4, num_experts_per_tok=2,
+        moe_intermediate_size=32, norm_topk_prob=True,
+        max_position_embeddings=128,
+    )
+
+    def run(redundant):
+        cfg = EngineConfig(
+            model=mc,
+            cache=CacheConfig(num_blocks=32, block_size=8),
+            scheduler=SchedulerConfig(
+                max_seqs_per_batch=4, max_model_len=128,
+                decode_batch_buckets=[4], prefill_token_buckets=[16],
+                prefill_row_buckets=[1, 4],
+            ),
+            parallel=ParallelConfig(tp_size=2),
+            eplb=EplbConfig(
+                enable_eplb=True, rebalance_interval=4,
+                imbalance_threshold=1.0,
+                redundant_experts=redundant,
+            ),
+        )
+        eng = LLMEngine(cfg)
+        rng = np.random.default_rng(0)
+        for i in range(3):
+            eng.add_request(
+                prompt_token_ids=rng.integers(1, 199, size=10).tolist(),
+                sampling_params=SamplingParams(
+                    temperature=0.0, max_tokens=24, ignore_eos=True
+                ),
+                request_id=f"r{i}",
+            )
+        outs = {o.request_id: o for o in eng.generate_all(timeout_s=300)}
+        toks = [outs[f"r{i}"].outputs[0].token_ids for i in range(3)]
+        return eng, toks
+
+    eng0, base = run(0)
+    eng2, with_reps = run(2)
+    assert with_reps == base, "replica slots must not change outputs"
+    assert eng2.runner.params["layers"]["experts_gate_up"].shape[1] == 6
+    assert eng2._eplb.rebalances >= 1
+    cur = np.asarray(eng2.runner.params["layers"]["expert_placement"])
+    assert cur.shape == (2, 6)
+    assert all(len(np.unique(cur[l])) == 4 for l in range(2))
+    # repeated rebalances compose on the replicated stacks
+    eng2.runner.apply_expert_placement(
+        np.stack([np.array([1, 0, 2, 3, 1, 2], np.int32)] * 2)
+    )
+    eng2.add_request(prompt_token_ids=[3, 5, 7, 9],
+                     sampling_params=SamplingParams(
+                         temperature=0.0, max_tokens=4, ignore_eos=True),
+                     request_id="post")
+    assert eng2.generate_all(timeout_s=300)

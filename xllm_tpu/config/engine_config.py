@@ -311,6 +311,12 @@ class EplbConfig:
     enable_eplb: bool = False
     rebalance_interval: int = 256  # engine steps per evaluation window
     imbalance_threshold: float = 1.25  # max/mean device load that triggers
+    # extra physical expert slots holding REPLICAS of hot experts
+    # (reference redundant_experts, eplb_policy.h:30-56): a single
+    # too-hot expert that no permutation can fix splits its tokens
+    # across replicas round-robin. num_experts + redundant_experts
+    # should stay divisible by the EP axis size.
+    redundant_experts: int = 0
 
 
 @dataclass

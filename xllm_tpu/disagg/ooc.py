@@ -151,16 +151,27 @@ class OOCDecodeNode:
         self.max_pull = max_pull
         self.pulls = 0
 
-    # -- PerfModel gate (reference check_able_to_pull,
-    #    pd_ooc_scheduler.cpp:337-340) ----------------------------------
-    def able_to_pull(self) -> bool:
+    # -- PerfModel quota (reference check_able_to_pull + the batch-
+    #    composition solve, pd_ooc_scheduler.cpp:337-340, perf_model.h:50)
+    def pull_quota(self) -> int:
+        """How many offline sequences this step may pull: the fitted
+        step-time model is INVERTED against the online TPOT budget —
+        quota = (largest batch whose predicted step time fits the
+        budget) - (current batch), capped by the per-step burst limit.
+        Offline throughput is thereby maximized subject to the online
+        latency constraint, not a fixed heuristic count."""
         eng = self.decode.engine
         batch = sum(len(r.sequences) for r in eng.scheduler.running)
-        pred = self.profile.predict_tpot_s(batch + self.max_pull)
-        if pred is None:
+        max_batch = self.profile.max_decode_batch_for_tpot(
+            self.tpot_budget_s * self.headroom
+        )
+        if max_batch is None:
             # no fitted model yet: pull only when idle
-            return batch == 0
-        return pred <= self.tpot_budget_s * self.headroom
+            return self.max_pull if batch == 0 else 0
+        return max(0, min(max_batch - batch, self.max_pull))
+
+    def able_to_pull(self) -> bool:
+        return self.pull_quota() > 0
 
     def accept(self, handoff: PrefillHandoff, offline: bool = False) -> Request:
         req = self.decode.accept(handoff)
@@ -173,8 +184,9 @@ class OOCDecodeNode:
         """One decode step; pull offline handoffs when there is slack."""
         import time
 
-        if self.able_to_pull():
-            for h in prefill_node.pull_offline(self.max_pull):
+        quota = self.pull_quota()
+        if quota > 0:
+            for h in prefill_node.pull_offline(quota):
                 try:
                     self.accept(h, offline=True)
                 except RuntimeError:

@@ -193,6 +193,7 @@ class LLMEngine:
                 num_devices=max(config.parallel.tp_size, 1),
                 rebalance_interval=1,
                 threshold=config.eplb.imbalance_threshold,
+                num_slots=m.num_experts + config.eplb.redundant_experts,
             )
 
     def _make_block_manager(self):
@@ -886,10 +887,14 @@ class LLMEngine:
         phys = self.runner.fetch_expert_loads()
         if phys is None:
             return
-        # counts are PHYSICAL slots; map back to logical expert ids
-        logical = np.zeros_like(phys)
-        for layer in range(phys.shape[0]):
-            logical[layer, self._eplb.placement[layer]] = phys[layer]
+        # counts are PHYSICAL slots; fold back to logical expert ids
+        # (replica slots of one expert sum — scatter-add, not assignment)
+        nl = phys.shape[0]
+        logical = np.zeros((nl, self._eplb.num_experts), phys.dtype)
+        for layer in range(nl):
+            np.add.at(
+                logical[layer], self._eplb.placement[layer], phys[layer]
+            )
         self._eplb.record(logical)
         if self._eplb.should_rebalance():
             placement = self._eplb.compute_placement()

@@ -47,6 +47,10 @@ class MlaDecoderModel(DenseDecoderModel):
     # batched-verify path applies to MLA families too
     supports_batched_prefill = True
 
+    # rope convention on the qk_rope dims: "interleaved" (deepseek
+    # complex-pair) or "neox" (glm4-moe-lite's concat rotary)
+    mla_rope_style = "interleaved"
+
     def __init__(self, cfg: ModelConfig):
         super().__init__(cfg)
         assert cfg.kv_lora_rank > 0, "MLA requires kv_lora_rank"
@@ -256,7 +260,17 @@ class MlaDecoderModel(DenseDecoderModel):
         c_kv = rms_norm(kv_a[:, :kvr], lp["kv_a_norm"], c.rms_norm_eps)
         k_pe = kv_a[:, kvr:].reshape(t, 1, rope)
 
-        q_pe, k_pe = apply_rope_interleaved(q_pe, k_pe, positions, inv_freq)
+        if self.mla_rope_style == "neox":
+            # glm4-moe-lite: "concat" rotary — rotate-half pairs
+            # (reference get_concat_rotary_embedding,
+            # rotary_embedding_util.cpp:363: cat({freqs, freqs}))
+            from xllm_tpu.ops.rope import apply_rope
+
+            q_pe, k_pe = apply_rope(q_pe, k_pe, positions, inv_freq)
+        else:
+            q_pe, k_pe = apply_rope_interleaved(
+                q_pe, k_pe, positions, inv_freq
+            )
 
         # absorb W_UK into q: [T, H, nope] x [H, kvr, nope] -> [T, H, kvr]
         q_lat = jnp.einsum(
@@ -636,3 +650,20 @@ class MlaDecoderModel(DenseDecoderModel):
             params, (k_all, v_all), x, inp.positions, attn_fn
         )
         return x, k_all, v_all
+
+
+class Glm4MoeLiteModel(MlaDecoderModel):
+    """glm4-moe-lite: the MLA architecture with GLM's "concat" rotary.
+
+    Reference xllm/models/llm/npu/glm4_moe_lite.h:105-127 (the commented
+    deepseek-yarn block replaced by get_concat_rotary_embedding) +
+    npu_glm4_moe_lite_decoder_layer / glm4_moe_lite_decoder_loader
+    (q_a/kv_a low-rank projections, kv_b split into nope/v absorption —
+    identical weight names to deepseek v2/v3). Differences from the
+    deepseek family are config-level (noaux_tc sigmoid routing with
+    n_group/topk_group, routed_scaling 1.8, one dense first layer) plus
+    the rope convention: plain rotate-half on the qk_rope dims with no
+    yarn scaling.
+    """
+
+    mla_rope_style = "neox"

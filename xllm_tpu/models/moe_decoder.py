@@ -24,6 +24,11 @@ from xllm_tpu.ops.moe import moe_mlp
 
 
 class MoeDecoderModel(DenseDecoderModel):
+    # extra physical expert slots holding replicas of hot experts
+    # (reference redundant_experts, eplb_policy.h:30-56); set by the
+    # runner from EplbConfig.redundant_experts BEFORE init_params
+    num_redundant_experts = 0
+
     def __init__(self, cfg: ModelConfig):
         super().__init__(cfg)
         if cfg.num_experts <= 0:
@@ -63,6 +68,12 @@ class MoeDecoderModel(DenseDecoderModel):
             layers["router_bias"] = jnp.zeros((nm, E), jnp.float32)
         layers["experts_gate_up"] = w(k2, nm, E, D, 2 * I)
         layers["experts_down"] = w(k3, nm, E, I, D)
+        if self.num_redundant_experts > 0:
+            # physical slots = E + R; replica slots start as copies per
+            # the initial placement (rebalanced live by EPLB)
+            init = self.initial_expert_placement()
+            layers["experts_gate_up"] = layers["experts_gate_up"][:, init]
+            layers["experts_down"] = layers["experts_down"][:, init]
         if c.n_shared_experts > 0:
             SI = c.n_shared_experts * I
             s1, s2, s3 = jax.random.split(k4, 3)
@@ -71,9 +82,20 @@ class MoeDecoderModel(DenseDecoderModel):
             layers["shared_down_proj_w"] = w(s3, nm, SI, D)
         # EPLB slot map: placement[l, slot] = logical expert in that slot
         layers["expert_placement"] = jnp.tile(
-            jnp.arange(E, dtype=jnp.int32), (nm, 1)
+            self.initial_expert_placement(), (nm, 1)
         )
         return params
+
+    def initial_expert_placement(self) -> jnp.ndarray:
+        """[E + R] int32: identity slots, then replica slots of experts
+        0..R-1 (arbitrary until the first live rebalance)."""
+        e, r = self.cfg.num_experts, self.num_redundant_experts
+        base = jnp.arange(e, dtype=jnp.int32)
+        if r == 0:
+            return base
+        return jnp.concatenate(
+            [base, jnp.arange(r, dtype=jnp.int32) % e]
+        )
 
     def param_shardings(self) -> dict:
         out = super().param_shardings()

@@ -59,6 +59,11 @@ def get_model_class(model_type: str) -> type:
     # lightning indexer (reference deepseek_v32.h, glm5.h:21-43)
     ModelRegistry._registry.setdefault("deepseek_v32", MlaDecoderModel)
     ModelRegistry._registry.setdefault("glm_moe_dsa", MlaDecoderModel)
+    # glm4-moe-lite: MLA with GLM's concat (rotate-half) rotary
+    # (reference glm4_moe_lite.h:105-127)
+    from xllm_tpu.models.mla_decoder import Glm4MoeLiteModel
+
+    ModelRegistry._registry.setdefault("glm4_moe_lite", Glm4MoeLiteModel)
     # minimax-m2: GQA + partial rotary + per-layer MoE with sigmoid/noaux
     # routing (reference minimax_m2.h) -> the generic MoE decoder
     ModelRegistry._registry.setdefault("minimax_m2", MoeDecoderModel)

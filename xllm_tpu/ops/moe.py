@@ -34,6 +34,10 @@ def route(
     topk_group: int = 1,
     routed_scaling: float = 1.0,
     _id_map: jnp.ndarray | None = None,  # logical->physical remap [E]
+    _replica_map: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    # (l2p [E, max_rep], counts [E]): logical expert -> its physical
+    # replica slots; tokens split across replicas round-robin (reference
+    # redundant-experts routing, eplb_policy.h:30-56)
     _routed: tuple[jnp.ndarray, jnp.ndarray] | None = None,  # precomputed
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """-> (weights [T, k] f32, expert_ids [T, k] int32).
@@ -81,6 +85,18 @@ def route(
         topv = topv * routed_scaling
     if _id_map is not None:
         topi = _id_map[topi]
+    if _replica_map is not None:
+        l2p, rcounts = _replica_map
+        t = topi.shape[0]
+        kk = topi.shape[1]
+        # deterministic round-robin over each expert's replicas: token
+        # ordinal spreads a hot expert's tokens evenly across its slots
+        ordinal = (
+            jnp.arange(t, dtype=jnp.int32)[:, None]
+            + jnp.arange(kk, dtype=jnp.int32)[None, :]
+        )
+        rep = ordinal % rcounts[topi]
+        topi = l2p[topi, rep]
     return topv, topi.astype(jnp.int32)
 
 
@@ -256,8 +272,29 @@ def moe_mlp(
     count and the token count, dispatch goes through the ragged
     all-to-all EP path (`moe_mlp_ep_a2a`, DeepEP analog) instead of
     relying on GSPMD to gather expert weights."""
+    e_log = router_w.shape[-1]
+    e = gate_up.shape[0]  # PHYSICAL slot count (> e_log with replicas)
     if placement is not None:
-        if route_kw.get("n_group", 1) > 1:
+        if e > e_log:
+            # redundant-expert slots (reference eplb_policy.h:30-56):
+            # selection stays LOGICAL; each chosen expert's tokens then
+            # split round-robin across its physical replica slots. The
+            # l2p/count maps derive from the placement in-graph (tiny
+            # [E]-sized ops, hoisted by XLA out of the layer scan).
+            max_rep = e - e_log + 1
+            counts = jnp.zeros((e_log,), jnp.int32).at[placement].add(1)
+            cumstart = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32),
+                 jnp.cumsum(counts).astype(jnp.int32)[:-1]]
+            )
+            order = jnp.argsort(placement, stable=True).astype(jnp.int32)
+            sorted_e = placement[order]
+            pos = jnp.arange(e, dtype=jnp.int32) - cumstart[sorted_e]
+            l2p = jnp.zeros((e_log, max_rep), jnp.int32).at[
+                sorted_e, pos
+            ].set(order)
+            route_kw = dict(route_kw, _replica_map=(l2p, counts))
+        elif route_kw.get("n_group", 1) > 1:
             # group-limited selection is defined on the LOGICAL expert
             # order, so don't permute the router columns; instead remap the
             # chosen logical ids to physical slots afterwards (identical
@@ -269,7 +306,6 @@ def moe_mlp(
             if route_kw.get("bias") is not None:
                 route_kw = dict(route_kw, bias=route_kw["bias"][placement])
     nep = mesh.shape.get(ep_axis, 1) if mesh is not None else 1
-    e = router_w.shape[-1]
     quantized = gate_up_scale is not None
     counts = None
     if return_counts:
@@ -351,7 +387,7 @@ def moe_mlp_ep(
     from jax.sharding import PartitionSpec as P
 
     ntp = mesh.shape[axis]
-    e = router_w.shape[-1]
+    e = gate_up.shape[0]  # physical slots (> router width with replicas)
     el = e // ntp
     assert el * ntp == e, "num_experts must divide the EP axis size"
     k = num_experts_per_tok
@@ -458,7 +494,7 @@ def moe_mlp_ep_a2a(
     from jax.sharding import PartitionSpec as P
 
     n = mesh.shape[axis]
-    e = router_w.shape[-1]
+    e = gate_up.shape[0]  # physical slots (> router width with replicas)
     el = e // n
     assert el * n == e, "num_experts must divide the EP axis size"
     k = num_experts_per_tok

@@ -406,6 +406,9 @@ def _decode_kernel_v9(
     window: int = 0,
     softmax16: bool = False,
     premask: bool = False,
+    patch_mode: int = 2,  # 2 = full tail write-back; 1 = K page only;
+    # 0 = none. Modes < 2 are TIMING PROBES (the cache never persists
+    # the new token) isolating the write-traffic share of the step.
 ):
     """v9: v7's page-pair design generalized to T-page tiles.
 
@@ -616,27 +619,38 @@ def _decode_kernel_v9(
         # tail-page patch + write-back, out of the hot loop (see v6)
         @pl.when(pend_ref[0] == 1)
         def _():
-            pltpu.make_async_copy(k_patch, k_patch, w_sem.at[0]).wait()
-            pltpu.make_async_copy(v_patch, v_patch, w_sem.at[1]).wait()
+            if patch_mode >= 1:
+                pltpu.make_async_copy(k_patch, k_patch, w_sem.at[0]).wait()
+            if patch_mode >= 2:
+                pltpu.make_async_copy(v_patch, v_patch, w_sem.at[1]).wait()
 
         slot_last = jax.lax.rem(base + last // T, nslots)
         half0 = jax.lax.rem(last, T) * hkv
         off = jax.lax.rem(slot_ref[b], bs)
         row = jax.lax.broadcasted_iota(jnp.int32, (hkv, bs, d), 1)
-        k_patch[...] = jnp.where(
-            row == off,
-            k_new_ref[0][:, None, :].astype(k_patch.dtype),
-            k_buf[slot_last, pl.ds(half0, hkv)],
-        )
-        v_patch[...] = jnp.where(
-            row == off,
-            v_new_ref[0][:, None, :].astype(v_patch.dtype),
-            v_buf[slot_last, pl.ds(half0, hkv)],
-        )
+        if patch_mode >= 1:
+            k_patch[...] = jnp.where(
+                row == off,
+                k_new_ref[0][:, None, :].astype(k_patch.dtype),
+                k_buf[slot_last, pl.ds(half0, hkv)],
+            )
+        if patch_mode >= 2:
+            v_patch[...] = jnp.where(
+                row == off,
+                v_new_ref[0][:, None, :].astype(v_patch.dtype),
+                v_buf[slot_last, pl.ds(half0, hkv)],
+            )
         blk = block_tables_ref[b, last]
-        pltpu.make_async_copy(k_patch, k_out.at[layer, blk], w_sem.at[0]).start()
-        pltpu.make_async_copy(v_patch, v_out.at[layer, blk], w_sem.at[1]).start()
-        pend_ref[0] = 1
+        if patch_mode >= 1:
+            pltpu.make_async_copy(
+                k_patch, k_out.at[layer, blk], w_sem.at[0]
+            ).start()
+        if patch_mode >= 2:
+            pltpu.make_async_copy(
+                v_patch, v_out.at[layer, blk], w_sem.at[1]
+            ).start()
+        if patch_mode >= 1:
+            pend_ref[0] = 1
 
     @pl.when(seq_len == 0)
     def _():
@@ -644,15 +658,18 @@ def _decode_kernel_v9(
 
     @pl.when((b == nprog - 1) & (pend_ref[0] == 1))
     def _():
-        pltpu.make_async_copy(k_patch, k_patch, w_sem.at[0]).wait()
-        pltpu.make_async_copy(v_patch, v_patch, w_sem.at[1]).wait()
+        if patch_mode >= 1:
+            pltpu.make_async_copy(k_patch, k_patch, w_sem.at[0]).wait()
+        if patch_mode >= 2:
+            pltpu.make_async_copy(v_patch, v_patch, w_sem.at[1]).wait()
         pend_ref[0] = 0
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "interpret", "window", "split_override",
-                     "nslots_override", "tile", "softmax16", "premask"),
+                     "nslots_override", "tile", "softmax16", "premask",
+                     "patch_mode"),
 )
 def paged_decode_attention_write_v9_tpu(
     q: jnp.ndarray,  # [B, Hq, D]
@@ -677,6 +694,7 @@ def paged_decode_attention_write_v9_tpu(
     # not the softmax arithmetic
     premask: bool = False,  # hoist the static mask build out of the
     # per-program body into resident VMEM inputs (see kernel docstring)
+    patch_mode: int = 2,  # < 2 are timing probes (see kernel)
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """-> (out [B, Hq, D], k_all, v_all) — caches updated in place."""
     del split_override
@@ -767,6 +785,7 @@ def paged_decode_attention_write_v9_tpu(
     kernel = functools.partial(
         _decode_kernel_v9, scale=scale, block_size=bs, window=window,
         tile=T, softmax16=softmax16, premask=premask,
+        patch_mode=patch_mode,
     )
     n_mask = len(mask_inputs)
     out, k_all, v_all = pl.pallas_call(

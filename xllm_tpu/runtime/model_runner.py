@@ -137,7 +137,25 @@ class ModelRunner:
         )
         if self.collect_expert_loads:
             self.model.collect_expert_loads = True
+        if (
+            config.eplb.redundant_experts > 0
+            and config.model.num_experts > 0
+        ):
+            # replica slots for hot experts (reference eplb_policy.h:30-56)
+            if hasattr(type(self.model), "num_redundant_experts"):
+                self.model.num_redundant_experts = (
+                    config.eplb.redundant_experts
+                )
+            else:
+                logger.warning(
+                    "redundant_experts unsupported for %s; ignoring",
+                    type(self.model).__name__,
+                )
         self._expert_loads_acc = None
+        # host copy of the live expert placement per param group (the
+        # relative re-place map is computed host-side; with replicas the
+        # device placement is no longer an invertible permutation)
+        self._host_expert_placement: dict[str, np.ndarray] = {}
         self._key_ctr = 0
         self._prefill_fn = None
         self._decode_fn = None
@@ -180,6 +198,7 @@ class ModelRunner:
             self.params = load_params(
                 self.config.model, shardings, dtype=self.model.dtype
             )
+            self._expand_redundant_experts()
             if quant:
                 self.params = self._quantize_params(self.params)
         elif quant:
@@ -1659,37 +1678,91 @@ class ModelRunner:
         return loads
 
 
+    # expert stacks the re-placer must move together (weights + any
+    # weight-only quant scales; all have the expert dim at axis 1)
+    _EXPERT_STACK_KEYS = (
+        "experts_gate_up", "experts_down",
+        "experts_gate_up_scale", "experts_down_scale",
+    )
+
+    def _expand_redundant_experts(self) -> None:
+        """Checkpoint stacks carry E logical experts; with
+        redundant_experts > 0 gather them to E + R physical slots per the
+        model's initial placement (the random-init path expands inside
+        init_params)."""
+        r = getattr(self.model, "num_redundant_experts", 0)
+        if not r:
+            return
+        init = np.asarray(self.model.initial_expert_placement())
+        for group in ("layers", "moe_layers"):
+            lp = self.params.get(group)
+            if not isinstance(lp, dict) or "experts_gate_up" not in lp:
+                continue
+            if lp["experts_gate_up"].shape[1] == len(init):
+                continue
+            idx = jnp.asarray(init)
+
+            @jax.jit
+            def expand(stack, idx=idx):
+                return stack[:, idx]
+
+            lp = dict(lp)
+            for key in self._EXPERT_STACK_KEYS:
+                if key in lp:
+                    lp[key] = expand(lp[key])
+            lp["expert_placement"] = jnp.tile(
+                idx, (lp["experts_gate_up"].shape[0], 1)
+            )
+            self.params = {**self.params, group: lp}
+            logger.info(
+                "expanded %s experts to %d physical slots (+%d replicas)",
+                group, len(init), r,
+            )
+
     def apply_expert_placement(
         self, placement: np.ndarray, group: str = "layers"
     ) -> None:
         """Re-place experts: stack slot s gets logical expert placement[l,s].
 
-        One jitted gather per expert stack (donated, stays on device) plus
-        the router indirection update — the between-steps equivalent of the
-        reference's async expert weight shuffling.
+        One jitted gather over every expert stack (donated, stays on
+        device) plus the router indirection update — the between-steps
+        equivalent of the reference's async expert weight shuffling. The
+        relative map (which CURRENT slot sources each new slot) is
+        computed host-side from the tracked placement: with redundant
+        slots (eplb_policy.h:30-56) the placement has repeats, so it is
+        not an invertible permutation.
         """
-        perm = jnp.asarray(placement, jnp.int32)
+        lp = self.params[group]
+        cur = self._host_expert_placement.get(group)
+        if cur is None:
+            cur = np.asarray(lp["expert_placement"])
+        placement = np.asarray(placement, np.int32)
+        nl, ns = cur.shape
+        e_log = int(cur.max()) + 1
+        # first (any) current slot holding each logical expert
+        first = np.full((nl, e_log), -1, np.int64)
+        for layer in range(nl):
+            first[layer, cur[layer, ::-1]] = np.arange(ns - 1, -1, -1)
+        rel = np.take_along_axis(first, placement.astype(np.int64), axis=1)
+        assert (rel >= 0).all(), "placement names an absent expert"
+        rel_j = jnp.asarray(rel, jnp.int32)
+        perm_j = jnp.asarray(placement, jnp.int32)
 
         @partial(jax.jit, donate_argnums=(0,))
-        def permute(layers, perm):
+        def permute(layers, rel, perm):
             out = dict(layers)
-            # stacks currently hold `cur` (logical expert at each slot);
-            # gather with the RELATIVE permutation so repeated rebalances
-            # compose: rel[s] = slot currently holding perm[s]
-            cur = layers["expert_placement"]
-            inv = jnp.argsort(cur, axis=1)  # inv[l, logical] = slot
-            rel = jnp.take_along_axis(inv, perm, axis=1)
-            out["experts_gate_up"] = jnp.take_along_axis(
-                layers["experts_gate_up"], rel[:, :, None, None], axis=1
-            )
-            out["experts_down"] = jnp.take_along_axis(
-                layers["experts_down"], rel[:, :, None, None], axis=1
-            )
+            for key in self._EXPERT_STACK_KEYS:
+                if key in layers:
+                    ix = rel.reshape(
+                        rel.shape + (1,) * (layers[key].ndim - 2)
+                    )
+                    out[key] = jnp.take_along_axis(layers[key], ix, axis=1)
             out["expert_placement"] = perm
             return out
 
-        layers = permute(self.params[group], perm)
+        layers = permute(lp, rel_j, perm_j)
         self.params = {**self.params, group: layers}
+        self._host_expert_placement[group] = placement
         logger.info("applied EPLB expert placement (%s)", group)
 
     # ------------------------------------------------------------------

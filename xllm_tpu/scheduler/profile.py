@@ -81,13 +81,28 @@ class ProfileManager:
         self, ttft_budget_s: float, hi: int = 1 << 16
     ) -> int | None:
         """Largest chunk whose predicted prefill time fits the budget."""
-        if self.prefill.predict(1.0) is None:
+        return self._invert(self.prefill, ttft_budget_s, hi)
+
+    def max_decode_batch_for_tpot(
+        self, tpot_budget_s: float, hi: int = 4096
+    ) -> int | None:
+        """Largest decode batch whose predicted step time fits the TPOT
+        budget — the PerfModel inversion the PD-OOC scheduler solves its
+        offline pull quota against (reference perf_model.h:50,
+        pd_ooc_scheduler.cpp:337-340)."""
+        return self._invert(self.decode, tpot_budget_s, hi)
+
+    @staticmethod
+    def _invert(
+        predictor: TimePredictor, budget_s: float, hi: int
+    ) -> int | None:
+        if predictor.predict(1.0) is None:
             return None
         lo, best = 1, 0
         while lo <= hi:
             mid = (lo + hi) // 2
-            t = self.prefill.predict(float(mid))
-            if t is not None and t <= ttft_budget_s:
+            t = predictor.predict(float(mid))
+            if t is not None and t <= budget_s:
                 best = mid
                 lo = mid + 1
             else:
