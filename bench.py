@@ -13,6 +13,7 @@ north-star metric in BASELINE.json (>=0.95 of roofline tokens/s/chip).
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import time
@@ -251,29 +252,30 @@ def _latency_phase(engine: LLMEngine, n_requests: int = 32) -> dict:
 
 
 def _spec_phase() -> dict:
-    """Suffix-speculative decode on repetition-heavy prompts (the
-    reference's speculative configs — suffix/ngram drafting with
-    batched verify; BASELINE.json GLM-4.5 MTP class). Reports effective
-    tokens/s and the multi-token yield per verify step."""
+    """Speculative decode vs PLAIN decode at the same config (the
+    reference's speculative configs — suffix/ngram + MTP drafting with
+    batched verify; speculative_engine.cpp:41-70, mtp_worker_impl.h:34).
+
+    Runs in FLOAT32: with random weights the logit gaps are tiny, and
+    bf16 accumulation-order differences between the decode and verify
+    programs flip argmax at near-ties, rejecting drafts that ARE the
+    greedy continuation (the r4 caveat). f32 makes both programs agree
+    bit-for-bit, so the bench shows the mechanism, not rounding noise:
+    warm suffix drafts accept multi-token runs and spec beats plain at
+    the same batch.
+    """
     from xllm_tpu.config import SpeculativeConfig
 
-    cfg = EngineConfig(
-        model=MODEL,
-        cache=CacheConfig(block_size=64, num_blocks=400),
-        scheduler=SchedulerConfig(
-            max_seqs_per_batch=32,
-            max_tokens_per_batch=4096,
-            max_tokens_per_chunk_for_prefill=512,
-            max_model_len=512,
-            decode_batch_buckets=[32],
-            prefill_token_buckets=[512],
-            prefill_row_buckets=[1, 4],
-        ),
-        parallel=ParallelConfig(),
-        speculative=SpeculativeConfig(method="suffix",
-                                      num_speculative_tokens=4),
+    model32 = dataclasses.replace(MODEL, dtype="float32")
+    sched = SchedulerConfig(
+        max_seqs_per_batch=32,
+        max_tokens_per_batch=4096,
+        max_tokens_per_chunk_for_prefill=512,
+        max_model_len=512,
+        decode_batch_buckets=[32],
+        prefill_token_buckets=[512],
+        prefill_row_buckets=[1, 4],
     )
-    engine = LLMEngine(config=cfg, tokenizer=None)
     rng = np.random.default_rng(3)
     sp = SamplingParams(temperature=0.0, max_tokens=96, ignore_eos=True)
     prompts = [
@@ -281,7 +283,17 @@ def _spec_phase() -> dict:
         for _ in range(32)
     ]
 
-    def run(tag):
+    def make(method, k):
+        return LLMEngine(config=EngineConfig(
+            model=model32,
+            cache=CacheConfig(block_size=64, num_blocks=256),
+            scheduler=sched,
+            parallel=ParallelConfig(),
+            speculative=SpeculativeConfig(
+                method=method, num_speculative_tokens=k),
+        ), tokenizer=None)
+
+    def run(engine, tag):
         for i, ids in enumerate(prompts):
             engine.add_request(prompt_token_ids=list(ids),
                                sampling_params=sp,
@@ -303,20 +315,40 @@ def _spec_phase() -> dict:
         timed = 32 * 96 - gen0
         return timed / dt, timed / max(steps, 1) / 32
 
-    # pass 1 (cold): per-sequence suffix index only — greedy output of
-    # a random-weight model is not self-repetitive, drafts mostly miss.
-    # pass 2 (warm): identical prompts draft from pass 1's finished
-    # generations through the GLOBAL suffix cache (suffix_tree.h:129
-    # analog) — the templated/agentic-traffic case spec decoding targets
-    cold_tok_s, cold_yield = run("cold")
-    warm_tok_s, warm_yield = run("warm")
-    out = {
-        "spec_tok_s": round(warm_tok_s, 1),
-        "spec_accept_per_seq_step": round(warm_yield, 2),
-        "spec_cold_accept": round(cold_yield, 2),
-    }
+    # plain-decode baseline at the identical config (f32, batch 32)
+    plain = make("", 0)
+    plain_tok_s, _ = run(plain, "plain")
+    plain.runner.sleep(2)
+    del plain
+
+    # suffix spec: pass 1 cold (per-sequence index), pass 2 warm
+    # (identical prompts draft from pass 1's generations via the GLOBAL
+    # suffix cache, suffix_tree.h:129 analog — the templated/agentic
+    # traffic spec decoding targets)
+    engine = make("suffix", 4)
+    cold_tok_s, cold_yield = run(engine, "cold")
+    warm_tok_s, warm_yield = run(engine, "warm")
     engine.runner.sleep(2)
     del engine
+
+    # MTP head drafting (reference mtp_worker_impl.h:34): the head is
+    # RANDOM-initialized (no public draft checkpoint in-image), so its
+    # accept rate is the honest floor — the line measures the full
+    # draft+verify pipeline cost, not a tuned accept
+    mtp = make("mtp", 2)
+    mtp_tok_s, mtp_yield = run(mtp, "mtp")
+    mtp.runner.sleep(2)
+    del mtp
+
+    out = {
+        "spec_tok_s": round(warm_tok_s, 1),
+        "spec_plain_tok_s": round(plain_tok_s, 1),
+        "spec_speedup": round(warm_tok_s / max(plain_tok_s, 1e-9), 3),
+        "spec_accept_per_seq_step": round(warm_yield, 2),
+        "spec_cold_accept": round(cold_yield, 2),
+        "mtp_tok_s": round(mtp_tok_s, 1),
+        "mtp_accept_per_seq_step": round(mtp_yield, 2),
+    }
     return out
 
 

@@ -34,6 +34,7 @@ from xllm_tpu.ops.pallas.decode_attention import (
     paged_decode_attention_write_v5_tpu as v5,
     paged_decode_attention_write_v9_tpu as v9,
     paged_decode_attention_write_v11_tpu as v11,
+    paged_decode_attention_write_v12_tpu as v12,
 )
 from xllm_tpu.ops.pallas.legacy.decode_attention import (
     paged_decode_attention_write_v10_tpu as v10,
@@ -54,6 +55,11 @@ q = jnp.asarray(
 kn = rng.standard_normal((B, HKV, D), dtype=np.float32)
 vn = rng.standard_normal((B, HKV, D), dtype=np.float32)
 seq_lens_np = np.full((B,), CTX, np.int32)
+if os.environ.get("XLLM_AB_SPREAD") == "1":
+    # spread tail offsets so per-step page completions hit 1/bs of the
+    # batch (the v12 steady state) instead of all rows at once; applied
+    # to every variant so comparisons stay fair
+    seq_lens_np -= np.arange(B, dtype=np.int32) % BS
 seq_lens = jnp.asarray(seq_lens_np)
 
 # contiguous per-seq page runs (what the ordered free list produces) and
@@ -69,8 +75,11 @@ bt_scat = np.zeros((B, NBT), np.int32)
 bt_scat[:, :NPAGES] = order.reshape(B, NPAGES)
 TABLES = {"contig": jnp.asarray(bt), "scatter": jnp.asarray(bt_scat)}
 SLOTS = {
-    key: jnp.asarray(t[np.arange(B), NPAGES - 1] * BS + (CTX - 1) % BS,
-                     jnp.int32)
+    key: jnp.asarray(
+        t[np.arange(B), (seq_lens_np - 1) // BS] * BS
+        + (seq_lens_np - 1) % BS,
+        jnp.int32,
+    )
     for key, t in ((k, np.asarray(v)) for k, v in TABLES.items())
 }
 cum_np = np.zeros(B + 1, np.int32)
@@ -102,7 +111,11 @@ def parse_variant(name):
         # A/B labels this harness exists to make trustworthy (ADVICE r4)
         raise ValueError(f"premask/softmax16 are v9-only options: {name!r}")
     layout = "split"
-    if base.startswith("v11"):
+    if base.startswith("v12"):
+        layout = "ilv"
+        tile = int(base[4:]) if base.startswith("v12t") else 4
+        kern = functools.partial(v12, tile=tile)
+    elif base.startswith("v11"):
         layout = "ilv"
         tile = int(base[4:]) if base.startswith("v11t") else 4
         kern = functools.partial(v11, cum=CUM, tile=tile)

@@ -80,3 +80,47 @@ def test_c_host_drives_engine(tmp_path):
     )
     assert proc.returncode == 0, (proc.stdout, proc.stderr)
     assert "C_API_OK" in proc.stdout, proc.stdout
+
+
+def test_cc_host_drives_engine(tmp_path):
+    """C++ host through the header-only RAII wrapper (xllm_cc.h —
+    reference cc_api/llm.h:32): Initialize + Completions +
+    ChatCompletions + move semantics over libxllm_c.so."""
+    from xllm_tpu.native import build_c_api
+
+    lib = build_c_api()
+    inc = os.path.join(os.path.dirname(os.path.dirname(lib)), "include")
+    model_dir = _make_model_dir(tmp_path)
+    exe = os.path.join(str(tmp_path), "cc_api_driver")
+    src = os.path.join(os.path.dirname(__file__), "cc_api_driver.cpp")
+    try:
+        subprocess.run(
+            ["g++", "-std=c++17", "-O1", src, f"-I{inc}", "-o", exe, lib,
+             f"-Wl,-rpath,{os.path.dirname(lib)}"],
+            check=True, capture_output=True,
+        )
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        pytest.skip(f"no C++ toolchain: {e}")
+
+    extra = json.dumps(
+        {
+            "engine": {"load_format": "dummy"},
+            "model": {"dtype": "float32"},
+            "scheduler": {
+                "decode_batch_buckets": [4],
+                "prefill_token_buckets": [32],
+                "max_model_len": 128,
+            },
+        }
+    )
+    env = dict(
+        os.environ,
+        XLLM_TPU_ROOT=os.path.dirname(os.path.dirname(__file__)),
+        XLLM_C_PLATFORM="cpu",
+    )
+    proc = subprocess.run(
+        [exe, model_dir, extra], env=env, capture_output=True, text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, (proc.stdout, proc.stderr)
+    assert "CC API OK" in proc.stdout, proc.stdout

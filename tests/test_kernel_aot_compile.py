@@ -802,3 +802,81 @@ def test_interleaved_kernels_compile(tpu_aot):
             ((P,), jnp.int32),
             ((P,), jnp.int32),
         )
+
+def test_rowmajor_kernels_compile(tpu_aot):
+    """kv_layout=interleaved_rm: v12 decode (row-major tail pages), the
+    rowmajor prefill writers, and the tail-aware prefill attention."""
+    from xllm_tpu.ops.pallas.decode_attention import (
+        paged_decode_attention_write_v12_tpu,
+    )
+    from xllm_tpu.ops.pallas.kv_write import (
+        kv_write_prefill_batched_rm_tpu,
+        kv_write_rmw_batched_rm_tpu,
+    )
+    from xllm_tpu.ops.pallas.prefill_attention import (
+        paged_attention_prefill_batched_ilv_tpu,
+    )
+
+    cache = ((L, NBLK, 2, HKV, BS, D), jnp.bfloat16)
+    common = (
+        ((B, HQ, D), jnp.bfloat16),
+        ((B, HKV, D), jnp.bfloat16),
+        ((B, HKV, D), jnp.bfloat16),
+        cache,
+        ((), jnp.int32),
+        ((B,), jnp.int32),
+        ((B, NB), jnp.int32),
+        ((B,), jnp.int32),
+    )
+    for kw in ({}, {"tile": 2}, {"window": 1024}):
+        tpu_aot(
+            paged_decode_attention_write_v12_tpu, *common,
+            scale=D**-0.5, **kw,
+        )
+    # 8B bench config (Hq=32, 36 layers)
+    cache8 = ((36, 250, 2, HKV, BS, D), jnp.bfloat16)
+    tpu_aot(
+        paged_decode_attention_write_v12_tpu,
+        ((64, 32, D), jnp.bfloat16),
+        ((64, HKV, D), jnp.bfloat16),
+        ((64, HKV, D), jnp.bfloat16),
+        cache8,
+        ((), jnp.int32),
+        ((64,), jnp.int32),
+        ((64, 35), jnp.int32),
+        ((64,), jnp.int32),
+        scale=D**-0.5,
+    )
+    tpu_aot(
+        paged_attention_prefill_batched_ilv_tpu,
+        ((P, S, HQ, D), jnp.bfloat16),
+        cache,
+        ((), jnp.int32),
+        ((P, NB), jnp.int32),
+        ((P,), jnp.int32),
+        ((P,), jnp.int32),
+        scale=D**-0.5,
+        rowmajor_tail=True,
+    )
+    tpu_aot(
+        kv_write_prefill_batched_rm_tpu,
+        ((P, 2, HKV, S, D), jnp.bfloat16),
+        ((P, S, 2 * HKV, D), jnp.bfloat16),
+        cache,
+        ((), jnp.int32),
+        ((P, NB), jnp.int32),
+        ((P,), jnp.int32),
+        ((P,), jnp.int32),
+        ((P,), jnp.int32),
+    )
+    tpu_aot(
+        kv_write_rmw_batched_rm_tpu,
+        ((P, BS, HKV, D), jnp.bfloat16),
+        ((P, BS, HKV, D), jnp.bfloat16),
+        cache,
+        ((), jnp.int32),
+        ((P, NB), jnp.int32),
+        ((P,), jnp.int32),
+        ((P,), jnp.int32),
+        ((P,), jnp.int32),
+    )

@@ -137,6 +137,11 @@ class CacheConfig:
     # are contiguous, so the decode/prefill kernels fetch both in ONE DMA
     # (halves the DMA issue count; the r5 layout lever, PERF.md). GQA
     # families only; MLA/hybrid models keep their own layouts.
+    # "interleaved_rm": interleaved + row-major tail pages — incomplete
+    # tail pages hold token-major content so decode persists each token
+    # as one 4 KB tile instead of rewriting the page (v12 kernel; the
+    # write-back was the measured decode residual). bf16/f32 caches with
+    # 2*Hkv a multiple of 16 dividing block_size.
     kv_layout: str = "split"
     memory_utilization: float = 0.9
     kv_cache_dtype: str = "auto"  # auto|bfloat16|float32|int8|fp8_e4m3

@@ -21,6 +21,10 @@ from xllm_tpu.ops import attention_ref
 from xllm_tpu.ops.kv_cache_ops import write_kv, write_kv_interleaved
 
 _FORCE_REF = os.environ.get("XLLM_ATTENTION_BACKEND", "auto") == "ref"
+# test hook: run the Pallas kernels in interpret mode on CPU — the only
+# way to exercise the row-major-tail content convention end-to-end
+# without a chip (the portable jnp path stores canonical pages only)
+_INTERPRET = os.environ.get("XLLM_ATTENTION_BACKEND", "auto") == "interpret"
 
 
 def is_interleaved(k_all) -> bool:
@@ -59,12 +63,14 @@ def _parse_tiled_kernel(kver: str, prefix: str):
     return tile, nslots, premask
 
 
-def _use_pallas(head_dim: int = 128) -> bool:
+def _use_pallas(head_dim: int = 128, allow_interpret: bool = False) -> bool:
     """Pallas kernels need lane-aligned head_dim (Mosaic HBM DMA slices
     must be 128-aligned in the lane dim); production families all use 128.
     Others fall back to the portable XLA path."""
     if _FORCE_REF or head_dim % 128 != 0:
         return False
+    if _INTERPRET and allow_interpret:
+        return True
     try:
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
@@ -87,6 +93,9 @@ def decode_attention_write(
     # (page_cum [B+1], page_seq [B*NB]) host-precomputed global-page-ring
     # maps (DecodeInput.page_cum/page_seq) — computing them on device puts
     # a sequential searchsorted inside every layer of the decode scan
+    rowmajor_tail: bool = False,  # interleaved_rm layout: incomplete tail
+    # pages hold token-major content (v12; new rows persist as one 4 KB
+    # tile instead of a full-page rewrite — the r5 patch-probe fix)
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Write each sequence's new K/V row, then attend. -> (out, k, v).
 
@@ -97,7 +106,22 @@ def decode_attention_write(
     seq_of_page = page_maps[1] if page_maps is not None else None
     if is_interleaved(k_all):
         kv_all = k_all
-        if _use_pallas(q.shape[-1]):
+        if _use_pallas(q.shape[-1], allow_interpret=True):
+            if rowmajor_tail:
+                from xllm_tpu.ops.pallas.decode_attention import (
+                    paged_decode_attention_write_v12_tpu,
+                )
+
+                kver = os.environ.get("XLLM_DECODE_KERNEL", "v12t4")
+                tile, nslots, _ = _parse_tiled_kernel(kver, "v12") \
+                    if kver.startswith("v12") else (4, 0, False)
+                out, kv_all = paged_decode_attention_write_v12_tpu(
+                    q, k_new, v_new, kv_all, layer_idx, slot_mapping,
+                    block_tables, seq_lens, scale, window=window,
+                    tile=tile, nslots_override=nslots,
+                    interpret=_INTERPRET,
+                )
+                return out, kv_all, v_all
             from xllm_tpu.ops.pallas.decode_attention import (
                 paged_decode_attention_write_v11_tpu,
             )
@@ -108,7 +132,7 @@ def decode_attention_write(
             out, kv_all = paged_decode_attention_write_v11_tpu(
                 q, k_new, v_new, kv_all, layer_idx, slot_mapping,
                 block_tables, seq_lens, scale, window=window, cum=cum,
-                tile=tile, nslots_override=nslots,
+                tile=tile, nslots_override=nslots, interpret=_INTERPRET,
             )
             return out, kv_all, v_all
         kv_all = write_kv_interleaved(
@@ -253,6 +277,7 @@ def prefill_attention_write_batched(
     window: int = 0,
     force_ref: bool = False,
     positions: jnp.ndarray | None = None,  # [P, S] (CP zigzag layouts)
+    rowmajor_tail: bool = False,  # interleaved_rm layout (see decode)
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """P prompt chunks (one per sequence) written + attended in ONE dispatch.
 
@@ -265,10 +290,12 @@ def prefill_attention_write_batched(
     p, s, hq, d = q.shape
     if is_interleaved(k_all):
         kv_all = k_all
-        if _use_pallas(d) and not force_ref:
+        if _use_pallas(d, allow_interpret=True) and not force_ref:
             from xllm_tpu.ops.pallas.kv_write import (
                 kv_write_prefill_batched_ilv_tpu,
+                kv_write_prefill_batched_rm_tpu,
                 kv_write_rmw_batched_ilv_tpu,
+                kv_write_rmw_batched_rm_tpu,
             )
             from xllm_tpu.ops.pallas.prefill_attention import (
                 paged_attention_prefill_batched_ilv_tpu,
@@ -279,21 +306,37 @@ def prefill_attention_write_batched(
             k_w = k_new.astype(kv_all.dtype)
             v_w = v_new.astype(kv_all.dtype)
             if s <= block_size:
-                kv_all = kv_write_rmw_batched_ilv_tpu(
-                    k_w, v_w, kv_all, layer_idx, block_tables,
-                    q_offsets, ntoks,
-                )
+                if rowmajor_tail:
+                    kv_all = kv_write_rmw_batched_rm_tpu(
+                        k_w, v_w, kv_all, layer_idx, block_tables,
+                        q_offsets, ntoks, kv_lens, interpret=_INTERPRET,
+                    )
+                else:
+                    kv_all = kv_write_rmw_batched_ilv_tpu(
+                        k_w, v_w, kv_all, layer_idx, block_tables,
+                        q_offsets, ntoks, interpret=_INTERPRET,
+                    )
             else:
                 kvt = jnp.stack(
                     [k_w.transpose(0, 2, 1, 3), v_w.transpose(0, 2, 1, 3)],
                     axis=1,
                 )  # [P, 2, Hkv, S, D]
-                kv_all = kv_write_prefill_batched_ilv_tpu(
-                    kvt, kv_all, layer_idx, block_tables, q_offsets, ntoks,
-                )
+                if rowmajor_tail:
+                    kvt_tok = jnp.concatenate([k_w, v_w], axis=2)
+                    # [P, S, 2*Hkv, D] token-major rows
+                    kv_all = kv_write_prefill_batched_rm_tpu(
+                        kvt, kvt_tok, kv_all, layer_idx, block_tables,
+                        q_offsets, ntoks, kv_lens, interpret=_INTERPRET,
+                    )
+                else:
+                    kv_all = kv_write_prefill_batched_ilv_tpu(
+                        kvt, kv_all, layer_idx, block_tables, q_offsets,
+                        ntoks, interpret=_INTERPRET,
+                    )
             out = paged_attention_prefill_batched_ilv_tpu(
                 q, kv_all, layer_idx, block_tables, q_offsets, kv_lens,
-                scale, window=window,
+                scale, window=window, rowmajor_tail=rowmajor_tail,
+                interpret=_INTERPRET,
             )
             return out, kv_all, v_all
         kv_all = write_kv_interleaved(
@@ -367,6 +410,7 @@ def prefill_attention_write(
     kv_len: jnp.ndarray,  # [] int32
     scale: float,
     window: int = 0,
+    rowmajor_tail: bool = False,  # interleaved_rm layout (see decode)
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Write the chunk's K/V into its pages, then flash-attend causally."""
     if is_interleaved(k_all):
@@ -376,6 +420,7 @@ def prefill_attention_write(
             q[None], k_new[None], v_new[None], k_all, v_all, layer_idx,
             slot_mapping[None], block_table[None], q_offset.reshape(1),
             kv_len.reshape(1), scale, window=window, positions=pos,
+            rowmajor_tail=rowmajor_tail,
         )
         return out[0], k_all, v_all
     if _use_pallas(q.shape[-1]):

@@ -1176,3 +1176,456 @@ def paged_decode_attention_write_v11_tpu(
         kv_all,
     )
     return out, kv_all
+
+
+def _decode_kernel_v12(
+    # scalar prefetch
+    layer_ref,  # [1] int32
+    block_tables_ref,  # [B, NB] int32 (tight columns)
+    seq_lens_ref,  # [B] int32 (incl. current token)
+    slot_ref,  # [B] int32 (current token's slot)
+    pages_ref,  # [B] int32 FULL (canonical) page count per sequence
+    cum_tiles_ref,  # [B+1] int32 cumulative tile counts over full pages
+    seq_of_tile_ref,  # [B*ceil(NB/T)] int32 owning seq of each tile
+    # inputs
+    q_ref,  # [1, Hkv*G, D] VMEM
+    k_new_ref,  # [1, Hkv, D] VMEM
+    v_new_ref,
+    kv_in,  # [L, NB, 2, Hkv, bs, D] ANY (aliased)
+    # outputs
+    o_ref,  # [1, Hkv*G, D] VMEM
+    kv_out,
+    # scratch
+    kv_buf,  # [NSLOTS, T, 2, Hkv, bs, D] canonical tile ring
+    sem,  # DMA [NSLOTS, T]
+    win_buf,  # [2, Hkv, bs, D] raw tail page (token-major CONTENT)
+    w_sem,  # DMA [1]
+    row_buf,  # [2*Hkv, D] the new token's row
+    canon_buf,  # [2, Hkv, bs, D] canonicalized page (completion flush)
+    r_sem,  # DMA [1]
+    pend_ref,  # SMEM [1]
+    cursor_ref,  # SMEM [1]
+    *,
+    scale: float,
+    block_size: int,
+    tile: int,
+    window: int = 0,
+):
+    """v12: ROW-MAJOR TAIL PAGES — the tail write-back shrinks 64x.
+
+    The r5 patch_mode probe pinned the decode residual above the 140
+    us/layer DMA floor on the tail-page write-back: persisting ONE 2 KB
+    token row cost a full 2x128 KB page rewrite per program per layer
+    (210 -> 148 us/layer with the write disabled). v12 removes it:
+
+    - a sequence's INCOMPLETE tail page stores token-major content —
+      row w = token (page*bs + w) as [2*Hkv, D] (K heads then V heads),
+      exactly one bf16 (16, 128) tile, so the new token persists with a
+      single 4 KB DMA into the page (tile-aligned at plane w//4, rows
+      (w%4)*16 of the page's (bs, D) tiling);
+    - complete pages keep the canonical [2, Hkv, bs, D] layout and
+      stream through v11's tile ring unchanged;
+    - the tail page is read as ONE DMA and attended with a 2x-wide
+      masked dot over its [2*Hkv*bs, D] flat content; the PV operand is
+      jnp.roll(p, Hkv, axis=1): V-masked probabilities shift from each
+      token's K rows onto its V rows (zeros everywhere else);
+    - when the current token COMPLETES the page (w == bs-1), the kernel
+      transposes window+row to canonical form and writes the page once
+      — 256 KB per 64 steps amortizes to the same 4 KB/step.
+
+    Prefill writers emit token-major partial tail pages (kv_write.py
+    rowmajor variants), so no import step exists at the prefill->decode
+    transition; spec-decode engines keep the patch path (their verify
+    chunks rewrite tails mid-page).
+    """
+    del kv_in
+    b = pl.program_id(0)
+    nprog = pl.num_programs(0)
+
+    layer = layer_ref[0]
+    seq_len = seq_lens_ref[b]
+    T = tile
+    rows_q, d = q_ref.shape[1], q_ref.shape[2]
+    hkv = k_new_ref.shape[1]
+    g = rows_q // hkv
+    n_cached = seq_len - 1
+    nfull = pages_ref[b]  # complete (canonical) pages
+    ntiles = pl.cdiv(nfull, T)
+    n_win = n_cached - nfull * block_size  # tail-page cached tokens
+    base = cum_tiles_ref[b]
+    total_tiles = cum_tiles_ref[nprog]
+    nslots = kv_buf.shape[0]
+    bs = block_size
+    w_pos = jax.lax.rem(jnp.maximum(n_cached, 0), bs)  # current row
+    two_h = 2 * hkv
+    wcols = two_h * bs  # flat tail width
+    cols = T * hkv * bs  # canonical tile width
+
+    @pl.when(b == 0)
+    def _():
+        pend_ref[0] = 0
+        cursor_ref[0] = 0
+        kv_buf[...] = jnp.zeros_like(kv_buf)
+        win_buf[...] = jnp.zeros_like(win_buf)
+
+    def tile_contig(iseq, j0):
+        blk0 = block_tables_ref[iseq, j0]
+        ok = j0 + T <= pages_ref[iseq]
+        for h in range(1, T):
+            ok = ok & (block_tables_ref[iseq, j0 + h] == blk0 + h)
+        return blk0, ok
+
+    def issue_tile(gt):
+        iseq = seq_of_tile_ref[gt]
+        j0 = (gt - cum_tiles_ref[iseq]) * T
+        slot = jax.lax.rem(gt, nslots)
+        blk0, contig = tile_contig(iseq, j0)
+
+        @pl.when(contig)
+        def _():
+            pltpu.make_async_copy(
+                kv_out.at[layer, pl.ds(blk0, T)], kv_buf.at[slot],
+                sem.at[slot, 0],
+            ).start()
+
+        @pl.when(jnp.logical_not(contig))
+        def _():
+            pltpu.make_async_copy(
+                kv_out.at[layer, blk0], kv_buf.at[slot, 0], sem.at[slot, 0]
+            ).start()
+            for h in range(1, T):
+
+                @pl.when(j0 + h < pages_ref[iseq])
+                def _(h=h):
+                    blkh = block_tables_ref[iseq, j0 + h]
+                    pltpu.make_async_copy(
+                        kv_out.at[layer, blkh], kv_buf.at[slot, h],
+                        sem.at[slot, h],
+                    ).start()
+
+    # the TAIL page read rides the same ring discipline: issue early
+    tail_blk = block_tables_ref[b, nfull]
+    has_win = n_win > 0
+
+    @pl.when(has_win)
+    def _():
+        pltpu.make_async_copy(
+            kv_out.at[layer, tail_blk], win_buf, w_sem.at[0]
+        ).start()
+
+    def prologue_cond(gt):
+        return gt < jnp.minimum(base + nslots, total_tiles)
+
+    gt0 = jax.lax.while_loop(
+        prologue_cond,
+        lambda gt: (issue_tile(gt), gt + 1)[1],
+        cursor_ref[0],
+    )
+    cursor_ref[0] = gt0
+
+    # static maps: canonical tiles (v9 ordering) and the flat tail block
+    ci = jax.lax.broadcasted_iota(jnp.int32, (rows_q, cols), 1)
+    hc = (ci % (hkv * bs)) // bs
+    hr = jax.lax.broadcasted_iota(jnp.int32, (rows_q, cols), 0) // g
+    diag_bias = jnp.where(hc == hr, 0.0, _NEG_INF).astype(jnp.float32)
+    col_off = (ci // (hkv * bs)) * bs + ci % bs
+    # tail content: col = w*2Hkv + c; c<Hkv -> K head c, else V head
+    wi = jax.lax.broadcasted_iota(jnp.int32, (rows_q, wcols), 1)
+    wc = wi % two_h
+    wr = jax.lax.broadcasted_iota(jnp.int32, (rows_q, wcols), 0) // g
+    wdiag = jnp.where(wc == wr, 0.0, _NEG_INF).astype(jnp.float32)
+    wtok = wi // two_h  # token offset within the tail page
+
+    @pl.when(seq_len > 0)
+    def _():
+        q = q_ref[0]  # [Hkv*G, D]
+        k_new_p = jnp.repeat(k_new_ref[0], g, axis=0)
+        v_new_p = jnp.repeat(v_new_ref[0], g, axis=0)
+        m0 = (
+            jnp.sum(q.astype(jnp.float32) * k_new_p.astype(jnp.float32),
+                    axis=-1, keepdims=True) * scale
+        )
+        l0 = jnp.ones((rows_q, 1), jnp.float32)
+        acc0 = v_new_p.astype(jnp.float32)
+        win_lo = jnp.maximum(seq_len - window, 0) if window > 0 else 0
+
+        def body(i, carry):
+            m, l, acc = carry
+            gt = cursor_ref[0]
+
+            @pl.when(gt < jnp.minimum(base + i + nslots, total_tiles))
+            def _():
+                issue_tile(gt)
+                cursor_ref[0] = gt + 1
+
+            slot = jax.lax.rem(base + i, nslots)
+            p0 = i * T
+            blk0, contig = tile_contig(b, p0)
+
+            @pl.when(contig)
+            def _():
+                pltpu.make_async_copy(
+                    kv_buf.at[slot], kv_buf.at[slot], sem.at[slot, 0]
+                ).wait()
+
+            @pl.when(jnp.logical_not(contig))
+            def _():
+                pltpu.make_async_copy(
+                    kv_buf.at[slot, 0], kv_buf.at[slot, 0], sem.at[slot, 0]
+                ).wait()
+                for h in range(1, T):
+
+                    @pl.when(p0 + h < nfull)
+                    def _(h=h):
+                        pltpu.make_async_copy(
+                            kv_buf.at[slot, h], kv_buf.at[slot, h],
+                            sem.at[slot, h],
+                        ).wait()
+
+            s_parts = []
+            for t in range(T):
+                k_t = _mxu(kv_buf[slot, t, 0]).reshape(hkv * bs, d)
+                s_parts.append(
+                    jax.lax.dot_general(
+                        q, k_t,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+            s = jnp.concatenate(s_parts, axis=1) * scale + diag_bias
+            limit = nfull * bs - p0 * bs  # full pages hold < nfull*bs
+            s = jnp.where(col_off < limit, s, _NEG_INF)
+            if window > 0:
+                lo_lim = win_lo - p0 * bs
+                s = jnp.where(col_off >= lo_lim, s, _NEG_INF)
+
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jnp.zeros((rows_q, d), jnp.float32)
+            for t in range(T):
+                v_t = _mxu(kv_buf[slot, t, 1]).reshape(hkv * bs, d)
+                pv = pv + jax.lax.dot_general(
+                    p[:, t * hkv * bs:(t + 1) * hkv * bs].astype(v_t.dtype),
+                    v_t,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            return m_new, l_new, acc * alpha + pv
+
+        m, l, acc = jax.lax.fori_loop(0, ntiles, body, (m0, l0, acc0))
+
+        # ---- tail-page block (token-major content) ----
+        def with_window(carry):
+            m, l, acc = carry
+            pltpu.make_async_copy(win_buf, win_buf, w_sem.at[0]).wait()
+            flat = _mxu(win_buf[...]).reshape(wcols, d)
+            s = jax.lax.dot_general(
+                q, flat,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale + wdiag  # V columns masked by wdiag (wc >= Hkv)
+            s = jnp.where(wtok < n_win, s, _NEG_INF)
+            if window > 0:
+                s = jnp.where(
+                    wtok >= win_lo - nfull * bs, s, _NEG_INF
+                )
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            # shift each token's K-probabilities onto its V rows: V cols
+            # held zeros, so the roll is exact (kernel docstring; concat
+            # form — jnp.roll lowers to an unsupported gather)
+            p_roll = jnp.concatenate(
+                [p[:, -hkv:], p[:, :-hkv]], axis=1
+            )
+            pv = jax.lax.dot_general(
+                p_roll.astype(flat.dtype), flat,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, l_new, acc * alpha + pv
+
+        m, l, acc = jax.lax.cond(
+            has_win, with_window, lambda c: c, (m, l, acc)
+        )
+        o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+        # ---- persist the new token ----
+        # pend kind: 1 = row write in flight, 2 = canonical page write
+        @pl.when(pend_ref[0] == 1)
+        def _():
+            pltpu.make_async_copy(row_buf, row_buf, r_sem.at[0]).wait()
+
+        @pl.when(pend_ref[0] == 2)
+        def _():
+            pltpu.make_async_copy(canon_buf, canon_buf, r_sem.at[0]).wait()
+
+        row = jnp.concatenate(
+            [k_new_ref[0], v_new_ref[0]], axis=0
+        ).astype(row_buf.dtype)  # [2*Hkv, D]
+        write_blk = block_tables_ref[b, jax.lax.div(n_cached, bs)]
+        completes = w_pos == bs - 1
+
+        @pl.when(jnp.logical_not(completes))
+        def _():
+            row_buf[...] = row
+            # content row w lives at plane w//4, token rows (w%4)*16 of
+            # the page's declared [2, Hkv, bs, D] dims
+            plane = jax.lax.div(w_pos, bs // (2 * hkv))
+            t0 = jax.lax.rem(w_pos, bs // (2 * hkv)) * two_h
+            pltpu.make_async_copy(
+                row_buf,
+                kv_out.at[layer, write_blk, jax.lax.div(plane, hkv),
+                          jax.lax.rem(plane, hkv), pl.ds(t0, two_h)],
+                r_sem.at[0],
+            ).start()
+            pend_ref[0] = 1
+
+        @pl.when(completes)
+        def _():
+            # completion: canonicalize window + new row, write the page
+            flat = win_buf[...].reshape(bs, two_h, d)
+            flat = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (bs, two_h, d), 0)
+                == w_pos,
+                row[None],
+                flat,
+            )
+            canon = jnp.swapaxes(flat, 0, 1)  # [2*Hkv, bs, D]
+            canon_buf[...] = canon.reshape(2, hkv, bs, d)
+            pltpu.make_async_copy(
+                canon_buf, kv_out.at[layer, write_blk], r_sem.at[0]
+            ).start()
+            pend_ref[0] = 2
+
+    @pl.when(seq_len == 0)
+    def _():
+        o_ref[0] = jnp.zeros_like(o_ref[0])
+
+    @pl.when(b == nprog - 1)
+    def _():
+        @pl.when(pend_ref[0] == 1)
+        def _():
+            pltpu.make_async_copy(row_buf, row_buf, r_sem.at[0]).wait()
+
+        @pl.when(pend_ref[0] == 2)
+        def _():
+            pltpu.make_async_copy(canon_buf, canon_buf, r_sem.at[0]).wait()
+
+        pend_ref[0] = 0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "interpret", "window", "nslots_override",
+                     "tile"),
+)
+def paged_decode_attention_write_v12_tpu(
+    q: jnp.ndarray,  # [B, Hq, D]
+    k_new: jnp.ndarray,  # [B, Hkv, D]
+    v_new: jnp.ndarray,
+    kv_all: jnp.ndarray,  # [L, NB, 2, Hkv, bs, D] (interleaved layout)
+    layer_idx: jnp.ndarray,  # [] int32
+    slot_mapping: jnp.ndarray,  # [B] int32
+    block_tables: jnp.ndarray,  # [B, NB_used] int32
+    seq_lens: jnp.ndarray,  # [B] int32 (incl. current token)
+    scale: float,
+    interpret: bool = False,
+    window: int = 0,
+    nslots_override: int = 0,
+    tile: int = 4,
+    cum: jnp.ndarray | None = None,  # unused (tiles derive from FULL
+    # pages, not the ceil-page cumsum the other kernels share)
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """-> (out [B, Hq, D], kv_all) — row-major tail pages (see kernel)."""
+    del cum
+    b, hq, d = q.shape
+    _, _, two, hkv, bs, _ = kv_all.shape
+    assert two == 2
+    g = hq // hkv
+    assert hq == hkv * g
+    two_h = 2 * hkv
+    # the single-tile row write needs [2*Hkv, D] to be whole (16, 128)
+    # bf16 tiles that evenly split the page's (bs, D) planes
+    assert two_h % 16 == 0 and bs % two_h == 0, (hkv, bs)
+    T = tile
+    nslots = nslots_override or max(2, 12 // T)
+    nb = block_tables.shape[1]
+    ntile_cols = -(-nb // T)
+
+    pages_full = jax.lax.div(jnp.maximum(seq_lens - 1, 0), bs)
+    tiles = jax.lax.div(pages_full + (T - 1), T)
+    cum_tiles = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(tiles).astype(jnp.int32)]
+    )
+    starts = jnp.zeros(b * ntile_cols, jnp.int32).at[
+        cum_tiles[1:-1]
+    ].add(1, mode="drop")
+    seq_of_tile = jnp.cumsum(starts).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, hq, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, hkv, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, hkv, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, hq, d), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nslots, T, 2, hkv, bs, d), kv_all.dtype),
+            pltpu.SemaphoreType.DMA((nslots, T)),
+            pltpu.VMEM((2, hkv, bs, d), kv_all.dtype),
+            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.VMEM((two_h, d), kv_all.dtype),
+            pltpu.VMEM((2, hkv, bs, d), kv_all.dtype),
+            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_kernel_v12, scale=scale, block_size=bs, window=window,
+        tile=T,
+    )
+    out, kv_all = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, d), q.dtype),
+            jax.ShapeDtypeStruct(kv_all.shape, kv_all.dtype),
+        ],
+        input_output_aliases={10: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        layer_idx.reshape(1),
+        block_tables,
+        seq_lens,
+        slot_mapping,
+        pages_full.astype(jnp.int32),
+        cum_tiles,
+        seq_of_tile,
+        q,
+        k_new,
+        v_new,
+        kv_all,
+    )
+    return out, kv_all

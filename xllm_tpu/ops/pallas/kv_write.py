@@ -1112,3 +1112,298 @@ def kv_write_rmw_batched_ilv_tpu(
         kv_all,
     )
     return kv_all
+
+
+# ----------------------------------------------------------------------
+# row-major-tail writers (kv_layout=interleaved_rm): COMPLETE pages keep
+# the canonical [2, Hkv, bs, D] layout; a sequence's final INCOMPLETE
+# page stores token-major content (row w = token's [2*Hkv, D] block) so
+# the v12 decode kernel persists each new token as one 4 KB tile
+# (decode_attention._decode_kernel_v12 docstring — the r5 patch-probe fix)
+# ----------------------------------------------------------------------
+def _kv_write_batched_rm_kernel(
+    # scalar prefetch
+    layer_ref,  # [1]
+    block_tables_ref,  # [P, NBmax]
+    q_offsets_ref,  # [P] (page-aligned per row)
+    ntoks_ref,  # [P]
+    kv_lens_ref,  # [P] sequence kv length (incl. this chunk)
+    # inputs
+    kvt,  # [P, 2, Hkv, S_pad + bs, D] ANY (head-major source)
+    kvt_tok,  # [P, (S_pad + bs) // 4, 64-ish, D] ANY (token-major rows,
+    # grouped so a 4-token row-group matches one page (bs, D) plane)
+    kv_in,
+    # outputs (aliased)
+    kv_out,  # [L, NB, 2, Hkv, bs, D]
+    # scratch
+    page_sem,  # [MAXP, 2]
+    *,
+    block_size: int,
+    max_pages: int,
+    hkv: int,
+):
+    del kv_in
+    p = pl.program_id(0)
+    layer = layer_ref[0]
+    q_offset = q_offsets_ref[p]
+    ntok = ntoks_ref[p]
+    kv_len = kv_lens_ref[p]
+    first_page = q_offset // block_size
+    two_h = 2 * hkv
+    grp = block_size // two_h  # tokens per (bs, D) plane
+
+    def canon_dma(pg):
+        r0 = pg * block_size
+        blk = block_tables_ref[p, first_page + pg]
+        return pltpu.make_async_copy(
+            kvt.at[p, :, :, pl.ds(r0, block_size), :],
+            kv_out.at[layer, blk],
+            page_sem.at[pg, 0],
+        )
+
+    def rm_dmas(pg):
+        # token-major content: the a-half's planes are contiguous row
+        # groups of the token-major source (module comment)
+        r0 = pg * block_size
+        blk = block_tables_ref[p, first_page + pg]
+        g0 = r0 // grp
+        return [
+            pltpu.make_async_copy(
+                kvt_tok.at[p, pl.ds(g0 + a * hkv, hkv)],
+                kv_out.at[layer, blk, a],
+                page_sem.at[pg, a],
+            )
+            for a in range(2)
+        ]
+
+    for pg in range(max_pages):
+        live = pg * block_size < ntok
+        # the page is the SEQUENCE's final incomplete page iff the chunk
+        # ends inside it and the sequence ends with this chunk's tokens
+        partial = live & (q_offset + (pg + 1) * block_size > kv_len)
+
+        @pl.when(live & jnp.logical_not(partial))
+        def _(pg=pg):
+            canon_dma(pg).start()
+
+        @pl.when(partial)
+        def _(pg=pg):
+            for c in rm_dmas(pg):
+                c.start()
+
+    for pg in range(max_pages):
+        live = pg * block_size < ntok
+        partial = live & (q_offset + (pg + 1) * block_size > kv_len)
+
+        @pl.when(live & jnp.logical_not(partial))
+        def _(pg=pg):
+            canon_dma(pg).wait()
+
+        @pl.when(partial)
+        def _(pg=pg):
+            for c in rm_dmas(pg):
+                c.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def kv_write_prefill_batched_rm_tpu(
+    kvt: jnp.ndarray,  # [P, 2, Hkv, S_pad, D] head-major
+    kvt_tok: jnp.ndarray,  # [P, S_pad, 2*Hkv, D] token-major rows
+    kv_all: jnp.ndarray,  # [L, NB, 2, Hkv, bs, D]
+    layer_idx: jnp.ndarray,
+    block_tables: jnp.ndarray,  # [P, NBmax]
+    q_offsets: jnp.ndarray,  # [P] (page-aligned)
+    ntoks: jnp.ndarray,  # [P] (0 = padded row)
+    kv_lens: jnp.ndarray,  # [P] total kv length of the sequence
+    interpret: bool = False,
+) -> jnp.ndarray:
+    p, two, hkv, s_pad, d = kvt.shape
+    assert two == 2
+    bs = kv_all.shape[4]
+    two_h = 2 * hkv
+    assert two_h % 16 == 0 and bs % two_h == 0, (hkv, bs)
+    max_pages = (s_pad + bs - 1) // bs
+    kvt = jnp.pad(kvt, ((0, 0), (0, 0), (0, 0), (0, bs), (0, 0)))
+    kvt_tok = jnp.pad(kvt_tok, ((0, 0), (0, bs), (0, 0), (0, 0)))
+    # group tokens so hkv consecutive groups = one (a)-half of a page
+    grp = bs // two_h
+    kvt_tok = kvt_tok.reshape(p, (s_pad + bs) // grp, grp * two_h, d)
+
+    kernel = functools.partial(
+        _kv_write_batched_rm_kernel, block_size=bs, max_pages=max_pages,
+        hkv=hkv,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(p,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((max_pages, 2))],
+    )
+    (kv_all,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(kv_all.shape, kv_all.dtype)],
+        input_output_aliases={7: 0},
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        layer_idx.reshape(1),
+        block_tables,
+        q_offsets,
+        ntoks,
+        kv_lens,
+        kvt,
+        kvt_tok,
+        kv_all,
+    )
+    return kv_all
+
+
+def _kv_write_rmw_batched_rm_kernel(
+    # scalar prefetch
+    layer_ref,  # [1]
+    block_tables_ref,  # [P, NBmax]
+    q_offsets_ref,  # [P]
+    ntoks_ref,  # [P]
+    kv_lens_ref,  # [P]
+    # inputs
+    kt_ref,  # [1, S, Hkv, D] VMEM (token-major)
+    vt_ref,
+    kv_in,
+    # outputs (aliased)
+    kv_out,  # [L, NB, 2, Hkv, bs, D]
+    # scratch
+    kv_pg,  # [2, Hkv, bs, D]
+    sem,  # [1]
+    *,
+    block_size: int,
+    s: int,
+    hkv: int,
+):
+    """Row-major RMW: touched pages hold token-major content; rows merge
+    by token index, and a page that COMPLETES (sequence covers its last
+    slot) is canonicalized on write-back — the same convention the v12
+    decode kernel maintains."""
+    del kv_in
+    p = pl.program_id(0)
+    layer = layer_ref[0]
+    q_offset = q_offsets_ref[p]
+    ntok = ntoks_ref[p]
+    kv_len = kv_lens_ref[p]
+    first_page = q_offset // block_size
+    last_page = (q_offset + jnp.maximum(ntok, 1) - 1) // block_size
+    bs = block_size
+    two_h = 2 * hkv
+    d = kt_ref.shape[3]
+
+    def do_page(page_idx):
+        blk = block_tables_ref[p, page_idx]
+        rd = pltpu.make_async_copy(kv_out.at[layer, blk], kv_pg, sem.at[0])
+        rd.start()
+        rd.wait()
+        # token-major content view of the page
+        cont = kv_pg[...].reshape(bs, two_h, d)
+        row_tok = jax.lax.broadcasted_iota(jnp.int32, (bs, two_h, d), 0)
+        for j in range(s):
+            pos = q_offset + j
+            hit = (
+                (j < ntok)
+                & (pos // bs == page_idx)
+                & (row_tok == jax.lax.rem(pos, bs))
+            )
+            row_val = jnp.concatenate(
+                [kt_ref[0, j], vt_ref[0, j]], axis=0
+            ).astype(cont.dtype)  # [2*Hkv, D]
+            cont = jnp.where(hit, row_val[None], cont)
+        complete = (page_idx + 1) * bs <= kv_len
+
+        @pl.when(complete)
+        def _():
+            canon = jnp.swapaxes(cont, 0, 1)  # [2*Hkv, bs, D]
+            kv_pg[...] = canon.reshape(2, hkv, bs, d)
+
+        @pl.when(jnp.logical_not(complete))
+        def _():
+            kv_pg[...] = cont.reshape(2, hkv, bs, d)
+
+        wr = pltpu.make_async_copy(kv_pg, kv_out.at[layer, blk], sem.at[0])
+        wr.start()
+        wr.wait()
+
+    @pl.when(ntok > 0)
+    def _():
+        do_page(first_page)
+
+        @pl.when(last_page != first_page)
+        def _():
+            do_page(last_page)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def kv_write_rmw_batched_rm_tpu(
+    kt: jnp.ndarray,  # [P, S, Hkv, D], S <= block_size
+    vt: jnp.ndarray,
+    kv_all: jnp.ndarray,  # [L, NB, 2, Hkv, bs, D]
+    layer_idx: jnp.ndarray,
+    block_tables: jnp.ndarray,  # [P, NBmax]
+    q_offsets: jnp.ndarray,  # [P] any alignment
+    ntoks: jnp.ndarray,  # [P] (0 = padded row)
+    kv_lens: jnp.ndarray,  # [P]
+    interpret: bool = False,
+) -> jnp.ndarray:
+    p, s, hkv, d = kt.shape
+    bs = kv_all.shape[4]
+    assert s <= bs, "RMW writer covers chunks within two pages"
+    assert (2 * hkv) % 16 == 0 and bs % (2 * hkv) == 0, (hkv, bs)
+    kernel = functools.partial(
+        _kv_write_rmw_batched_rm_kernel, block_size=bs, s=s, hkv=hkv
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(p,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, s, hkv, d), lambda pi, *_: (pi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, s, hkv, d), lambda pi, *_: (pi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((2, hkv, bs, d), kv_all.dtype),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+    )
+    (kv_all,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(kv_all.shape, kv_all.dtype)],
+        input_output_aliases={7: 0},
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        layer_idx.reshape(1),
+        block_tables,
+        q_offsets,
+        ntoks,
+        kv_lens,
+        kt,
+        vt,
+        kv_all,
+    )
+    return kv_all

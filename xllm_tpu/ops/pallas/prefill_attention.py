@@ -468,11 +468,18 @@ def _batched_prefill_ilv_kernel(
     block_size: int,
     group: int,
     window: int = 0,
+    rowmajor_tail: bool = False,
 ):
     """Interleaved-layout variant of _batched_prefill_kernel: a page's K
     and V arrive in ONE [2, Hkv, bs, D] DMA (half the issue count of the
     split layout), landing K-contiguous at kv_buf[slot, 0] and
-    V-contiguous at kv_buf[slot, 1]; the flash math is unchanged."""
+    V-contiguous at kv_buf[slot, 1]; the flash math is unchanged.
+
+    rowmajor_tail (kv_layout=interleaved_rm): the sequence's final
+    INCOMPLETE page stores token-major content (row w = token's
+    [2*Hkv, D] block — see decode _decode_kernel_v12); that one page is
+    attended with a 2x-wide masked dot over its flat content, the PV
+    operand being jnp.roll(p, Hkv) (K-probabilities shift onto V rows)."""
     p, t = pl.program_id(0), pl.program_id(1)
     layer = layer_ref[0]
     q_offset = q_offsets_ref[p]
@@ -513,21 +520,16 @@ def _batched_prefill_ilv_kernel(
             jnp.int32, (group * tq, block_size), 1
         )
 
-        def body(i, carry):
-            m, l, acc = carry
-            slot = jax.lax.rem(i, _NSLOTS)
-            nxt = i + _NSLOTS - 1
+        hkv_ = hkv
+        two_h = 2 * hkv_
+        bs_ = block_size
 
-            @pl.when(nxt < nblks)
-            def _():
-                kv_dma(jax.lax.rem(nxt, _NSLOTS), nxt).start()
-
-            pltpu.make_async_copy(
-                kv_buf.at[slot], kv_buf.at[slot], sem.at[slot]
-            ).wait()
+        def canonical_block(i, m, l, acc, slot, k_op=None, v_op=None):
+            k_op = _mxu(kv_buf[slot, 0]) if k_op is None else k_op
+            v_op = _mxu(kv_buf[slot, 1]) if v_op is None else v_op
             s = jax.lax.dot_general(
                 q,
-                _mxu(kv_buf[slot, 0]),
+                k_op,
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             ) * scale  # [Hkv, G*TQ, bs]
@@ -543,13 +545,47 @@ def _batched_prefill_ilv_kernel(
             l_new = l * alpha + jnp.sum(p_, axis=-1, keepdims=True)
 
             pv = jax.lax.dot_general(
-                p_.astype(_mxu(kv_buf[slot, 1]).dtype),
-                _mxu(kv_buf[slot, 1]),
+                p_.astype(v_op.dtype),
+                v_op,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
-            acc_new = acc * alpha + pv
-            return m_new, l_new, acc_new
+            return m_new, l_new, acc * alpha + pv
+
+        def body(i, carry):
+            m, l, acc = carry
+            slot = jax.lax.rem(i, _NSLOTS)
+            nxt = i + _NSLOTS - 1
+
+            @pl.when(nxt < nblks)
+            def _():
+                kv_dma(jax.lax.rem(nxt, _NSLOTS), nxt).start()
+
+            pltpu.make_async_copy(
+                kv_buf.at[slot], kv_buf.at[slot], sem.at[slot]
+            ).wait()
+            if not rowmajor_tail:
+                return canonical_block(i, m, l, acc, slot)
+            partial = (i + 1) * block_size > kv_len
+
+            def rm_branch(carry):
+                m, l, acc = carry
+                # token-major tail content -> canonical operands in VMEM
+                # (one [bs, 2Hkv, D] transpose of the single tail page;
+                # the canonical flash math then applies unchanged)
+                cont = _mxu(kv_buf[slot]).reshape(bs_, two_h, d)
+                k_op = jnp.swapaxes(cont[:, :hkv_, :], 0, 1)
+                v_op = jnp.swapaxes(cont[:, hkv_:, :], 0, 1)
+                return canonical_block(
+                    i, m, l, acc, slot, k_op=k_op, v_op=v_op
+                )
+
+            return jax.lax.cond(
+                partial,
+                rm_branch,
+                lambda c: canonical_block(i, c[0], c[1], c[2], slot),
+                (m, l, acc),
+            )
 
         m0 = jnp.full((hkv, group * tq, 1), _NEG_INF, jnp.float32)
         l0 = jnp.zeros((hkv, group * tq, 1), jnp.float32)
@@ -563,7 +599,8 @@ def _batched_prefill_ilv_kernel(
         o_ref[0] = jnp.zeros_like(o_ref[0])
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret", "window"))
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "window",
+                                              "rowmajor_tail"))
 def paged_attention_prefill_batched_ilv_tpu(
     q: jnp.ndarray,  # [P, S, Hq, D]
     kv_all: jnp.ndarray,  # [L, NB, 2, Hkv, bs, D] (interleaved layout)
@@ -574,6 +611,7 @@ def paged_attention_prefill_batched_ilv_tpu(
     scale: float,
     interpret: bool = False,
     window: int = 0,
+    rowmajor_tail: bool = False,
 ) -> jnp.ndarray:
     """P prompt chunks over the interleaved cache in one dispatch."""
     p, s, hq, d = q.shape
@@ -606,7 +644,7 @@ def paged_attention_prefill_batched_ilv_tpu(
     )
     kernel = functools.partial(
         _batched_prefill_ilv_kernel, scale=scale, block_size=bs, group=g,
-        window=window,
+        window=window, rowmajor_tail=rowmajor_tail,
     )
     out = pl.pallas_call(
         kernel,

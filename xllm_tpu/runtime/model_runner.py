@@ -427,13 +427,23 @@ class ModelRunner:
                 cc = self.config.cache
                 self.model.set_kv_scales(cc.kv_scale_k, cc.kv_scale_v)
         self.model.num_state_slots = self.max_slots
-        if self.config.cache.kv_layout == "interleaved":
-            if getattr(self.model, "supports_interleaved_kv", False):
-                self.model.kv_layout = "interleaved"
+        layout = self.config.cache.kv_layout
+        if layout.startswith("interleaved"):
+            ok = getattr(self.model, "supports_interleaved_kv", False)
+            if layout == "interleaved_rm":
+                c = self.config.model
+                # the 4 KB row write needs [2*Hkv, D] = whole (16, 128)
+                # tiles dividing the page's (bs, D) planes; int8 tiles
+                # are (32, 128), so rm tails are bf16/f32 caches only
+                ok = ok and (2 * c.num_kv_heads) % 16 == 0 \
+                    and self.block_size % (2 * c.num_kv_heads) == 0 \
+                    and self._resolve_kv_dtype() != jnp.int8
+            if ok:
+                self.model.kv_layout = layout
             else:
                 logger.warning(
-                    "kv_layout=interleaved unsupported for %s; using split",
-                    type(self.model).__name__,
+                    "kv_layout=%s unsupported for %s; using split",
+                    layout, type(self.model).__name__,
                 )
         k, v = self.model.new_kv_cache(self.num_blocks, self.block_size, kv_dtype)
         if self.mesh is not None:
