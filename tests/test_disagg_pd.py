@@ -426,3 +426,67 @@ def test_pd_ooc_perfmodel_pull_quota():
             break
     assert dec.pulls == 3
     assert eng.block_manager.num_used_blocks == 0
+
+
+def test_pd_cross_page_size_handoff():
+    """Prefill node on BIG pages, decode node on small pages (VERDICT r4
+    item 3: page-128 prefill pools measured +21%, PERF.md r4c; the wire
+    blocks split along the token axis at accept). Output must equal a
+    single engine at the decode page size."""
+    sp = SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True)
+    prompt = [int(x) for x in np.random.default_rng(4).integers(1, 90, 23)]
+
+    single = LLMEngine(tiny_config())  # block_size=4
+    single.add_request(prompt_token_ids=list(prompt), sampling_params=sp)
+    expect = single.generate_all()[0].outputs[0].token_ids
+
+    big = tiny_config()
+    big.cache.block_size = 8  # prefill node: 2x the decode page
+    big.scheduler.prefill_token_buckets = [8, 16]
+    pre = PrefillInstance(LLMEngine(big))
+    dec = DecodeInstance(LLMEngine(tiny_config()))
+    orch = PDOrchestrator(pre, dec)
+    out = orch.generate(list(prompt), sp)
+    got = out.outputs[0].token_ids
+    assert got == expect, (got, expect)
+    assert pre.engine.block_manager.num_used_blocks == 0
+    assert dec.engine.block_manager.num_used_blocks == 0
+
+
+def test_rechunk_blocks_layouts():
+    from xllm_tpu.disagg.pd import DecodeInstance
+
+    rng = np.random.default_rng(0)
+    # split layout [n, L, H, bs, D]
+    kb = rng.standard_normal((2, 3, 2, 8, 4)).astype(np.float32)
+    out = DecodeInstance._rechunk_blocks(kb, 4)
+    assert out.shape == (4, 3, 2, 4, 4)
+    np.testing.assert_array_equal(out[0], kb[0, :, :, :4])
+    np.testing.assert_array_equal(out[1], kb[0, :, :, 4:])
+    np.testing.assert_array_equal(out[2], kb[1, :, :, :4])
+    # interleaved layout [n, L, 2, H, bs, D]
+    kb6 = rng.standard_normal((1, 2, 2, 2, 8, 4)).astype(np.float32)
+    out6 = DecodeInstance._rechunk_blocks(kb6, 4)
+    assert out6.shape == (2, 2, 2, 2, 4, 4)
+    np.testing.assert_array_equal(out6[1], kb6[0, :, :, :, 4:])
+
+
+def test_handoff_wire_bf16_roundtrip():
+    """npz cannot carry ml_dtypes natively (bfloat16 loads back as void
+    bytes and the decode-side cast explodes — caught by the r5 on-chip
+    verify drive); the wire ships a uint view + dtype name."""
+    import ml_dtypes
+
+    a = (np.arange(24, dtype=np.float32)
+         .reshape(1, 2, 1, 4, 3).astype(ml_dtypes.bfloat16))
+    h = PrefillHandoff(
+        request_id="r", prompt_token_ids=[1], first_token=2,
+        sampling_params=SamplingParams(), k_blocks=a, v_blocks=a.copy(),
+    )
+    h2 = PrefillHandoff.from_bytes(h.to_bytes())
+    assert h2.k_blocks.dtype == a.dtype
+    np.testing.assert_array_equal(
+        h2.k_blocks.view(np.uint16), a.view(np.uint16))
+    import jax.numpy as jnp
+
+    jnp.asarray(h2.k_blocks, jnp.bfloat16)

@@ -43,22 +43,43 @@ class PrefillHandoff:
     k_blocks: np.ndarray  # [n_blocks, L, Hkv, bs, D]
     v_blocks: np.ndarray
 
+    @staticmethod
+    def _wire(a: np.ndarray) -> tuple[np.ndarray, str]:
+        """npz cannot represent ml_dtypes (bfloat16 loads back as raw
+        void bytes); ship such arrays as a same-width uint view plus the
+        dtype name for the receive-side re-view."""
+        name = a.dtype.name
+        if a.dtype.kind == "V" or name in ("bfloat16", "float8_e4m3fn"):
+            return a.view(np.uint8 if a.dtype.itemsize == 1 else np.uint16), name
+        return a, name
+
+    @staticmethod
+    def _unwire(a: np.ndarray, name: str) -> np.ndarray:
+        if a.dtype.name != name:
+            import ml_dtypes
+
+            return a.view(np.dtype(getattr(ml_dtypes, name)))
+        return a
+
     def to_bytes(self) -> bytes:
         """npz serialization — the DCN wire format."""
         buf = io.BytesIO()
         import dataclasses
         import json
 
+        k, k_dt = self._wire(self.k_blocks)
+        v, v_dt = self._wire(self.v_blocks)
         meta = json.dumps(
             {
                 "request_id": self.request_id,
                 "prompt_token_ids": self.prompt_token_ids,
                 "first_token": self.first_token,
                 "sampling_params": dataclasses.asdict(self.sampling_params),
+                "k_dtype": k_dt,
+                "v_dtype": v_dt,
             }
         )
-        np.savez(buf, meta=np.frombuffer(meta.encode(), np.uint8),
-                 k=self.k_blocks, v=self.v_blocks)
+        np.savez(buf, meta=np.frombuffer(meta.encode(), np.uint8), k=k, v=v)
         return buf.getvalue()
 
     @classmethod
@@ -72,8 +93,8 @@ class PrefillHandoff:
             prompt_token_ids=meta["prompt_token_ids"],
             first_token=meta["first_token"],
             sampling_params=SamplingParams(**meta["sampling_params"]),
-            k_blocks=z["k"],
-            v_blocks=z["v"],
+            k_blocks=cls._unwire(z["k"], meta.get("k_dtype", z["k"].dtype.name)),
+            v_blocks=cls._unwire(z["v"], meta.get("v_dtype", z["v"].dtype.name)),
         )
 
 
@@ -239,10 +260,48 @@ class DecodeInstance:
     def __init__(self, engine: LLMEngine):
         self.engine = engine
 
+    @staticmethod
+    def _rechunk_blocks(blocks: np.ndarray, decode_bs: int) -> np.ndarray:
+        """Prefill-node pages -> decode-node pages (cross-page-size PD).
+
+        Prefill nodes run big pages (page-128 measured +21% prefill
+        throughput, PERF.md r4c) while decode keeps page-64; each wire
+        block splits along its token axis into ratio decode blocks.
+        Requires canonical page content (split/interleaved layouts; a
+        row-major-tail prefill node would need convention conversion).
+        Token axis: [n, L, Hkv, bs, D] -> 3; [n, L, 2, Hkv, bs, D] -> 4.
+        """
+        tok_ax = blocks.ndim - 2
+        pbs = blocks.shape[tok_ax]
+        if pbs == decode_bs:
+            return blocks
+        if pbs % decode_bs != 0:
+            raise ValueError(
+                f"prefill page {pbs} must be a multiple of decode page "
+                f"{decode_bs}"
+            )
+        r = pbs // decode_bs
+        n = blocks.shape[0]
+        mid = blocks.shape[1:tok_ax]
+        split = blocks.reshape(
+            (n,) + mid + (r, decode_bs, blocks.shape[-1])
+        )
+        # the r sub-pages become consecutive decode blocks
+        order = (0, tok_ax) + tuple(range(1, tok_ax)) + (
+            tok_ax + 1, tok_ax + 2,
+        )
+        return np.ascontiguousarray(split.transpose(order)).reshape(
+            (n * r,) + mid + (decode_bs, blocks.shape[-1])
+        )
+
     def accept(self, handoff: PrefillHandoff) -> Request:
         """Install a prefilled request (reference decode_recv_first_generation
         + allocate path, disagg_pd_scheduler.h:65-80)."""
         eng = self.engine
+        dbs = eng.config.cache.block_size
+        handoff.k_blocks = self._rechunk_blocks(handoff.k_blocks, dbs)
+        if handoff.v_blocks.ndim >= 5:  # MLA dummy/indexer slots pass through
+            handoff.v_blocks = self._rechunk_blocks(handoff.v_blocks, dbs)
         # capacity gate BEFORE any state mutates: the ring-slot pool and
         # decode batch are sized to max_seqs_per_batch — overfilling
         # would underflow _free_slots after the KV was already injected
@@ -264,10 +323,15 @@ class DecodeInstance:
         n_prompt = len(handoff.prompt_token_ids)
         if not eng.block_manager.allocate(seq, n_prompt):
             raise RuntimeError("decode instance out of KV blocks")
-        n_needed = handoff.k_blocks.shape[0]
-        assert len(seq.block_ids) >= n_needed
+        # a big-page prefill node may ship MORE page slots than the
+        # decode side needs (its last page covers tokens past the
+        # prompt); inject only the blocks that hold needed tokens
+        n_needed = min(handoff.k_blocks.shape[0], len(seq.block_ids))
         eng.runner.inject_blocks(
-            handoff.k_blocks, handoff.v_blocks, seq.block_ids[:n_needed]
+            handoff.k_blocks[:n_needed],
+            handoff.v_blocks[:n_needed]
+            if handoff.v_blocks.ndim >= 5 else handoff.v_blocks,
+            seq.block_ids[:n_needed],
         )
         # first token appended; its KV computes on the first decode step
         seq.num_computed_tokens = n_prompt

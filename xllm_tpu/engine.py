@@ -166,6 +166,9 @@ class LLMEngine:
             self.spec_model_based = True
             self.overlap_depth = 0
         self._proposers: dict[int, object] = {}
+        # spec diagnostics: [drafted seq-steps, plain seq-steps,
+        # accepted draft tokens] (surfaced by bench.py)
+        self.spec_stats = [0, 0, 0]
         # cross-request suffix cache over finished generations (reference
         # global SuffixDecodingCache tree, suffix_tree.h:129,144)
         self._global_suffix = None
@@ -770,6 +773,7 @@ class LLMEngine:
             for seq in out.decode_seqs:
                 self._assign_slot(seq)
                 draft = self._propose_draft(seq)
+                self.spec_stats[0 if draft else 1] += 1
                 if draft is None:
                     decode_seqs.append(seq)
                 elif self.runner.supports_batched_prefill:
@@ -951,9 +955,21 @@ class LLMEngine:
             return None
         if seq.num_fixed_tokens != seq.num_tokens:
             return None  # last token still on device (shouldn't happen sync)
-        if seq.num_tokens + k + 1 > self.config.scheduler.max_model_len:
+        # near the length caps, shrink the draft instead of leaving the
+        # verify dispatch (a second plain-decode dispatch costs a second
+        # sync fetch RTT per step)
+        k = min(
+            k,
+            self.config.scheduler.max_model_len - seq.num_tokens - 1,
+            seq.stopping.max_new_tokens - seq.num_generated_tokens - 1,
+        )
+        if k < 0:
             return None
-        if seq.num_generated_tokens + k + 1 > seq.stopping.max_new_tokens:
+        # capacity for spec_k+1 tokens beyond computed (the verify chunk
+        # writes K/V slots for every draft POSITION — static shape — even
+        # when the draft is shorter or empty; an empty draft's row is
+        # plain decode through the verify program, see the dispatch loop)
+        if not self.block_manager.allocate(seq, self.spec_k + 1):
             return None
         prop = self._proposers.get(seq.seq_id)
         if prop is None:
@@ -971,16 +987,18 @@ class LLMEngine:
             # requests (repeated prompts / shared boilerplate)
             draft = self._global_suffix.propose(seq.token_ids, k)
         if not draft:
-            return None
+            return []  # eligible, no match: rides the verify dispatch
+            # with draft_len 0 (= exact decode) — a separate plain-decode
+            # dispatch would cost a SECOND sync fetch RTT per step (the
+            # r5 TPU spec probe measured ~60 ms steps = 2 x 27 ms RTTs)
         while len(draft) < k:  # pad short drafts by repeating the tail
             draft.append(draft[-1])
-        # capacity for k+1 tokens beyond computed (scheduler allocated 1)
-        if not self.block_manager.allocate(seq, k + 1):
-            return None
         return draft
 
     def _apply_verified(self, seq: Sequence, tokens) -> None:
         """Apply accepted tokens from a sync verify step."""
+        # tokens = accepted drafts + 1 bonus/corrected token
+        self.spec_stats[2] += max(len(tokens) - 1, 0)
         for tok in tokens:
             seq.append_token(int(tok), 0.0)
             seq.num_computed_tokens += 1

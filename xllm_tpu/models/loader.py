@@ -132,15 +132,26 @@ def _fuse_qkv(
 
 
 def load_params(
-    cfg: ModelConfig, shardings: dict | None = None, dtype=None
+    cfg: ModelConfig, shardings: dict | None = None, dtype=None,
+    stack_transform=None,
 ) -> dict:
-    """Family-dispatching checkpoint loader (reference ModelRegistry loaders)."""
+    """Family-dispatching checkpoint loader (reference ModelRegistry loaders).
+
+    ``stack_transform(dotted_name, device_array) -> dict | None`` runs on
+    each weight stack AS IT LOADS — the rolling-load hook (reference
+    layers/npu/loader/rolling_load_manager.h: layer weights stream
+    through a bounded device buffer). The runner quantizes each stack
+    in place here (donated jit), so the full-precision model never
+    materializes in HBM; returning a dict replaces the stack and may add
+    siblings (e.g. {name: int8_codes, name + "_scale": scales})."""
     if cfg.model_type in ("qwen3_next", "qwen3_5", "qwen3_5_text",
                           "qwen3_5_moe_text"):
         return load_qwen3_next_params(cfg, shardings, dtype)
     if cfg.kv_lora_rank > 0:
-        return load_mla_params(cfg, shardings, dtype)
-    params = load_dense_params(cfg, shardings, dtype)
+        return load_mla_params(cfg, shardings, dtype,
+                               stack_transform=stack_transform)
+    params = load_dense_params(cfg, shardings, dtype,
+                               stack_transform=stack_transform)
     if cfg.vision is not None:
         if cfg.model_type in ("qwen3_vl", "qwen3_vl_moe"):
             params["visual"] = load_vision3_params(cfg, shardings, dtype)
@@ -535,6 +546,7 @@ def load_mla_params(
     cfg: ModelConfig,
     shardings: dict | None = None,
     dtype=None,
+    stack_transform=None,
 ) -> dict:
     """DeepSeek v2/v3 checkpoint -> MlaDecoderModel param tree.
 
@@ -553,6 +565,7 @@ def load_mla_params(
     nope, rope, vh = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim, cfg.v_head_dim
     kvr = cfg.kv_lora_rank
     n_dense = cfg.first_k_dense_replace if cfg.num_experts > 0 else L
+    extras: dict = {}
 
     def put(name: str, arr: np.ndarray):
         if not np.issubdtype(arr.dtype, np.integer) and arr.dtype != dt:
@@ -562,7 +575,14 @@ def load_mla_params(
             sh = shardings
             for part in name.split("."):
                 sh = sh[part]
-        return jax.device_put(arr, sh)
+        val = jax.device_put(arr, sh)
+        if stack_transform is not None:
+            repl = stack_transform(name, val)
+            if repl is not None:
+                repl = dict(repl)
+                val = repl.pop(name)
+                extras.update(repl)
+        return val
 
     def T(name):
         return np.ascontiguousarray(reader.get(name).T)
@@ -672,6 +692,13 @@ def load_mla_params(
     reader.close()
     logger.info("loaded deepseek MLA params (%d dense + %d moe layers)",
                 n_dense, L - n_dense)
+    for dotted, v in extras.items():
+        node = params
+        parts = dotted.split(".")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = v
+
     return params
 
 
@@ -679,17 +706,20 @@ def load_dense_params(
     cfg: ModelConfig,
     shardings: dict | None = None,
     dtype=None,
+    stack_transform=None,
 ) -> dict:
     """Load a llama/qwen2/qwen3 checkpoint into the stacked param tree.
 
     ``shardings`` is the model's param_shardings() tree materialized as
-    NamedShardings (or None for single-device).
+    NamedShardings (or None for single-device); ``stack_transform`` is
+    the rolling-load hook (see load_params).
     """
     import jax.numpy as jnp
 
     dt = dtype or jnp.bfloat16
     reader = SafetensorsReader(cfg.model_path)
     L = cfg.num_hidden_layers
+    extras: dict = {}
 
     def put(name: str, arr: np.ndarray):
         if not np.issubdtype(arr.dtype, np.integer) and arr.dtype != dt:
@@ -699,7 +729,14 @@ def load_dense_params(
             sh = shardings
             for part in name.split("."):
                 sh = sh[part]
-        return jax.device_put(arr, sh)
+        val = jax.device_put(arr, sh)
+        if stack_transform is not None:
+            repl = stack_transform(name, val)
+            if repl is not None:
+                repl = dict(repl)
+                val = repl.pop(name)
+                extras.update(repl)
+        return val
 
     # glm4-moe: a dense-MLP prefix of first_k_dense_replace layers lives in
     # a separate "dense_layers" stack (mirrors MoeDecoderModel.init_params)
@@ -823,6 +860,13 @@ def load_dense_params(
             logger.info("loaded %s %s", pname, stacked.shape)
 
     reader.close()
+    for dotted, v in extras.items():
+        node = params
+        parts = dotted.split(".")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = v
+
     return params
 
 

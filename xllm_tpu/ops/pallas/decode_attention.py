@@ -1198,8 +1198,8 @@ def _decode_kernel_v12(
     # scratch
     kv_buf,  # [NSLOTS, T, 2, Hkv, bs, D] canonical tile ring
     sem,  # DMA [NSLOTS, T]
-    win_buf,  # [2, Hkv, bs, D] raw tail page (token-major CONTENT)
-    w_sem,  # DMA [1]
+    win_buf,  # [WD, 2, Hkv, bs, D] tail-page ring (token-major CONTENT)
+    w_sem,  # DMA [WD]
     row_buf,  # [2*Hkv, D] the new token's row
     canon_buf,  # [2, Hkv, bs, D] canonicalized page (completion flush)
     r_sem,  # DMA [1]
@@ -1303,15 +1303,41 @@ def _decode_kernel_v12(
                         sem.at[slot, h],
                     ).start()
 
-    # the TAIL page read rides the same ring discipline: issue early
+    # tail-page reads ride their own prefetch ring: each program's
+    # window is issued WD-1 programs ahead, so its DMA has the same
+    # runway as the canonical tiles (issuing at own-program start left
+    # the full read latency exposed — measured ~v9-neutral in the first
+    # v12 A/B)
+    wd = win_buf.shape[0]
     tail_blk = block_tables_ref[b, nfull]
     has_win = n_win > 0
 
-    @pl.when(has_win)
+    def issue_win(t):
+        sl_t = seq_lens_ref[t]
+        nf_t = pages_ref[t]
+        nw_t = sl_t - 1 - nf_t * bs
+
+        @pl.when(nw_t > 0)
+        def _():
+            pltpu.make_async_copy(
+                kv_out.at[layer, block_tables_ref[t, nf_t]],
+                win_buf.at[jax.lax.rem(t, wd)],
+                w_sem.at[jax.lax.rem(t, wd)],
+            ).start()
+
+    @pl.when(b == 0)
     def _():
-        pltpu.make_async_copy(
-            kv_out.at[layer, tail_blk], win_buf, w_sem.at[0]
-        ).start()
+        for t0 in range(wd - 1):
+            if t0 == 0:
+                issue_win(jnp.int32(0))
+            else:
+                @pl.when(t0 < nprog)
+                def _(t0=t0):
+                    issue_win(jnp.int32(t0))
+
+    @pl.when(b + wd - 1 < nprog)
+    def _():
+        issue_win(b + wd - 1)
 
     def prologue_cond(gt):
         return gt < jnp.minimum(base + nslots, total_tiles)
@@ -1419,8 +1445,11 @@ def _decode_kernel_v12(
         # ---- tail-page block (token-major content) ----
         def with_window(carry):
             m, l, acc = carry
-            pltpu.make_async_copy(win_buf, win_buf, w_sem.at[0]).wait()
-            flat = _mxu(win_buf[...]).reshape(wcols, d)
+            wslot = jax.lax.rem(b, wd)
+            pltpu.make_async_copy(
+                win_buf.at[wslot], win_buf.at[wslot], w_sem.at[wslot]
+            ).wait()
+            flat = _mxu(win_buf[wslot]).reshape(wcols, d)
             s = jax.lax.dot_general(
                 q, flat,
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -1487,7 +1516,7 @@ def _decode_kernel_v12(
         @pl.when(completes)
         def _():
             # completion: canonicalize window + new row, write the page
-            flat = win_buf[...].reshape(bs, two_h, d)
+            flat = win_buf[jax.lax.rem(b, wd)].reshape(bs, two_h, d)
             flat = jnp.where(
                 jax.lax.broadcasted_iota(jnp.int32, (bs, two_h, d), 0)
                 == w_pos,
@@ -1590,8 +1619,8 @@ def paged_decode_attention_write_v12_tpu(
         scratch_shapes=[
             pltpu.VMEM((nslots, T, 2, hkv, bs, d), kv_all.dtype),
             pltpu.SemaphoreType.DMA((nslots, T)),
-            pltpu.VMEM((2, hkv, bs, d), kv_all.dtype),
-            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.VMEM((4, 2, hkv, bs, d), kv_all.dtype),  # window ring
+            pltpu.SemaphoreType.DMA((4,)),
             pltpu.VMEM((two_h, d), kv_all.dtype),
             pltpu.VMEM((2, hkv, bs, d), kv_all.dtype),
             pltpu.SemaphoreType.DMA((1,)),

@@ -463,6 +463,8 @@ def _batched_prefill_ilv_kernel(
     # scratch
     kv_buf,  # [NSLOTS, 2, Hkv, bs, D]
     sem,  # [NSLOTS]
+    win_buf,  # [2, Hkv, bs, D] rm tail page (token-major content)
+    w_sem,  # [1]
     *,
     scale: float,
     block_size: int,
@@ -490,6 +492,19 @@ def _batched_prefill_ilv_kernel(
     tile_last_pos = q_offset + (t + 1) * tq - 1
     kv_limit = jnp.minimum(kv_len, tile_last_pos + 1)
     nblks = pl.cdiv(kv_limit, block_size)
+    if rowmajor_tail:
+        # the sequence's final page is token-major content when partial;
+        # it leaves the canonical ring and is attended ONCE after the
+        # page walk (a per-iteration branch measured -25% prefill)
+        last_pg = kv_len // block_size
+        has_tail = (
+            (jax.lax.rem(kv_len, block_size) != 0)
+            & (last_pg * block_size < kv_limit)
+        )
+        nblks_can = nblks - jnp.where(has_tail, 1, 0)
+    else:
+        has_tail = False
+        nblks_can = nblks
 
     def kv_dma(slot, i):
         return pltpu.make_async_copy(
@@ -500,9 +515,19 @@ def _batched_prefill_ilv_kernel(
 
     @pl.when(nblks > 0)
     def _():
+        if rowmajor_tail:
+            # the tail read prefetches alongside the canonical walk
+            @pl.when(has_tail)
+            def _():
+                pltpu.make_async_copy(
+                    kv_hbm.at[layer, block_tables_ref[p, last_pg]],
+                    win_buf,
+                    w_sem.at[0],
+                ).start()
+
         for s in range(_NSLOTS - 1):
 
-            @pl.when(s < nblks)
+            @pl.when(s < nblks_can)
             def _(s=s):
                 kv_dma(s, s).start()
 
@@ -557,40 +582,39 @@ def _batched_prefill_ilv_kernel(
             slot = jax.lax.rem(i, _NSLOTS)
             nxt = i + _NSLOTS - 1
 
-            @pl.when(nxt < nblks)
+            @pl.when(nxt < nblks_can)
             def _():
                 kv_dma(jax.lax.rem(nxt, _NSLOTS), nxt).start()
 
             pltpu.make_async_copy(
                 kv_buf.at[slot], kv_buf.at[slot], sem.at[slot]
             ).wait()
-            if not rowmajor_tail:
-                return canonical_block(i, m, l, acc, slot)
-            partial = (i + 1) * block_size > kv_len
-
-            def rm_branch(carry):
-                m, l, acc = carry
-                # token-major tail content -> canonical operands in VMEM
-                # (one [bs, 2Hkv, D] transpose of the single tail page;
-                # the canonical flash math then applies unchanged)
-                cont = _mxu(kv_buf[slot]).reshape(bs_, two_h, d)
-                k_op = jnp.swapaxes(cont[:, :hkv_, :], 0, 1)
-                v_op = jnp.swapaxes(cont[:, hkv_:, :], 0, 1)
-                return canonical_block(
-                    i, m, l, acc, slot, k_op=k_op, v_op=v_op
-                )
-
-            return jax.lax.cond(
-                partial,
-                rm_branch,
-                lambda c: canonical_block(i, c[0], c[1], c[2], slot),
-                (m, l, acc),
-            )
+            return canonical_block(i, m, l, acc, slot)
 
         m0 = jnp.full((hkv, group * tq, 1), _NEG_INF, jnp.float32)
         l0 = jnp.zeros((hkv, group * tq, 1), jnp.float32)
         acc0 = jnp.zeros((hkv, group * tq, d), jnp.float32)
-        m, l, acc = jax.lax.fori_loop(0, nblks, body, (m0, l0, acc0))
+        m, l, acc = jax.lax.fori_loop(0, nblks_can, body, (m0, l0, acc0))
+
+        if rowmajor_tail:
+
+            def tail_block(carry):
+                m, l, acc = carry
+                pltpu.make_async_copy(win_buf, win_buf, w_sem.at[0]).wait()
+                # token-major content -> canonical operands in VMEM (one
+                # [bs, 2Hkv, D] transpose of the single tail page; the
+                # canonical flash math then applies unchanged)
+                cont = _mxu(win_buf[...]).reshape(bs_, two_h, d)
+                k_op = jnp.swapaxes(cont[:, :hkv_, :], 0, 1)
+                v_op = jnp.swapaxes(cont[:, hkv_:, :], 0, 1)
+                return canonical_block(
+                    last_pg, m, l, acc, 0, k_op=k_op, v_op=v_op
+                )
+
+            m, l, acc = jax.lax.cond(
+                has_tail, tail_block, lambda c: c, (m, l, acc)
+            )
+
         out = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
         o_ref[0] = out.reshape(hq, tq, d)
 
@@ -640,6 +664,8 @@ def paged_attention_prefill_batched_ilv_tpu(
         scratch_shapes=[
             pltpu.VMEM((_NSLOTS, 2, hkv, bs, d), kv_all.dtype),
             pltpu.SemaphoreType.DMA((_NSLOTS,)),
+            pltpu.VMEM((2, hkv, bs, d), kv_all.dtype),
+            pltpu.SemaphoreType.DMA((1,)),
         ],
     )
     kernel = functools.partial(

@@ -334,7 +334,10 @@ def build_batched_verify_input(
     for (seq, draft), i in zip(pairs, rows):
         start = seq.num_computed_tokens
         assert start == seq.num_tokens - 1, "verify needs sample-then-compute"
-        assert len(draft) == spec_k
+        assert len(draft) <= spec_k
+        draft_lens[i] = len(draft)  # 0 = exact decode through the
+        # verify program (no-match sequences share the dispatch)
+        draft = list(draft) + [0] * (spec_k - len(draft))
         chunk = [seq.token_ids[start], *draft]
         token_ids[i] = chunk
         positions[i] = np.arange(start, start + s, dtype=np.int32)
@@ -349,7 +352,6 @@ def build_batched_verify_input(
         sample_slots[i] = seq.slot_id
         hist_slots[i] = seq.slot_id
         draft_tokens[i] = draft
-        draft_lens[i] = spec_k
     inp = BatchedPrefillInput(
         token_ids=token_ids,
         positions=positions,

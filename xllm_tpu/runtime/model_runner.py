@@ -196,11 +196,12 @@ class ModelRunner:
             from xllm_tpu.models.loader import load_params
 
             self.params = load_params(
-                self.config.model, shardings, dtype=self.model.dtype
+                self.config.model, shardings, dtype=self.model.dtype,
+                stack_transform=(
+                    self._rolling_quantize_transform() if quant else None
+                ),
             )
             self._expand_redundant_experts()
-            if quant:
-                self.params = self._quantize_params(self.params)
         elif quant:
             # random init directly in the quantized dtype: the
             # init-bf16-then-quantize path would materialize the full
@@ -273,6 +274,36 @@ class ModelRunner:
     # fp8 experts are weight-only (in-kernel upcast), so only fp8 touches
     # the expert stacks (reference w8a8/fp8 group GEMM rows)
     _EXPERT_STACKS = ("experts_gate_up", "experts_down")
+
+    def _rolling_quantize_transform(self):
+        """Rolling quantized load (reference rolling_load_manager.h /
+        base_loader.h:82-87): each eligible stack quantizes through a
+        DONATED jit as it loads, so peak extra HBM stays under one bf16
+        stack — the full-precision model never materializes (an 8B bf16
+        intermediate alone would overflow the chip). Same numerics as
+        _quantize_params (same quantize fn, per stack)."""
+        from xllm_tpu.ops.quant import quantize_fp8, quantize_int8
+
+        method = self.config.quant.method
+        quantize = quantize_int8 if method == "int8" else quantize_fp8
+        qfn = jax.jit(quantize, donate_argnums=(0,))
+
+        def transform(dotted: str, w):
+            leaf = dotted.rsplit(".", 1)[-1]
+            is_expert = leaf in self._EXPERT_STACKS
+            eligible = leaf.endswith("_proj_w") or (
+                is_expert and method != "int8"
+            )
+            if (
+                not eligible
+                or leaf in self._QUANT_SKIP
+                or w.dtype not in (jnp.bfloat16, jnp.float32)
+            ):
+                return None
+            wq, scale = qfn(w)
+            return {dotted: wq, dotted + "_scale": scale}
+
+        return transform
 
     def _quantize_params(self, params):
         """Weight-only INT8/FP8 on the decoder matmuls (reference
@@ -430,14 +461,30 @@ class ModelRunner:
         layout = self.config.cache.kv_layout
         if layout.startswith("interleaved"):
             ok = getattr(self.model, "supports_interleaved_kv", False)
-            if layout == "interleaved_rm":
+            if layout == "interleaved_rm" and ok:
                 c = self.config.model
+                if self.config.speculative.method:
+                    # verify chunks claim kv slots past the true sequence
+                    # length; a rejected draft would leave a page
+                    # canonicalized early and later row-major writes
+                    # would corrupt it — spec engines keep canonical
+                    # tails
+                    layout = "interleaved"
                 # the 4 KB row write needs [2*Hkv, D] = whole (16, 128)
                 # tiles dividing the page's (bs, D) planes; int8 tiles
-                # are (32, 128), so rm tails are bf16/f32 caches only
-                ok = ok and (2 * c.num_kv_heads) % 16 == 0 \
-                    and self.block_size % (2 * c.num_kv_heads) == 0 \
-                    and self._resolve_kv_dtype() != jnp.int8
+                # are (32, 128), so rm tails are bf16/f32 caches only —
+                # those degrade to plain interleaved (the int8 winner),
+                # not split
+                if (
+                    (2 * c.num_kv_heads) % 16 != 0
+                    or self.block_size % (2 * c.num_kv_heads) != 0
+                    or self._resolve_kv_dtype() == jnp.int8
+                ):
+                    layout = "interleaved"
+                    logger.info(
+                        "kv_layout=interleaved_rm ineligible "
+                        "(int8 KV or head/page tiling); using interleaved"
+                    )
             if ok:
                 self.model.kv_layout = layout
             else:
