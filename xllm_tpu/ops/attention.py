@@ -112,6 +112,10 @@ def decode_attention_write(
                     paged_decode_attention_write_v12_tpu,
                 )
 
+                # tile 4: the spread-lens PROBE preferred t2 (184.6 vs
+                # 204.6 us/layer) but the full BENCH prefers t4 (11,014
+                # vs 10,818 tok/s — real contexts reach 3-4 full pages
+                # where t4 walks once); bench-level evidence decides
                 kver = os.environ.get("XLLM_DECODE_KERNEL", "v12t4")
                 tile, nslots, _ = _parse_tiled_kernel(kver, "v12") \
                     if kver.startswith("v12") else (4, 0, False)

@@ -1807,13 +1807,25 @@ class ModelRunner:
 
         @partial(jax.jit, donate_argnums=(0,))
         def permute(layers, rel, perm):
+            # layer-at-a-time gather inside the donated buffers: a
+            # whole-stack take_along_axis doubles expert HBM transiently
+            # (an 8B-MoE rebalance measured 24.4 G > 15.75 G on chip);
+            # per-layer the peak extra is ONE layer's stacks — the TPU
+            # analog of the reference's buffered expert shuffling
+            # (eplb_executor.h:29 shm expert buffers)
+            def permute_stack(stack):
+                def body(li, st):
+                    layer = jnp.take(st[li], rel[li], axis=0)
+                    return jax.lax.dynamic_update_index_in_dim(
+                        st, layer, li, 0
+                    )
+
+                return jax.lax.fori_loop(0, stack.shape[0], body, stack)
+
             out = dict(layers)
             for key in self._EXPERT_STACK_KEYS:
                 if key in layers:
-                    ix = rel.reshape(
-                        rel.shape + (1,) * (layers[key].ndim - 2)
-                    )
-                    out[key] = jnp.take_along_axis(layers[key], ix, axis=1)
+                    out[key] = permute_stack(layers[key])
             out["expert_placement"] = perm
             return out
 
