@@ -753,8 +753,10 @@ class LLMEngine:
                 self._assign_slot(seq)
                 if self._spec_capacity(seq):
                     mtp_seqs.append(seq)
+                    self.spec_stats[0] += 1
                 else:
                     decode_seqs.append(seq)
+                    self.spec_stats[1] += 1
             max_rows = self.config.scheduler.prefill_row_buckets[-1]
             for lo in range(0, len(mtp_seqs), max_rows):
                 # bound each dispatch to the largest verify-row bucket
