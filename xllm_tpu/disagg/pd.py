@@ -42,6 +42,10 @@ class PrefillHandoff:
     sampling_params: SamplingParams
     k_blocks: np.ndarray  # [n_blocks, L, Hkv, bs, D]
     v_blocks: np.ndarray
+    # the sending engine's CacheConfig.kv_layout: page CONTENT is a
+    # layout convention (interleaved_rm tail pages are token-major), so
+    # the receiver must verify compatibility, not assume it
+    kv_layout: str = "split"
 
     @staticmethod
     def _wire(a: np.ndarray) -> tuple[np.ndarray, str]:
@@ -77,6 +81,7 @@ class PrefillHandoff:
                 "sampling_params": dataclasses.asdict(self.sampling_params),
                 "k_dtype": k_dt,
                 "v_dtype": v_dt,
+                "kv_layout": self.kv_layout,
             }
         )
         np.savez(buf, meta=np.frombuffer(meta.encode(), np.uint8), k=k, v=v)
@@ -95,6 +100,7 @@ class PrefillHandoff:
             sampling_params=SamplingParams(**meta["sampling_params"]),
             k_blocks=cls._unwire(z["k"], meta.get("k_dtype", z["k"].dtype.name)),
             v_blocks=cls._unwire(z["v"], meta.get("v_dtype", z["v"].dtype.name)),
+            kv_layout=meta.get("kv_layout", "split"),
         )
 
 
@@ -251,6 +257,7 @@ class AsyncPrefillInstance:
                 sampling_params=sp,
                 k_blocks=k_np,
                 v_blocks=v_np,
+                kv_layout=eng.config.cache.kv_layout,
             ))
 
 
@@ -299,6 +306,25 @@ class DecodeInstance:
         + allocate path, disagg_pd_scheduler.h:65-80)."""
         eng = self.engine
         dbs = eng.config.cache.block_size
+        my_layout = eng.config.cache.kv_layout
+        if handoff.kv_layout != my_layout:
+            # page CONTENT follows the layout convention — installing
+            # blocks under a different convention corrupts silently
+            raise ValueError(
+                f"PD kv_layout mismatch: prefill node sent "
+                f"{handoff.kv_layout!r}, decode node runs {my_layout!r}"
+            )
+        tok_ax = handoff.k_blocks.ndim - 2
+        if (
+            handoff.k_blocks.shape[tok_ax] != dbs
+            and my_layout == "interleaved_rm"
+        ):
+            # a row-major tail page's token-major content cannot be
+            # split along the canonical token axis
+            raise ValueError(
+                "cross-page-size PD requires canonical page content "
+                "(kv_layout split/interleaved), not interleaved_rm"
+            )
         handoff.k_blocks = self._rechunk_blocks(handoff.k_blocks, dbs)
         if handoff.v_blocks.ndim >= 5:  # MLA dummy/indexer slots pass through
             handoff.v_blocks = self._rechunk_blocks(handoff.v_blocks, dbs)

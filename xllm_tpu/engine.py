@@ -957,14 +957,16 @@ class LLMEngine:
             return None
         if seq.num_fixed_tokens != seq.num_tokens:
             return None  # last token still on device (shouldn't happen sync)
-        # near the length caps, shrink the draft instead of leaving the
+        # the verify chunk writes spec_k KV positions whatever the draft
+        # length (static shape), so near max_model_len the slots would
+        # overflow the block-table width — those sequences (about to
+        # finish) take exact decode
+        if seq.num_tokens + k + 1 > self.config.scheduler.max_model_len:
+            return None
+        # near max_new_tokens, shrink the draft instead of leaving the
         # verify dispatch (a second plain-decode dispatch costs a second
-        # sync fetch RTT per step)
-        k = min(
-            k,
-            self.config.scheduler.max_model_len - seq.num_tokens - 1,
-            seq.stopping.max_new_tokens - seq.num_generated_tokens - 1,
-        )
+        # sync fetch RTT per step); positions stay within the allocation
+        k = min(k, seq.stopping.max_new_tokens - seq.num_generated_tokens - 1)
         if k < 0:
             return None
         # capacity for spec_k+1 tokens beyond computed (the verify chunk
@@ -1176,6 +1178,18 @@ class LLMEngine:
         if self.has_unfinished():
             raise RuntimeError("cannot update weights with unfinished requests")
         self.runner.update_weights(model_path)
+        if self._eplb is not None:
+            # fresh stacks are in logical order: restart the EPLB window
+            from xllm_tpu.framework.eplb import EplbManager
+
+            self._eplb = EplbManager(
+                num_layers=self._eplb.num_layers,
+                num_experts=self._eplb.num_experts,
+                num_devices=self._eplb.num_devices,
+                rebalance_interval=self._eplb.rebalance_interval,
+                threshold=self._eplb.threshold,
+                num_slots=self._eplb.num_slots,
+            )
         self.wakeup()
 
     def _export_weights(self) -> dict:

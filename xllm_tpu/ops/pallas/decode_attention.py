@@ -898,11 +898,16 @@ def _decode_kernel_v11(
         kv_buf[...] = jnp.zeros_like(kv_buf)
 
     def tile_contig(iseq, j0):
-        """-> (blk0, full-tile-and-block-contiguous?)."""
+        """-> (blk0, full-tile-and-block-contiguous?). Reads clamp to
+        the table width: partial last tiles would otherwise index past
+        the row (their values only feed `ok`, which the full-tile term
+        already falsifies, but the OOB scalar read itself is UB)."""
+        nb_cols = block_tables_ref.shape[1]
         blk0 = block_tables_ref[iseq, j0]
         ok = j0 + T <= pages_ref[iseq]
         for h in range(1, T):
-            ok = ok & (block_tables_ref[iseq, j0 + h] == blk0 + h)
+            jh = jnp.minimum(j0 + h, nb_cols - 1)
+            ok = ok & (block_tables_ref[iseq, jh] == blk0 + h)
         return blk0, ok
 
     def issue_tile(gt):
@@ -1269,10 +1274,16 @@ def _decode_kernel_v12(
         win_buf[...] = jnp.zeros_like(win_buf)
 
     def tile_contig(iseq, j0):
+        """-> (blk0, full-tile-and-block-contiguous?). Reads clamp to
+        the table width: partial last tiles would otherwise index past
+        the row (their values only feed `ok`, which the full-tile term
+        already falsifies, but the OOB scalar read itself is UB)."""
+        nb_cols = block_tables_ref.shape[1]
         blk0 = block_tables_ref[iseq, j0]
         ok = j0 + T <= pages_ref[iseq]
         for h in range(1, T):
-            ok = ok & (block_tables_ref[iseq, j0 + h] == blk0 + h)
+            jh = jnp.minimum(j0 + h, nb_cols - 1)
+            ok = ok & (block_tables_ref[iseq, jh] == blk0 + h)
         return blk0, ok
 
     def issue_tile(gt):
@@ -1309,7 +1320,6 @@ def _decode_kernel_v12(
     # the full read latency exposed — measured ~v9-neutral in the first
     # v12 A/B)
     wd = win_buf.shape[0]
-    tail_blk = block_tables_ref[b, nfull]
     has_win = n_win > 0
 
     def issue_win(t):

@@ -201,6 +201,11 @@ class ModelRunner:
                     self._rolling_quantize_transform() if quant else None
                 ),
             )
+            if quant:
+                # catch-all for family loaders without the rolling hook
+                # (qwen3_next, vision towers): quantizes any eligible
+                # stack still in bf16; a no-op where the hook already ran
+                self.params = self._quantize_params(self.params)
             self._expand_redundant_experts()
         elif quant:
             # random init directly in the quantized dtype: the
@@ -1742,6 +1747,15 @@ class ModelRunner:
         "experts_gate_up_scale", "experts_down_scale",
     )
 
+    def _reset_expert_placement(self) -> None:
+        """After a weight swap the stacks are back in LOGICAL order: the
+        host-tracked placement (relative-rebalance base) must reset or
+        the next apply_expert_placement gathers per a stale map, and
+        replica slots must re-expand (pushed stacks carry E rows while
+        the EPLB manager's placement has E+R entries)."""
+        self._host_expert_placement.clear()
+        self._expand_redundant_experts()
+
     def _expand_redundant_experts(self) -> None:
         """Checkpoint stacks carry E logical experts; with
         redundant_experts > 0 gather them to E + R physical slots per the
@@ -1761,7 +1775,14 @@ class ModelRunner:
 
             @jax.jit
             def expand(stack, idx=idx):
-                return stack[:, idx]
+                # layer-at-a-time (donation can't apply — shapes grow),
+                # bounding the transient to ONE layer's expanded stack
+                # instead of a whole-model second copy (the same blowup
+                # apply_expert_placement measured OOM at 8B-MoE scale)
+                def one(li):
+                    return jnp.take(stack[li], idx, axis=0)
+
+                return jax.lax.map(one, jnp.arange(stack.shape[0]))
 
             lp = dict(lp)
             for key in self._EXPERT_STACK_KEYS:
@@ -2053,17 +2074,23 @@ class ModelRunner:
                 # trainer pushed full-precision weights into a
                 # quantized-serving instance: re-quantize on ingest
                 self.params = self._quantize_params(self.params)
+            self._reset_expert_placement()
             logger.info("weights updated from pushed tensors")
             return
         if model_path:
             self.config.model.model_path = model_path
         from xllm_tpu.models.loader import load_params
 
+        quant = self.config.quant.method in ("int8", "fp8_e4m3")
         self.params = load_params(
-            self.config.model, shardings, dtype=self.model.dtype
+            self.config.model, shardings, dtype=self.model.dtype,
+            stack_transform=(
+                self._rolling_quantize_transform() if quant else None
+            ),
         )
-        if self.config.quant.method in ("int8", "fp8_e4m3"):
+        if quant:
             self.params = self._quantize_params(self.params)
+        self._reset_expert_placement()
         logger.info("weights updated from %s", self.config.model.model_path)
 
     def export_weights(self) -> dict:
