@@ -26,8 +26,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from xllm_tpu.dit.pipeline import DiTPipeline, PipelineConfig
-from xllm_tpu.dit.vae import VAEConfig, VAEDecoder
+from xllm_tpu.dit.pipeline import (
+    DiTPipeline,
+    FluxFillPipeline,
+    PipelineConfig,
+)
+from xllm_tpu.dit.vae import VAEConfig, VAEDecoder, VAEEncoder
 
 logger = logging.getLogger(__name__)
 
@@ -93,17 +97,32 @@ class DiTEngine:
                  vae_cfg: VAEConfig | None = None, seed: int = 0):
         self.cfg = cfg
         self.max_batch = max_batch
-        vae = VAEDecoder(vae_cfg or VAEConfig(
-            latent_channels=cfg.model.in_channels), dtype) if use_vae else None
-        self.pipeline = DiTPipeline(cfg, dtype=dtype, mesh=mesh, vae=vae)
+        vcfg = vae_cfg or VAEConfig(latent_channels=cfg.model.in_channels)
+        vae = VAEDecoder(vcfg, dtype) if use_vae else None
+        # cond_dim > 0 = a fill transformer (reference
+        # pipeline_flux_fill.h:21): the pipeline gains generate_fill and
+        # the engine an image+mask edit path through the VAE encoder
+        self.is_fill = cfg.model.cond_dim > 0
+        pipe_cls = FluxFillPipeline if self.is_fill else DiTPipeline
+        self.pipeline = pipe_cls(cfg, dtype=dtype, mesh=mesh, vae=vae)
+        self.vae_encoder = (
+            VAEEncoder(vcfg, dtype) if (use_vae and self.is_fill) else None
+        )
         self.encoder = HashTextEncoder(cfg.model.text_dim,
                                        cfg.model.pooled_dim)
         rng = jax.random.PRNGKey(seed)
-        r1, r2 = jax.random.split(rng)
+        r1, r2, r3 = jax.random.split(rng, 3)
         # checkpoint loading plugs in here (flux safetensors mapping);
         # random init keeps the serving path exercisable without weights
         self.params = self.pipeline.model.init_params(r1)
         self.vae_params = vae.init_params(r2) if vae else None
+        self.vae_encoder_params = (
+            self.vae_encoder.init_params(r3) if self.vae_encoder else None
+        )
+        if self.is_fill:
+            # SD/flux VAEs downsample 8x; the tiny test VAE (one
+            # downsample) spans 2^(len(mults)-1)
+            self.pipeline.vae_scale = 2 ** (len(vcfg.channel_mults) - 1)
         self._queue: "queue.Queue[DiTRequest]" = queue.Queue()
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
@@ -184,6 +203,45 @@ class DiTEngine:
         if req.error:
             raise RuntimeError(req.error)
         return req.result, req.stats
+
+    # -- image editing (fill transformer; /v1/images/edits) -------------
+    def edit(self, prompt: str, image: np.ndarray, mask: np.ndarray, *,
+             negative_prompt: str | None = None,
+             num_inference_steps: int | None = None,
+             strength: float = 1.0, seed: int = 0):
+        """Inpaint ``image`` (uint8 [H,W,3]) where ``mask`` (uint8/bool
+        [H,W], nonzero = repaint) under ``prompt`` (reference
+        pipeline_flux_fill.h forward: mask the pixels, VAE-encode the
+        masked image, condition every denoise step on the packed
+        latents+mask). Returns (uint8 image, stats) synchronously — edits
+        are single requests, not batched with text->image traffic."""
+        if not self.is_fill or self.vae_encoder is None:
+            raise RuntimeError(
+                "image edits need a fill transformer (model.cond_dim > 0)"
+                " and a VAE"
+            )
+        img = image.astype(np.float32) / 127.5 - 1.0  # [-1, 1]
+        m = (np.asarray(mask) > 0).astype(np.float32)
+        masked = img * (1.0 - m[..., None])
+        lat = self.vae_encoder.encode(
+            self.vae_encoder_params, jnp.asarray(masked[None])
+        )
+        txt, pooled = self.encoder.encode([prompt])
+        neg_txt = neg_pooled = None
+        if negative_prompt is not None:
+            neg_txt, neg_pooled = self.encoder.encode([negative_prompt])
+        out, stats = self.pipeline.generate_fill(
+            self.params, txt, pooled,
+            image_latents=lat,
+            mask=jnp.asarray(m[None]),
+            neg_txt_embeds=neg_txt, neg_pooled=neg_pooled,
+            num_inference_steps=num_inference_steps,
+            strength=strength, seed=seed,
+            vae_params=self.vae_params,
+        )
+        arr = np.asarray(out[0])
+        img8 = ((arr + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
+        return img8, stats
 
 
 def png_b64(img: np.ndarray) -> str:

@@ -41,6 +41,11 @@ class DiTConfig:
     pooled_dim: int = 256        # pooled projection dim
     guidance_embed: bool = True  # flux-dev style guidance conditioning
     axes_dim: tuple = (32, 32)   # rope dims per (h, w) axis; sum == head_dim
+    # extra conditioning channels concatenated to every step's latent
+    # tokens (flux-fill: packed masked-image latents + sub-pixel mask =
+    # 64 + 256 = 320 on top of the 64 latent features — the reference
+    # fill transformer's in_channels 384, pipeline_flux_fill.h:388)
+    cond_dim: int = 0
 
     @property
     def head_dim(self) -> int:
@@ -122,7 +127,8 @@ class DiTModel:
             }
 
         params = {
-            "img_in_w": w(c.patch_dim, d), "img_in_b": zeros(d),
+            "img_in_w": w(c.patch_dim + c.cond_dim, d),
+            "img_in_b": zeros(d),
             "txt_in_w": w(c.text_dim, d), "txt_in_b": zeros(d),
             "t_mlp1_w": w(256, d), "t_mlp1_b": zeros(d),
             "t_mlp2_w": w(d, d), "t_mlp2_b": zeros(d),

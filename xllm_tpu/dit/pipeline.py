@@ -115,8 +115,11 @@ class DiTPipeline:
                 **{**cache_cfg.__dict__, "sp_axis": self.sp_axis})
         cache = make_dit_cache(cache_cfg, num_steps)
 
-        def denoise(params, lat, txt, pooled, neg_txt, neg_pooled,
+        def denoise(params, lat, cond, txt, pooled, neg_txt, neg_pooled,
                     sigmas, guidance, cfg_scale, img_ang):
+            # cond [B, N, cond_dim]: per-step channel conditioning
+            # (flux-fill packed mask/masked-image latents; width 0 for
+            # plain text->image — the concat below is then a no-op)
             txt_len = txt.shape[1]
             ang = jnp.concatenate(
                 [jnp.zeros((txt_len, img_ang.shape[-1]), jnp.float32),
@@ -140,8 +143,11 @@ class DiTPipeline:
                 t = jnp.full((b,), sigma, jnp.float32)
 
                 def predict(lat_x, txt_e, pooled_e, cstate):
+                    lat_in = jnp.concatenate(
+                        [lat_x.astype(model.dtype),
+                         cond.astype(model.dtype)], axis=-1)
                     img_in, txt_in, vec = model.embed_tokens(
-                        params, lat_x, txt_e, t, pooled_e, guidance)
+                        params, lat_in, txt_e, t, pooled_e, guidance)
                     img0, txt0 = model.block0(
                         params, img_in, txt_in, vec, rope)
                     r0 = img0 - img_in  # FBCache probe residual (fbcache.cpp)
@@ -210,8 +216,8 @@ class DiTPipeline:
             spec_tok = P(None, sp, None)
             denoise = shard_map(
                 denoise, mesh=self.mesh,
-                in_specs=(P(), spec_tok, P(), P(), P(), P(), P(), P(), P(),
-                          P(sp, None)),
+                in_specs=(P(), spec_tok, spec_tok, P(), P(), P(), P(), P(),
+                          P(), P(), P(sp, None)),
                 out_specs=(spec_tok, P()),
                 check_vma=False)
         fn = jax.jit(denoise)
@@ -254,7 +260,9 @@ class DiTPipeline:
         cfg_scale = jnp.asarray(cfg.true_cfg_scale, jnp.float32)
 
         fn = self._denoise_fn(steps, use_cfg, lat_tokens.shape[1])
-        lat_out, skips = fn(params, lat_tokens, txt_embeds, pooled,
+        cond = jnp.zeros(
+            (lat_tokens.shape[0], lat_tokens.shape[1], 0), jnp.float32)
+        lat_out, skips = fn(params, lat_tokens, cond, txt_embeds, pooled,
                             neg_txt_embeds, neg_pooled, sigmas, guidance,
                             cfg_scale, img_ang)
         lat = self.model.unpatchify(lat_out, (gh, gw))
@@ -290,3 +298,112 @@ class DiTPipeline:
                 out_shardings=rows,
             )
         return self._vae_jit(vae_params, z)
+
+
+def pack_fill_mask(mask: jnp.ndarray, vae_scale: int, patch: int = 2):
+    """Pixel mask [B, H, W] -> packed token features [B, N, vs*vs*p*p].
+
+    Mirrors the reference flux-fill mask preparation
+    (pipeline_flux_fill.h:190-198): each latent cell's vs x vs pixel
+    sub-block becomes channels, then the p x p latent patchify packs
+    them into token features — the transformer sees per-sub-pixel mask
+    bits aligned with its latent tokens.
+    """
+    b, H, W = mask.shape
+    h, w = H // vae_scale, W // vae_scale
+    m = mask.reshape(b, h, vae_scale, w, vae_scale)
+    # [B, h, w, vs*vs] with channel = vs_i * vs + vs_j (reference
+    # permute({0,2,4,1,3}) in channels-first == this in channels-last)
+    m = m.transpose(0, 1, 3, 2, 4).reshape(b, h, w, vae_scale * vae_scale)
+    gh, gw = h // patch, w // patch
+    m = m.reshape(b, gh, patch, gw, patch, vae_scale * vae_scale)
+    return m.transpose(0, 1, 3, 2, 4, 5).reshape(
+        b, gh * gw, patch * patch * vae_scale * vae_scale
+    )
+
+
+class FluxFillPipeline(DiTPipeline):
+    """Inpainting/outpainting sampler (reference pipeline_flux_fill.h:21,
+    huggingface FluxFillPipeline semantics).
+
+    The transformer consumes, at every step, the latent tokens
+    concatenated with a CONSTANT conditioning block: the masked image's
+    packed VAE latents plus the sub-pixel-packed binary mask
+    (model cond_dim = patch_dim + vs*vs*p*p, e.g. 64 + 256 = 320 for a
+    384-channel fill transformer). strength < 1 starts the flow from a
+    noised copy of the input image (scale_noise / get_timesteps,
+    pipeline_flux_fill.h:209-221).
+    """
+
+    # pixel span of one latent cell (SD/flux VAEs downsample 8x)
+    vae_scale = 8
+
+    def generate_fill(self, params, txt_embeds, pooled, *,
+                      image_latents, mask,
+                      neg_txt_embeds=None, neg_pooled=None,
+                      num_inference_steps: int | None = None,
+                      strength: float = 1.0,
+                      seed: int = 0, vae_params=None):
+        """image_latents [B, h, w, C] (VAE-encoded, unscaled);
+        mask [B, H, W] pixels in {0, 1} (1 = repaint). Returns
+        (output, stats) like generate."""
+        cfg = self.cfg
+        steps = num_inference_steps or cfg.num_inference_steps
+        use_cfg = (cfg.true_cfg_scale > 1.0
+                   and neg_txt_embeds is not None)
+        if not use_cfg:
+            neg_txt_embeds = jnp.zeros_like(txt_embeds)
+            neg_pooled = jnp.zeros_like(pooled)
+
+        b, height, width, _ = image_latents.shape
+        p = cfg.model.patch_size
+        gh, gw = height // p, width // p
+        scaled = (
+            (image_latents - cfg.vae_shift_factor) * cfg.vae_scaling_factor
+        )
+        # latent-space mask for the masked image (pixel mask averaged
+        # per latent cell would differ from the reference, which masks
+        # PIXELS before encoding; callers wanting exact parity pass
+        # image_latents of the pre-masked image — here we mask latents
+        # of cells fully inside the repaint region)
+        vs = self.vae_scale
+        cell_mask = mask.reshape(b, height, vs, width, vs).mean((2, 4))
+        masked_lat = scaled * (1.0 - (cell_mask >= 1.0)[..., None])
+        cond = jnp.concatenate(
+            [
+                self.model.patchify(masked_lat),
+                pack_fill_mask(mask.astype(jnp.float32), vs, p),
+            ],
+            axis=-1,
+        )
+        expect = cfg.model.cond_dim
+        assert cond.shape[-1] == expect, (cond.shape, expect)
+
+        sigmas = jnp.asarray(flow_match_sigmas(
+            steps, image_seq_len=gh * gw, shift=cfg.shift,
+            use_dynamic_shifting=cfg.use_dynamic_shifting))
+        # strength: start the flow part-way (get_timesteps slice); the
+        # init latent is the flow-match noising of the input at sigma0
+        t_start = max(steps - min(int(steps * strength), steps), 0)
+        sigmas = sigmas[t_start:]
+        rng = jax.random.PRNGKey(seed)
+        noise = self.prepare_latents(rng, b, height, width)
+        sigma0 = sigmas[0]
+        lat = (1.0 - sigma0) * scaled + sigma0 * noise
+        lat_tokens = self.model.patchify(lat)
+        img_ang = self.model.rope_img(gh, gw)
+        guidance = jnp.full((b,), cfg.guidance_scale, jnp.float32)
+        cfg_scale = jnp.asarray(cfg.true_cfg_scale, jnp.float32)
+
+        n_steps = sigmas.shape[0] - 1
+        fn = self._denoise_fn(n_steps, use_cfg, lat_tokens.shape[1])
+        lat_out, skips = fn(params, lat_tokens, cond, txt_embeds, pooled,
+                            neg_txt_embeds, neg_pooled, sigmas, guidance,
+                            cfg_scale, img_ang)
+        lat = self.model.unpatchify(lat_out, (gh, gw))
+        stats = {"cache_skips": int(jax.device_get(skips)),
+                 "steps": n_steps}
+        if self.vae is not None and vae_params is not None:
+            z = lat / cfg.vae_scaling_factor + cfg.vae_shift_factor
+            return self._vae_decode(vae_params, z), stats
+        return lat, stats

@@ -40,6 +40,7 @@ class DiTServer:
     def build_app(self) -> web.Application:
         app = web.Application(client_max_size=64 * 1024 * 1024)
         app.router.add_post("/v1/images/generations", self.generations)
+        app.router.add_post("/v1/images/edits", self.edits)
         app.router.add_get("/v1/models", self.models)
         app.router.add_get("/health", self.health)
         return app
@@ -90,6 +91,70 @@ class DiTServer:
             "data": data,
             "usage": {"steps": results[0][1]["steps"],
                       "cache_skips": results[0][1]["cache_skips"]},
+        })
+
+
+    async def edits(self, request: web.Request):
+        """OpenAI images-edits-shaped endpoint over the fill transformer
+        (reference pipeline_flux_fill.h + ImageGeneration service rows):
+        JSON body {prompt, image: b64 PNG, mask: b64 PNG, strength?,
+        num_inference_steps?, seed?, negative_prompt?}. The mask's
+        nonzero pixels are repainted."""
+        try:
+            body = await request.json()
+        except Exception:
+            return _error(400, "invalid JSON body")
+        prompt = body.get("prompt")
+        if not prompt:
+            return _error(400, "prompt is required")
+        if not getattr(self.engine, "is_fill", False):
+            return _error(400, "this model is not a fill transformer")
+        try:
+            import base64
+            import io as _io
+
+            import numpy as _np
+            from PIL import Image
+
+            def _img(field):
+                raw = base64.b64decode(body[field])
+                return _np.asarray(Image.open(_io.BytesIO(raw)).convert(
+                    "RGB" if field == "image" else "L"))
+
+            image = _img("image")
+            mask = _img("mask")
+        except KeyError as e:
+            return _error(400, f"missing field {e}")
+        except Exception as e:
+            return _error(400, f"bad image payload: {e}")
+        if mask.shape[:2] != image.shape[:2]:
+            return _error(400, "mask and image sizes differ")
+        mult = (self.engine.pipeline.vae_scale
+                * self.engine.cfg.model.patch_size)
+        h, w = image.shape[:2]
+        if h % mult or w % mult:
+            return _error(400, f"image dims must be multiples of {mult}")
+
+        loop = asyncio.get_running_loop()
+        try:
+            img, stats = await loop.run_in_executor(
+                None,
+                lambda: self.engine.edit(
+                    prompt, image, mask,
+                    negative_prompt=body.get("negative_prompt"),
+                    num_inference_steps=body.get("num_inference_steps"),
+                    strength=float(body.get("strength", 1.0)),
+                    seed=int(body.get("seed", 0)),
+                ),
+            )
+        except Exception as e:
+            return _error(500, str(e))
+        return web.json_response({
+            "created": int(time.time()),
+            "id": f"img-{uuid.uuid4().hex[:20]}",
+            "data": [{"b64_json": png_b64(img), "revised_prompt": prompt}],
+            "usage": {"steps": stats["steps"],
+                      "cache_skips": stats["cache_skips"]},
         })
 
 

@@ -150,3 +150,98 @@ class VAEDecoder:
                                     self.cfg.norm_groups))
         x = _conv(x, params["conv_out"]["w"], params["conv_out"]["b"])
         return jnp.tanh(x.astype(jnp.float32))
+
+
+class VAEEncoder:
+    """Mirror of VAEDecoder for image -> latent encoding (diffusers
+    AutoencoderKL encoder: conv_in → down blocks (resnets + stride-2
+    downsample) → mid (resnet, attention, resnet) → norm_out → conv_out
+    to 2*latent channels (mean | logvar)).
+
+    Needed by the image-editing pipelines (reference
+    pipeline_flux_fill.h:203 encode_vae_image): the masked input image
+    becomes the constant conditioning latents of the fill transformer.
+    """
+
+    def __init__(self, cfg: VAEConfig, dtype=jnp.float32):
+        self.cfg = cfg
+        self.dtype = dtype
+
+    def init_params(self, rng: jax.Array) -> dict:
+        c = self.cfg
+        ks = iter(jax.random.split(rng, 256))
+
+        def w(*shape, scale=0.05):
+            return (jax.random.normal(next(ks), shape) * scale).astype(
+                self.dtype)
+
+        def conv_p(cin, cout, k=3):
+            return {"w": w(k, k, cin, cout),
+                    "b": jnp.zeros((cout,), self.dtype)}
+
+        def resnet_p(cin, cout):
+            p = {
+                "n1g": jnp.ones((cin,), self.dtype),
+                "n1b": jnp.zeros((cin,), self.dtype),
+                "c1": conv_p(cin, cout),
+                "n2g": jnp.ones((cout,), self.dtype),
+                "n2b": jnp.zeros((cout,), self.dtype),
+                "c2": conv_p(cout, cout),
+            }
+            if cin != cout:
+                p["skip"] = conv_p(cin, cout, k=1)
+            return p
+
+        mults = list(c.channel_mults)
+        ch0 = c.base_channels * mults[0]
+        params = {"conv_in": conv_p(c.out_channels, ch0), "downs": []}
+        cin = ch0
+        for i, m in enumerate(mults):
+            cout = c.base_channels * m
+            blk = {"res": [resnet_p(cin if j == 0 else cout, cout)
+                           for j in range(c.layers_per_block)]}
+            if i < len(mults) - 1:
+                blk["down"] = conv_p(cout, cout)
+            params["downs"].append(blk)
+            cin = cout
+        params["mid_r1"] = resnet_p(cin, cin)
+        params["mid_attn"] = {
+            "ng": jnp.ones((cin,), self.dtype),
+            "nb": jnp.zeros((cin,), self.dtype),
+            "q": conv_p(cin, cin, k=1), "k": conv_p(cin, cin, k=1),
+            "v": conv_p(cin, cin, k=1), "o": conv_p(cin, cin, k=1),
+        }
+        params["mid_r2"] = resnet_p(cin, cin)
+        params["norm_out_g"] = jnp.ones((cin,), self.dtype)
+        params["norm_out_b"] = jnp.zeros((cin,), self.dtype)
+        params["conv_out"] = conv_p(cin, 2 * c.latent_channels)
+        return params
+
+    _resnet = VAEDecoder._resnet
+    _mid_attn = VAEDecoder._mid_attn
+
+    def encode(self, params, image, rng=None):
+        """image [B,H,W,3] in [-1,1] -> latents [B,h,w,latent_c]
+        (UNscaled — the pipeline applies shift/scale). Deterministic
+        posterior mean unless ``rng`` samples it (reference encode seed).
+        """
+        x = _conv(image.astype(self.dtype), params["conv_in"]["w"],
+                  params["conv_in"]["b"])
+        n_down = len(params["downs"])
+        for i, blk in enumerate(params["downs"]):
+            for rp in blk["res"]:
+                x = self._resnet(rp, x)
+            if i < n_down - 1:
+                x = _conv(x, blk["down"]["w"], blk["down"]["b"], stride=2)
+        x = self._resnet(params["mid_r1"], x)
+        x = self._mid_attn(params["mid_attn"], x)
+        x = self._resnet(params["mid_r2"], x)
+        x = jax.nn.silu(_group_norm(x, params["norm_out_g"],
+                                    params["norm_out_b"],
+                                    self.cfg.norm_groups))
+        x = _conv(x, params["conv_out"]["w"], params["conv_out"]["b"])
+        mean, logvar = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+        if rng is not None:
+            std = jnp.exp(0.5 * jnp.clip(logvar, -30.0, 20.0))
+            return mean + std * jax.random.normal(rng, mean.shape)
+        return mean
