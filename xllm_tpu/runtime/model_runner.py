@@ -846,7 +846,7 @@ class ModelRunner:
 
         @partial(
             jax.jit,
-            donate_argnums=(2, 3, 4, 5, 7, 8, 9),
+            donate_argnums=(2, 3, 4, 5, 8, 9, 10),
             static_argnames=("use_penalties", "need_logprobs"),
         )
         def mtp_prefill_step(
@@ -883,7 +883,7 @@ class ModelRunner:
 
         @partial(
             jax.jit,
-            donate_argnums=(2, 3, 4, 5, 8, 9),
+            donate_argnums=(2, 3, 4, 5, 8, 9, 10),
             static_argnames=("num_logits",),
         )
         def mtp_verify_step(
@@ -949,7 +949,7 @@ class ModelRunner:
 
         @partial(
             jax.jit,
-            donate_argnums=(2, 3, 5, 6, 7),
+            donate_argnums=(2, 3, 6, 7, 8),
             static_argnames=("use_penalties", "need_logprobs"),
         )
         def mtp_decode_step(
