@@ -204,6 +204,82 @@ def test_moe_replica_routing_matches_logical():
     assert logical.sum() == T * K
 
 
+def test_update_weights_resets_expert_placement():
+    """Regression (r5 review): a weight push lands stacks in LOGICAL
+    order, so the host-tracked placement must reset — a stale map makes
+    the next apply_expert_placement gather the wrong experts — and
+    replica slots must re-expand (pushed stacks carry E rows, the
+    serving instance runs E + R)."""
+    from xllm_tpu.config import (
+        CacheConfig, EngineConfig, EplbConfig, ModelConfig,
+        ParallelConfig, SchedulerConfig,
+    )
+    from xllm_tpu.engine import LLMEngine
+    from xllm_tpu.framework.sampling_params import SamplingParams
+
+    mc = ModelConfig(
+        model_type="qwen3_moe", dtype="float32", vocab_size=200,
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        qk_norm=True, num_experts=4, num_experts_per_tok=2,
+        moe_intermediate_size=32, norm_topk_prob=True,
+        max_position_embeddings=128,
+    )
+
+    def make(redundant):
+        cfg = EngineConfig(
+            model=mc,
+            cache=CacheConfig(num_blocks=32, block_size=8),
+            scheduler=SchedulerConfig(
+                max_seqs_per_batch=4, max_model_len=128,
+                decode_batch_buckets=[4], prefill_token_buckets=[16],
+                prefill_row_buckets=[1, 4],
+            ),
+            parallel=ParallelConfig(tp_size=2),
+            eplb=EplbConfig(
+                enable_eplb=True, rebalance_interval=10_000,
+                redundant_experts=redundant,
+            ),
+        )
+        return LLMEngine(cfg)
+
+    eng = make(2)  # serving instance: 4 logical experts, 6 slots
+    eng.runner.apply_expert_placement(
+        np.stack([np.array([2, 1, 0, 3, 2, 0], np.int32)] * 2)
+    )
+
+    # "trainer" push: a replica-free peer's pytree (E-row stacks)
+    donor = make(0)
+    logical_gu = np.asarray(donor.runner.params["layers"]["experts_gate_up"])
+    assert logical_gu.shape[1] == 4
+    eng.runner.update_weights(params=donor.runner.params)
+
+    init = np.asarray(eng.runner.model.initial_expert_placement())
+    lp = eng.runner.params["layers"]
+    assert eng.runner._host_expert_placement == {}
+    assert lp["experts_gate_up"].shape[1] == len(init) == 6
+    np.testing.assert_array_equal(
+        np.asarray(lp["expert_placement"]), np.tile(init, (2, 1))
+    )
+
+    # a post-swap rebalance must gather per the FRESH map: physical
+    # slot s ends up holding logical expert P2[l, s]'s pushed weights
+    P2 = np.stack([np.array([3, 2, 1, 0, 3, 1], np.int32),
+                   np.array([0, 3, 2, 1, 0, 2], np.int32)])
+    eng.runner.apply_expert_placement(P2)
+    got = np.asarray(eng.runner.params["layers"]["experts_gate_up"])
+    for layer in range(2):
+        np.testing.assert_array_equal(got[layer], logical_gu[layer][P2[layer]])
+
+    # and the instance still serves
+    eng.add_request(prompt_token_ids=[11, 13, 17, 19],
+                    sampling_params=SamplingParams(
+                        temperature=0.0, max_tokens=4, ignore_eos=True))
+    outs = eng.generate_all(timeout_s=300)
+    assert outs and len(outs[0].outputs[0].token_ids) == 4
+    assert eng.block_manager.num_used_blocks == 0
+
+
 def test_engine_e2e_with_redundant_experts():
     """Live loop with replica slots: outputs match the replica-free run,
     a rebalance fires, and the applied placement carries replicas."""
