@@ -141,3 +141,58 @@ def test_hybrid_guards():
                 use_beam_search=True, best_of=2, max_tokens=4
             ),
         )
+
+
+def test_int8_weights_consumed_by_forward():
+    """Regression (r5): the quant catch-all
+    (runtime/model_runner._quantize_params) quantizes qwen3_next's
+    raw-dot MLP stacks (shared_gate/up/down_proj_w); the forward must
+    fold the per-channel scales back (Qwen3NextModel._mlp_dot) — a
+    codes-only dot emits garbage logits. Greedy outputs of the int8
+    engine must match an f32 engine loaded with the SAME
+    quantize->dequantize round-tripped weights."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from xllm_tpu.config import QuantConfig
+
+    cfg = _cfg()
+    eng_f = LLMEngine(cfg)
+    host = jax.tree.map(np.asarray, eng_f.runner.params)
+
+    eng_q = LLMEngine(dataclasses.replace(cfg, quant=QuantConfig(method="int8")))
+    eng_q.runner.update_weights(params=host)
+    gp = eng_q.runner.params["groups"]
+    assert gp["shared_gate_proj_w"].dtype == jnp.int8
+    assert "shared_gate_proj_w_scale" in gp
+    # int8 leaves routed expert stacks and the router full precision
+    assert gp["experts_gate_up"].dtype == jnp.float32
+    assert gp["router_w"].dtype == jnp.float32
+
+    # host mirror of ops/quant.quantize_int8 (f32 arithmetic, same
+    # round-half-to-even), round-tripped back to floats
+    def rt(w):
+        w32 = w.astype(np.float32)
+        s = np.maximum(np.abs(w32).max(axis=-2) / np.float32(127.0),
+                       np.float32(1e-8))
+        q = np.clip(np.round(w32 / s[..., None, :]), -127, 127)
+        return (q.astype(np.float32) * s[..., None, :]).astype(w.dtype)
+
+    deq = dict(host)
+    deq["groups"] = {
+        k: (rt(w) if k.endswith("_proj_w") else w)
+        for k, w in host["groups"].items()
+    }
+    eng_ref = LLMEngine(cfg)
+    eng_ref.runner.update_weights(params=deq)
+
+    rng = np.random.default_rng(7)
+    prompt = [int(x) for x in rng.integers(1, 127, size=11)]
+    outs = []
+    for eng in (eng_q, eng_ref):
+        _greedy(eng, prompt, n=6, request_id="q")
+        outs.append(eng.generate_all()[0].outputs[0].token_ids)
+        assert eng.block_manager.num_used_blocks == 0
+    assert outs[0] == outs[1], outs

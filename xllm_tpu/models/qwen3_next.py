@@ -316,6 +316,21 @@ class Qwen3NextModel(DenseDecoderModel):
         ).astype(x.dtype)
         return x + o, k_pages, v_pages
 
+    @staticmethod
+    def _mlp_dot(mlp_p, name, x):
+        """MLP projection that consumes weight-only quantized stacks.
+
+        The load-path catch-all (runtime/model_runner._quantize_params)
+        quantizes every `*_proj_w` stack, including these raw-dot MLP
+        weights — without folding the per-output-channel scale back the
+        codes-only dot is garbage."""
+        w = mlp_p[name]
+        if w.dtype in (jnp.int8, jnp.float8_e4m3fn):
+            from xllm_tpu.ops.quant import quant_matmul
+
+            return quant_matmul(x, w, mlp_p[name + "_scale"])
+        return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
     def _mlp_next(self, mlp_p, x):
         """Per-layer MLP slice: MoE + gated shared expert, or dense."""
         c = self.cfg
@@ -329,30 +344,22 @@ class Qwen3NextModel(DenseDecoderModel):
                 c.num_experts_per_tok,
                 c.norm_topk_prob,
                 mesh=getattr(self, "mesh", None),
+                gate_up_scale=mlp_p.get("experts_gate_up_scale"),
+                down_scale=mlp_p.get("experts_down_scale"),
             )
-            gate = jax.nn.silu(
-                jnp.dot(h, mlp_p["shared_gate_proj_w"],
-                        preferred_element_type=jnp.float32)
-            )
-            up = jnp.dot(h, mlp_p["shared_up_proj_w"],
-                         preferred_element_type=jnp.float32)
-            shared = jnp.dot(
-                (gate * up).astype(h.dtype), mlp_p["shared_down_proj_w"],
-                preferred_element_type=jnp.float32,
+            gate = jax.nn.silu(self._mlp_dot(mlp_p, "shared_gate_proj_w", h))
+            up = self._mlp_dot(mlp_p, "shared_up_proj_w", h)
+            shared = self._mlp_dot(
+                mlp_p, "shared_down_proj_w", (gate * up).astype(h.dtype)
             )
             sg = jax.nn.sigmoid(
                 jnp.dot(h.astype(jnp.float32), mlp_p["shared_gate_w"])
             )[:, None]
             return (routed.astype(jnp.float32) + sg * shared).astype(x.dtype)
-        gate = jax.nn.silu(
-            jnp.dot(h, mlp_p["gate_proj_w"],
-                    preferred_element_type=jnp.float32)
-        )
-        up = jnp.dot(h, mlp_p["up_proj_w"],
-                     preferred_element_type=jnp.float32)
-        return jnp.dot(
-            (gate * up).astype(h.dtype), mlp_p["down_proj_w"],
-            preferred_element_type=jnp.float32,
+        gate = jax.nn.silu(self._mlp_dot(mlp_p, "gate_proj_w", h))
+        up = self._mlp_dot(mlp_p, "up_proj_w", h)
+        return self._mlp_dot(
+            mlp_p, "down_proj_w", (gate * up).astype(h.dtype)
         ).astype(x.dtype)
 
     # ------------------------------------------------------------------
@@ -373,6 +380,11 @@ class Qwen3NextModel(DenseDecoderModel):
              "shared_down_proj_w", "shared_gate_w")
             if c.num_experts > 0
             else ("gate_proj_w", "up_proj_w", "down_proj_w")
+        )
+        # quantized stacks carry per-output-channel scale companions
+        # that must ride the same layer scan (see _mlp_dot)
+        mlp_keys = mlp_keys + tuple(
+            k + "_scale" for k in mlp_keys if k + "_scale" in gp
         )
 
         def lin_body(carry, xs):

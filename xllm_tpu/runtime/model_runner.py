@@ -274,7 +274,10 @@ class ModelRunner:
     # (dense "layers", MLA "dense_layers"/"moe_layers"). Router weights stay
     # high precision (routing sensitivity); routed expert stacks stay bf16
     # until the grouped quant GEMM lands (megablox is bf16/f32-only).
-    _QUANT_SKIP = ("router_w",)
+    # merger_proj_w: the GLM vision merger consumes its weight with a raw
+    # dot (models/vision_glm.py:300) and is a single tiny [out, out]
+    # matrix — skipping it keeps the tower's forward quant-agnostic
+    _QUANT_SKIP = ("router_w", "merger_proj_w")
     # int8 experts would need int8 activations through the group GEMM;
     # fp8 experts are weight-only (in-kernel upcast), so only fp8 touches
     # the expert stacks (reference w8a8/fp8 group GEMM rows)
